@@ -1,0 +1,289 @@
+"""Batched 3-state pair-HMM kernels (TPU compute path).
+
+The reference's hottest loop (`computeForwardProbability`,
+pairwiseAligner.c:849-903) scores one (read-substring, allele) pair at a time
+with a scalar anti-diagonal recurrence. On TPU we turn this inside out:
+**the batch is the vector axis**. Thousands of independent pairs are padded
+to a common (Lx, Ly) box and a single `lax.scan` walks anti-diagonals d =
+0..Lx+Ly; each step updates a (B, W) slab of cells with pure elementwise
+VPU ops. For the phase workload the reference calls this kernel with an
+empty anchor list, in which case its band covers the whole DP rectangle
+(band_construct with no anchors spans (0,0)..(lX,lY)); the dense rectangle
+recurrence below is therefore *exactly* the reference computation, not an
+approximation.
+
+States: 0=match, 1=gapX (consumes x), 2=gapY (consumes y)
+(stateMachine.c:10-12); transitions/emissions per StateMachine3
+(stateMachine.c:562-586); start/end weights stateMachine.c:521-560.
+
+Mixed strands are handled by stacking forward/reverse emission tables on a
+leading strand axis and gathering per batch item — one kernel launch per
+batch regardless of strand mix.
+
+Run-length-encoded emissions (stateMachine.c:716-752): when repeat tables
+are provided, the match emission gains
+``2.3025 * repeat_probs[strand_slot(xbase), rep_y, rep_x]``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from margin_tpu.ops import logmath
+from margin_tpu.params import StateMachineParams, RepeatSubMatrix, MAXIMUM_REPEAT_LENGTH
+
+MATCH, GAPX, GAPY = 0, 1, 2
+LOG_ZERO = -1.0e30  # finite stand-in for -inf: keeps arithmetic NaN-free on TPU
+
+# transition vector layout (StateMachineParams.transition_vector)
+T_MM, T_M_FROM_GX, T_M_FROM_GY, T_OPEN_X, T_OPEN_Y, T_EXT_X, T_EXT_Y, T_SW_X, T_SW_Y = range(9)
+
+
+@dataclass(frozen=True)
+class PairHmmTables:
+    """Device-resident emission/transition tables, strand-stacked.
+
+    match:  (2, 25)  flattened 5x5 log match emissions per strand
+    gap_x:  (2, 5)
+    gap_y:  (2, 5)
+    trans:  (2, 9)   transition log-probs (layout above)
+    repeat: (2, 4*51*51) optional RLE match-emission addend table, flattened
+            [slot_base, underlying(rep_x), observed(rep_y)]; already includes
+            the 2.3025 natural-log conversion factor.
+    """
+    match: jnp.ndarray
+    gap_x: jnp.ndarray
+    gap_y: jnp.ndarray
+    trans: jnp.ndarray
+    repeat: Optional[jnp.ndarray] = None
+
+    @staticmethod
+    def from_params(sm_fwd: StateMachineParams,
+                    sm_rev: Optional[StateMachineParams] = None,
+                    repeat: Optional[RepeatSubMatrix] = None,
+                    dtype=jnp.float32) -> "PairHmmTables":
+        if sm_rev is None:
+            sm_rev = sm_fwd.reverse_complement()
+        def clamp(a):
+            return np.maximum(np.nan_to_num(np.asarray(a, np.float64),
+                                            neginf=LOG_ZERO), LOG_ZERO)
+        match = np.stack([clamp(sm_fwd.match_probs).ravel(),
+                          clamp(sm_rev.match_probs).ravel()])
+        gx = np.stack([clamp(sm_fwd.gap_x_probs), clamp(sm_rev.gap_x_probs)])
+        gy = np.stack([clamp(sm_fwd.gap_y_probs), clamp(sm_rev.gap_y_probs)])
+        tr = np.stack([clamp(sm_fwd.transition_vector()),
+                       clamp(sm_rev.transition_vector())])
+        rep = None
+        if repeat is not None:
+            n = MAXIMUM_REPEAT_LENGTH
+            # slot for (base b, strand s): s ? b : 3-b  (repeatSubMatrix.c:28-31)
+            fwd = repeat.log_probs.reshape(4, n * n)          # slot == base
+            rev = repeat.log_probs[::-1].reshape(4, n * n)    # base b -> slot 3-b
+            rep = jnp.asarray(2.3025 * np.stack([fwd, rev]).reshape(2, 4 * n * n),
+                              dtype=dtype)
+        return PairHmmTables(jnp.asarray(match, dtype), jnp.asarray(gx, dtype),
+                             jnp.asarray(gy, dtype), jnp.asarray(tr, dtype), rep)
+
+
+@dataclass(frozen=True)
+class PairBatch:
+    """A padded batch of (x, y) sequence pairs.
+
+    xs, ys:   (B, Lx), (B, Ly) uint8 symbol codes (0..4), padded with 4.
+    lxs, lys: (B,) int32 true lengths.
+    strands:  (B,) int32 — 0 selects the forward-strand tables, 1 reverse.
+    rep_x/rep_y: optional (B, L) int32 run lengths (clamped to 50) for RLE.
+    ragged_left/right: (B,) bool start/end boundary conditions.
+    """
+    xs: jnp.ndarray
+    ys: jnp.ndarray
+    lxs: jnp.ndarray
+    lys: jnp.ndarray
+    strands: jnp.ndarray
+    ragged_left: jnp.ndarray
+    ragged_right: jnp.ndarray
+    rep_x: Optional[jnp.ndarray] = None
+    rep_y: Optional[jnp.ndarray] = None
+
+
+def make_batch(seq_pairs, strands=None, ragged_left=None, ragged_right=None,
+               rep_pairs=None, pad_to=None) -> PairBatch:
+    """Host-side batch packing. seq_pairs: list of (x_sym, y_sym) numpy
+    arrays. pad_to: optional (Lx, Ly) to stabilize compiled shapes."""
+    b = len(seq_pairs)
+    lx = max((len(p[0]) for p in seq_pairs), default=1)
+    ly = max((len(p[1]) for p in seq_pairs), default=1)
+    if pad_to is not None:
+        lx, ly = max(lx, pad_to[0]), max(ly, pad_to[1])
+    xs = np.full((b, lx), 4, dtype=np.uint8)
+    ys = np.full((b, ly), 4, dtype=np.uint8)
+    lxs = np.zeros(b, dtype=np.int32)
+    lys = np.zeros(b, dtype=np.int32)
+    for i, (x, y) in enumerate(seq_pairs):
+        xs[i, :len(x)] = x
+        ys[i, :len(y)] = y
+        lxs[i], lys[i] = len(x), len(y)
+    rx = ry = None
+    if rep_pairs is not None:
+        rx = np.zeros((b, lx), dtype=np.int32)
+        ry = np.zeros((b, ly), dtype=np.int32)
+        for i, (cx, cy) in enumerate(rep_pairs):
+            rx[i, :len(cx)] = np.minimum(cx, MAXIMUM_REPEAT_LENGTH - 1)
+            ry[i, :len(cy)] = np.minimum(cy, MAXIMUM_REPEAT_LENGTH - 1)
+    def vec(v, default=False):
+        if v is None:
+            return np.full(b, default, dtype=bool)
+        return np.asarray(v, dtype=bool)
+    strands = (np.zeros(b, dtype=np.int32) if strands is None
+               else np.asarray(strands, dtype=np.int32))
+    return PairBatch(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lxs),
+                     jnp.asarray(lys), jnp.asarray(strands),
+                     jnp.asarray(vec(ragged_left)), jnp.asarray(vec(ragged_right)),
+                     None if rx is None else jnp.asarray(rx),
+                     None if ry is None else jnp.asarray(ry))
+
+
+def _log_add3(a, b, c, log_add):
+    return log_add(log_add(a, b), c)
+
+
+@functools.partial(jax.jit, static_argnames=("use_lut", "unroll"))
+def forward_total(tables: PairHmmTables, batch: PairBatch,
+                  use_lut: bool = False, unroll: int = 4) -> jnp.ndarray:
+    """Batched total forward log-probability.
+
+    Parity: computeForwardProbability (pairwiseAligner.c:849-903) called with
+    no anchor pairs — the band then covers the full rectangle, so the dense
+    recurrence matches cell-for-cell. Returns (B,) log probs.
+
+    Layout: anti-diagonal d scans 0..Lx+Ly. The diagonal slab is indexed by
+    y (W = Ly+1 lanes); cell (x=d-y, y). Dependencies:
+      gapX(x,y)  <- diag d-1 at lane y      (cell (x-1, y))
+      gapY(x,y)  <- diag d-1 at lane y-1    (cell (x, y-1))
+      match(x,y) <- diag d-2 at lane y-1    (cell (x-1, y-1))
+    The x-symbol consumed at lane y of diag d is X[d-1-y]: a contiguous
+    window of reversed-X, fetched with one dynamic_slice per step.
+    """
+    log_add = logmath.log_add_lut if use_lut else logmath.log_add_exact
+    B, Lx = batch.xs.shape
+    Ly = batch.ys.shape[1]
+    W = Ly + 1
+    D = Lx + Ly
+    dtype = tables.match.dtype
+
+    use_rle = tables.repeat is not None and batch.rep_x is not None
+
+    # per-item tables (gathered once; (B, ...) )
+    m_tab = tables.match[batch.strands]      # (B, 25)
+    gx_tab = tables.gap_x[batch.strands]     # (B, 5)
+    gy_tab = tables.gap_y[batch.strands]     # (B, 5)
+    tr = tables.trans[batch.strands]         # (B, 9)
+    trc = {i: tr[:, i:i + 1] for i in range(9)}  # (B,1) broadcastable
+
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+
+    # y-symbols per lane: cY at lane y is Y[y-1]; lane 0 -> N(4)
+    cy = jnp.concatenate([jnp.full((B, 1), 4, jnp.uint8), batch.ys], axis=1)  # (B, W)
+    cy = cy.astype(jnp.int32)
+    e_gy = jnp.take_along_axis(gy_tab, cy, axis=1)  # (B, W) constant over d
+
+    # Padded-reversed X for the sliding window: the x-symbol consumed at lane
+    # y of diag d is X[d-1-y]; with xpad = [N*Ly, reverse(X), N*W] that is
+    # xpad[Lx+Ly-d+y] — one dynamic_slice per scan step.
+    xpad = jnp.concatenate([jnp.full((B, Ly), 4, jnp.uint8),
+                            jnp.flip(batch.xs, axis=1),
+                            jnp.full((B, W), 4, jnp.uint8)], axis=1).astype(jnp.int32)
+    if use_rle:
+        ry = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), batch.rep_y], axis=1)
+        rxpad = jnp.concatenate([jnp.zeros((B, Ly), jnp.int32),
+                                 jnp.flip(batch.rep_x, axis=1),
+                                 jnp.zeros((B, W), jnp.int32)], axis=1)
+        rep_tab = tables.repeat[batch.strands]  # (B, 4*51*51)
+
+    neg = jnp.asarray(LOG_ZERO, dtype)
+
+    # start cell (0,0) at diag 0, lane 0 (stateMachine.c:521-530)
+    rl = batch.ragged_left[:, None]
+    init_cell = jnp.stack([
+        jnp.where(rl, neg, 0.0).astype(dtype),       # match
+        jnp.where(rl, 0.0, neg).astype(dtype),       # gapX
+        jnp.where(rl, 0.0, neg).astype(dtype),       # gapY
+    ], axis=1)  # (B, 3, 1)
+    lane0 = (y_iota == 0)[:, None, :]  # (B,1,W)
+    diag0 = jnp.where(lane0, jnp.concatenate(
+        [init_cell, jnp.full((B, 3, W - 1), neg, dtype)], axis=2), neg)
+
+    def shift_lane(a):  # lane y <- lane y-1 (prepend LOG_ZERO)
+        return jnp.concatenate([jnp.full(a.shape[:-1] + (1,), neg, dtype),
+                                a[..., :-1]], axis=-1)
+
+    def step(carry, d):
+        prev1, prev2, result = carry  # (B,3,W), (B,3,W), (B,)
+        cx = jax.lax.dynamic_slice_in_dim(xpad, Lx + Ly - d, W, axis=1)
+        e_m = jnp.take_along_axis(m_tab, cx * 5 + cy, axis=1)
+        e_gx = jnp.take_along_axis(gx_tab, cx, axis=1)
+        if use_rle:
+            rxw = jax.lax.dynamic_slice_in_dim(rxpad, Lx + Ly - d, W, axis=1)
+            base = jnp.where(cx >= 4, 0, cx)  # N -> A (repeatSubMatrix.c:16-27)
+            n = MAXIMUM_REPEAT_LENGTH
+            rep_idx = base * (n * n) + rxw * n + ry
+            e_m = e_m + jnp.take_along_axis(rep_tab, rep_idx, axis=1)
+
+        p1m, p1x, p1y = prev1[:, MATCH], prev1[:, GAPX], prev1[:, GAPY]
+        p2 = shift_lane(prev2)  # diag d-2 at lane y-1
+        u1 = shift_lane(prev1)  # diag d-1 at lane y-1
+
+        new_gx = e_gx + _log_add3(p1m + trc[T_OPEN_X], p1x + trc[T_EXT_X],
+                                  p1y + trc[T_SW_X], log_add)
+        new_m = e_m + _log_add3(p2[:, MATCH] + trc[T_MM],
+                                p2[:, GAPX] + trc[T_M_FROM_GX],
+                                p2[:, GAPY] + trc[T_M_FROM_GY], log_add)
+        new_gy = e_gy + _log_add3(u1[:, MATCH] + trc[T_OPEN_Y],
+                                  u1[:, GAPY] + trc[T_EXT_Y],
+                                  u1[:, GAPX] + trc[T_SW_Y], log_add)
+
+        cur = jnp.stack([new_m, new_gx, new_gy], axis=1)  # (B,3,W)
+        x_pos = d - y_iota
+        valid = ((y_iota <= batch.lys[:, None]) & (x_pos >= 0)
+                 & (x_pos <= batch.lxs[:, None]))[:, None, :]
+        cur = jnp.where(valid, cur, neg)
+        cur = jnp.maximum(cur, neg)  # clamp accumulated underflow
+
+        # harvest total when d == lx+ly at lane y=ly
+        final_cell = jnp.take_along_axis(
+            cur, batch.lys[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B,3)
+        rr = batch.ragged_right[:, None]
+        end_w = jnp.where(
+            rr,
+            jnp.stack([(tr[:, T_OPEN_X] + tr[:, T_OPEN_Y]) / 2.0,
+                       tr[:, T_EXT_X], tr[:, T_EXT_Y]], axis=1),
+            jnp.stack([tr[:, T_MM], tr[:, T_M_FROM_GX], tr[:, T_M_FROM_GY]],
+                      axis=1))
+        tot = final_cell + end_w
+        tot = log_add(log_add(tot[:, 0], tot[:, 1]), tot[:, 2])
+        result = jnp.where(d == batch.lxs + batch.lys, tot, result)
+        return (cur, prev1, result), None
+
+    init = (diag0, jnp.full((B, 3, W), neg, dtype), jnp.full((B,), neg, dtype))
+    (_, _, result), _ = jax.lax.scan(step, init, jnp.arange(1, D + 1),
+                                     unroll=unroll)
+    # trivial case lx+ly == 0 returns LOG_ONE (pairwiseAligner.c:860-862)
+    result = jnp.where(batch.lxs + batch.lys == 0, 0.0, result)
+    return result
+
+
+jax.tree_util.register_dataclass(
+    PairHmmTables,
+    data_fields=["match", "gap_x", "gap_y", "trans", "repeat"],
+    meta_fields=[])
+jax.tree_util.register_dataclass(
+    PairBatch,
+    data_fields=["xs", "ys", "lxs", "lys", "strands", "ragged_left",
+                 "ragged_right", "rep_x", "rep_y"],
+    meta_fields=[])
