@@ -1,0 +1,75 @@
+"""Command line interface: `python -m margin_tpu <command>`.
+
+Parity: margin.c dispatch + phase.c/polish.c argument handling (the
+commonly used flags)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("bam", help="input BAM (indexed)")
+    p.add_argument("reference", help="reference FASTA")
+    p.add_argument("params", help="parameters JSON (margin-compatible)")
+    p.add_argument("-o", "--outputBase", default="output",
+                   help="output file prefix [default: output]")
+    p.add_argument("-r", "--region", default=None,
+                   help="region to process (contig or contig:start-end)")
+    p.add_argument("-p", "--maxDepth", type=int, default=-1,
+                   help="override maxDepth parameter")
+    p.add_argument("--seed", type=int, default=0, help="random seed")
+    p.add_argument("--lut-logadd", action="store_true",
+                   help="use the reference's LUT logAdd (parity mode; slower)")
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    top = argparse.ArgumentParser(prog="margin_tpu",
+                                  description="TPU-native margin: phase + polish")
+    sub = top.add_subparsers(dest="command", required=True)
+
+    ph = sub.add_parser("phase", help="haplotag reads / phase a VCF")
+    _add_common(ph)
+    ph.add_argument("vcf", help="VCF with variants to phase")
+    ph.add_argument("--skipHaplotypeBAM", action="store_true")
+    ph.add_argument("--skipPhasedVCF", action="store_true")
+
+    po = sub.add_parser("polish", help="polish an assembly")
+    _add_common(po)
+    po.add_argument("--diploid", action="store_true")
+
+    args = top.parse_args(argv)
+
+    if (args.command == "phase" and args.skipHaplotypeBAM
+            and args.skipPhasedVCF):
+        top.error("With --skipHaplotypeBAM and --skipPhasedVCF there "
+                  "will be no output.")
+    for path, desc in [(args.bam, "bam"), (args.reference, "reference fasta"),
+                       (args.params, "params")]:
+        if not os.path.exists(path):
+            top.error(f"Could not read from input {desc} file: {path}")
+
+    # late imports keep CLI startup fast
+    from margin_tpu.params import Params
+    params = Params.load(args.params)
+    if args.maxDepth >= 0:
+        params.polish.maxDepth = args.maxDepth
+
+    if args.command == "phase":
+        from margin_tpu.phase.driver import run_phase
+        run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
+                  region=args.region, write_bam=not args.skipHaplotypeBAM,
+                  write_vcf=not args.skipPhasedVCF, seed=args.seed,
+                  use_lut=args.lut_logadd)
+    elif args.command == "polish":
+        from margin_tpu.polish.driver import run_polish
+        run_polish(args.bam, args.reference, params, args.outputBase,
+                   region=args.region, diploid=args.diploid, seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,252 @@
+"""`margin phase` driver: chunked, device-batched phasing pipeline.
+
+Parity: phase_main (phase.c:56-570). Chunks are processed independently
+(data parallel; here sequentially or via a jax-sharded scoring batch) and
+stitched with the cis/trans phase vote.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from margin_tpu.io import bam as bamio
+from margin_tpu.io.fasta import FastaIndex
+from margin_tpu.io.vcf import parse_vcf, mark_svs
+from margin_tpu.io.vcf_writer import update_haplotype_switching, write_phased_vcf
+from margin_tpu.ops import pairhmm
+from margin_tpu.params import Params
+from margin_tpu.phase import chunker as chunkermod
+from margin_tpu.phase import phasing, variants
+from margin_tpu.phase.downsample import downsample_reads_by_vcf_spans
+from margin_tpu.phase.readextract import extract_read_substrings_sv_aware
+from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_phase_results
+
+
+@dataclass
+class PhaseOutputs:
+    haplotagged_bam: Optional[str] = None
+    phased_vcf: Optional[str] = None
+    phaseset_bed: Optional[str] = None
+    chunks_csv: Optional[str] = None
+    hap1_count: int = 0
+    hap2_count: int = 0
+    untagged_count: int = 0
+    phased_het_count: int = 0
+
+
+def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
+              params: Params, output_base: str, region: Optional[str] = None,
+              write_bam: bool = True, write_vcf: bool = True,
+              seed: int = 0, use_lut: bool = False,
+              log=print) -> PhaseOutputs:
+    """End-to-end phase pipeline (phase.c:56-570)."""
+    rng = random.Random(seed)
+    t0 = time.time()
+    out = PhaseOutputs()
+
+    # parse VCF (vcf.c:89-228)
+    vcf_entries = parse_vcf(vcf_file, region,
+                            use_rle=params.polish.useRunLengthEncoding,
+                            only_pass=params.phase.onlyUsePassVCFEntries,
+                            include_homozygous=params.phase.includeHomozygousVCFEntries)
+    mark_svs(vcf_entries, params.phase.indelSizeForSVHandling)
+    log(f"> Parsed VCF: {sum(len(v) for v in vcf_entries.values())} kept entries "
+        f"on {len(vcf_entries)} contigs")
+
+    # chunker (htsIntegration.c:203-396)
+    chunkr = chunkermod.construct_chunker(bam_file, region,
+                                          set(vcf_entries.keys()),
+                                          params.polish,
+                                          record_filtered_reads=True)
+    log(f"> Built {len(chunkr.chunks)} chunks (size {params.polish.chunkSize}, "
+        f"boundary {params.polish.chunkBoundary})")
+    if not chunkr.chunks:
+        raise RuntimeError("Found no valid reads!")
+
+    out.chunks_csv = f"{output_base}.chunks.csv"
+    with open(out.chunks_csv, "w") as fh:
+        for c in chunkr.chunks:
+            fh.write(f"{c.ref_name},{c.chunk_overlap_start},{c.chunk_overlap_end},"
+                     f"{c.chunk_start},{c.chunk_end}\n")
+
+    fasta = FastaIndex(reference_fasta)
+    tables = pairhmm.PairHmmTables.from_params(
+        params.polish.sm_forward, params.polish.sm_reverse,
+        repeat=(params.polish.repeat_sub_matrix
+                if params.polish.useRepeatCountsInAlignment else None))
+
+    results: List[ChunkPhaseResult] = []
+    reader = bamio.BamReader(bam_file)
+
+    for chunk in chunkr.chunks:
+        res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params,
+                              tables, rng, write_bam, use_lut, log)
+        results.append(res)
+
+    reader.close()
+
+    # stitch (stitching.c:1558-1693)
+    ids1, ids2, switched = stitch_phase_results(
+        results, primary_only=params.phase.stitchWithPrimaryReadsOnly)
+    log(f"> Stitched {len(results)} chunks: {len(ids1)} hap1 reads, "
+        f"{len(ids2)} hap2 reads, {sum(switched)} chunk switches")
+
+    # haplotagged BAM (htsIntegration.c:1310-1503)
+    if write_bam:
+        out.haplotagged_bam = f"{output_base}.haplotagged.bam"
+        h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
+                                           set(ids1), set(ids2), params)
+        out.hap1_count, out.hap2_count, out.untagged_count = h1, h2, h0
+        log(f"> Wrote haplotagged BAM: H1 {h1}, H2 {h2}, H0 {h0}")
+
+    # phased VCF (vcf.c:595-650, 679-1079)
+    if write_vcf:
+        out.phased_vcf = f"{output_base}.phased.vcf"
+        out.phaseset_bed = f"{output_base}.phaseset.bed"
+        update_haplotype_switching(chunkr.chunks, switched, vcf_entries)
+        write_phased_vcf(vcf_file, region, out.phased_vcf, out.phaseset_bed,
+                         vcf_entries, params)
+        with open(out.phased_vcf) as fh:
+            out.phased_het_count = sum(
+                1 for line in fh
+                if not line.startswith("#") and ("1|0" in line or "0|1" in line))
+        log(f"> Wrote phased VCF ({out.phased_het_count} phased 0/1 hets)")
+
+    log(f"> Finished phasing in {time.time() - t0:.1f}s")
+    return out
+
+
+def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
+                    rng, write_bam, use_lut, log) -> ChunkPhaseResult:
+    """One iteration of the phase.c:279-473 chunk loop."""
+    res = ChunkPhaseResult(chunk.chunk_idx, chunk.ref_name)
+
+    chunk_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
+                            chunk.chunk_overlap_end)
+
+    primary, filtered_entries = variants.get_vcf_entries_for_region(
+        vcf_entries, chunk.ref_name, chunk.chunk_overlap_start,
+        chunk.chunk_overlap_end, params, rng)
+
+    variants.update_vcf_entries_with_substrings(primary, chunk_ref, params)
+    if not params.phase.phasePrimaryVariantsOnly:
+        variants.update_vcf_entries_with_substrings(filtered_entries, chunk_ref, params)
+
+    reads, filtered_reads = extract_read_substrings_sv_aware(
+        chunk, primary, reader, params)
+    if not params.phase.phasePrimaryVariantsOnly:
+        reads_for_filtered, _ = extract_read_substrings_sv_aware(
+            chunk, filtered_entries, reader, params)
+    else:
+        reads_for_filtered = []
+
+    # downsample (phase.c:360-382)
+    if params.polish.maxDepth > 0:
+        reads, discarded, did = downsample_reads_by_vcf_spans(
+            params.polish.maxDepth, len(primary), reads, rng)
+        if did:
+            filtered_reads.extend(discarded)
+
+    # bubble graph + phasing
+    bg, entries_to_bubbles = phasing.build_bubble_graph(
+        reads, primary, params, tables, use_lut=use_lut)
+    ref = phasing.get_reference(bg, chunk.ref_name, params)
+    gf, pseqs = phasing.phase_bubble_graph(bg, ref, reads, params)
+    hap1_ids, hap2_ids, phreds = phasing.phase_bam_chunk_reads(gf, pseqs, reads, params)
+
+    log(f"  chunk {chunk.chunk_idx}: {len(primary)} primary vars, "
+        f"{len(reads)} reads -> {len(hap1_ids)} hap1 / {len(hap2_ids)} hap2 "
+        f"({len(reads) - len(hap1_ids) - len(hap2_ids)} unphased)")
+
+    # phase filtered variants (phase.c:411-416)
+    hap1_names = {r.read_name for r in reads if id(r) in hap1_ids}
+    hap2_names = {r.read_name for r in reads if id(r) in hap2_ids}
+    if not params.phase.phasePrimaryVariantsOnly:
+        phasing.phase_filtered_vcf_entries(reads_for_filtered, filtered_entries,
+                                           hap1_names, hap2_names, chunk,
+                                           chunkr.read_enumerator, params, tables)
+
+    # unassigned primary reads join the filtered pool (phase.c:419-425)
+    for r in reads:
+        if id(r) not in hap1_ids and id(r) not in hap2_ids:
+            filtered_reads.append(r)
+
+    # partition filtered reads (phase.c:428-436)
+    if write_bam:
+        filt_h1: set = set()
+        filt_h2: set = set()
+        phasing.partition_filtered_reads(filtered_reads, gf, bg,
+                                         entries_to_bubbles, filt_h1, filt_h2,
+                                         params, tables)
+    else:
+        filt_h1, filt_h2 = set(), set()
+
+    # chunk output record (stitching.c:875-925): reads with phred probs,
+    # filtered/partitioned reads with -1
+    for r in reads:
+        if id(r) in hap1_ids:
+            p = phreds[id(r)]
+            if p > params.phase.minPhredScoreForHaplotypePartition:
+                res.hap1_reads[r.read_name] = p
+            else:
+                res.hap1_reads[r.read_name] = -1.0
+        elif id(r) in hap2_ids:
+            p = phreds[id(r)]
+            if p > params.phase.minPhredScoreForHaplotypePartition:
+                res.hap2_reads[r.read_name] = p
+            else:
+                res.hap2_reads[r.read_name] = -1.0
+    for r in filtered_reads:
+        if id(r) in filt_h1 and r.read_name not in res.hap1_reads:
+            res.hap1_reads[r.read_name] = -1.0
+        elif id(r) in filt_h2 and r.read_name not in res.hap2_reads:
+            res.hap2_reads[r.read_name] = -1.0
+
+    # update root VCF entries (vcf.c:511-592)
+    phasing.update_original_vcf_entries(chunk, reads, chunkr.read_enumerator,
+                                        gf, bg, entries_to_bubbles,
+                                        hap1_ids, hap2_ids)
+    return res
+
+
+def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
+                          hap1_names: set, hap2_names: set, params: Params):
+    """writeHaplotaggedBam (htsIntegration.c:1310-1503)."""
+    from margin_tpu.io.vcf import parse_region
+    region_contig, region_start, region_end = parse_region(region)
+    h1 = h2 = h0 = 0
+    with bamio.BamReader(bam_in) as reader:
+        with bamio.BamWriter(bam_out, reader.header) as writer:
+            if region_contig is not None:
+                it = reader.fetch(region_contig, max(region_start - 1, 0),
+                                  region_end if region_end > 0 else (1 << 60))
+            else:
+                it = iter(reader)
+            for rec in it:
+                if rec.l_seq <= 0 or len(rec.cigar) == 0 or rec.is_unmapped:
+                    continue
+                if not params.polish.includeSecondaryAlignments and rec.is_secondary:
+                    continue
+                if not params.polish.includeSupplementaryAlignments and rec.is_supplementary:
+                    continue
+                name = chunkermod.get_read_name(
+                    rec, reader.header.ref_names[rec.ref_id])
+                in1 = name in hap1_names
+                in2 = name in hap2_names
+                if in1 and not in2:
+                    hap = 1
+                    h1 += 1
+                elif in2 and not in1:
+                    hap = 2
+                    h2 += 1
+                else:
+                    hap = 0
+                    h0 += 1
+                writer.write_raw(bamio.set_hp_tag(rec.raw, rec, hap))
+    return h1, h2, h0

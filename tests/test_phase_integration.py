@@ -1,0 +1,81 @@
+"""End-to-end `phase` golden tests on the miniature real dataset
+(HG002 r94g360 chr20:59M-59.1M), mirroring tests/marginTest.c.
+
+Reference expectations (README.md:176-196):
+  - haplotag params: 145 reads HP:1, 137 reads HP:2
+  - phase_vcf params: ~105 phased het variants (1|0 / 0|1)
+  - hap read sets disjoint; each hap > 2/3 the size of the other
+    (marginTest.c:111, 173-178)
+"""
+
+import collections
+import struct
+
+import pytest
+
+from margin_tpu.cli import main
+from margin_tpu.io.bam import BamReader, _iter_tags
+
+from conftest import reference_path
+
+DATA = reference_path("tests", "data", "realData")
+BAM = f"{DATA}/HG002.r94g360.chr20_59M_100k.bam"
+FASTA = f"{DATA}/hg38.chr20_59M_100k.fa"
+VCF = f"{DATA}/HG002.r94g360.chr20_59M_100k.vcf"
+
+
+def _hp_counts(bam_path):
+    counts = collections.Counter()
+    names = {1: set(), 2: set()}
+    with BamReader(bam_path) as r:
+        for rec in r:
+            blob = rec.tags_blob()
+            hp = None
+            for tag, typ, s, e in _iter_tags(blob):
+                if tag == b"HP":
+                    hp = struct.unpack("<i", blob[s + 3:s + 7])[0]
+            counts[hp] += 1
+            if hp in (1, 2):
+                names[hp].add(rec.name)
+    return counts, names
+
+
+@pytest.mark.slow
+def test_phase_haplotag_golden(tmp_path):
+    out = str(tmp_path / "ht")
+    main(["phase", BAM, FASTA,
+          reference_path("params", "phase", "allParams.haplotag.ont-r94g507.json"),
+          VCF, "-o", out])
+    counts, names = _hp_counts(out + ".haplotagged.bam")
+    # exact golden counts from README.md:176-186
+    assert counts[1] == 145, counts
+    assert counts[2] == 137, counts
+    # marginTest.c invariants
+    assert not (names[1] & names[2])
+    assert len(names[1]) > 2 * len(names[2]) / 3
+    assert len(names[2]) > 2 * len(names[1]) / 3
+
+
+@pytest.mark.slow
+def test_phase_vcf_golden(tmp_path):
+    out = str(tmp_path / "pv")
+    main(["phase", BAM, FASTA,
+          reference_path("params", "phase", "allParams.phase_vcf.ont.json"),
+          VCF, "-o", out])
+    phased = 0
+    cis = trans = 0
+    with open(out + ".phased.vcf") as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            gt = parts[9].split(":")[0]
+            if gt in ("1|0", "0|1"):
+                phased += 1
+    # reference documents 105; tolerate +-3 (RNG in knapsack Bernoulli)
+    assert 102 <= phased <= 108, phased
+    # phaseset bed exists and has at least one set
+    with open(out + ".phaseset.bed") as fh:
+        lines = fh.readlines()
+    assert len(lines) >= 1
+    assert lines[0].startswith("chr20\t")

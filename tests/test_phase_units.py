@@ -1,0 +1,160 @@
+"""Unit tests for phase pipeline components: chunker geometry, downsampling
+knapsack, stitching vote, rphmm primitives, BAM/BGZF round trip."""
+
+import numpy as np
+import pytest
+
+from margin_tpu.io.bgzf import BgzfReader, BgzfWriter
+from margin_tpu.params import Params, PhaseParams
+from margin_tpu.phase.bubbles import ProfileSeq, Reference, Site
+from margin_tpu.phase.downsample import knapsack_probs
+from margin_tpu.phase.rphmm import (RPHmm, get_rp_hmms, get_tiling_paths,
+                                    invert_partition, make_accept_mask,
+                                    merge_partitions)
+from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_phase_results
+
+from conftest import reference_path
+
+
+def test_bgzf_roundtrip(tmp_path):
+    data = bytes(range(256)) * 5000  # > 1 block
+    path = str(tmp_path / "t.bgzf")
+    with BgzfWriter(path) as w:
+        w.write(data)
+    with BgzfReader(path) as r:
+        assert r.read(len(data) + 10) == data
+
+
+def test_knapsack_probs_vertex_structure():
+    # LP == fractional knapsack: p=1 by metric/length ratio until budget
+    lengths = np.array([10, 10, 10, 10])
+    metrics = np.array([40, 30, 20, 10])
+    # budget = 25 -> 2 full reads + 0.5 of the third
+    p = knapsack_probs(lengths, metrics, 2.5, 10)
+    np.testing.assert_allclose(p, [1.0, 1.0, 0.5, 0.0])
+    # budget beyond total -> all 1
+    p = knapsack_probs(lengths, metrics, 10, 10)
+    np.testing.assert_allclose(p, [1.0, 1.0, 1.0, 1.0])
+
+
+def test_partition_primitives():
+    # partitions.c semantics
+    assert make_accept_mask(3) == 0b111
+    assert make_accept_mask(64) == 0xFFFFFFFFFFFFFFFF
+    assert merge_partitions(0b01, 0b1, 2, 1) == 0b101
+    assert invert_partition(0b101, 3) == 0b010
+
+
+def _ref_with_sites(n_sites, n_alleles=2):
+    sites = []
+    off = 0
+    for _ in range(n_sites):
+        sites.append(Site(n_alleles, off,
+                          np.zeros(n_alleles, dtype=np.uint16),
+                          np.zeros((n_alleles, n_alleles), dtype=np.uint16)))
+        off += n_alleles
+    return Reference("test", sites, off)
+
+
+def _pseq(ref, read_id, start, probs_rows):
+    """probs_rows: list of per-site [allele -log probs] lists."""
+    probs = np.array([p for row in probs_rows for p in row], dtype=np.uint8)
+    return ProfileSeq(None, read_id, start, len(probs_rows),
+                      start * ref.sites[0].allele_number, probs)
+
+
+def test_rphmm_two_reads_clear_phasing():
+    """Two reads supporting opposite alleles at 3 het sites: the HMM should
+    partition them apart and call the het genotype at each site."""
+    ref = _ref_with_sites(3)
+    params = PhaseParams(maxNotSumTransitions=True, minPartitionsInAColumn=100,
+                         maxPartitionsInAColumn=100,
+                         minPosteriorProbabilityForPartition=0.0)
+    # read A strongly allele0, read B strongly allele1
+    a = _pseq(ref, "A", 0, [[0, 60]] * 3)
+    b = _pseq(ref, "B", 0, [[60, 0]] * 3)
+    hmms = get_rp_hmms([a, b], ref, params)
+    assert len(hmms) == 1
+    hmm = hmms[0]
+    hmm.forward_backward(include_ancestor=True)
+    path = hmm.forward_traceback()
+    from margin_tpu.phase.fragment import construct_genome_fragment
+    gf = construct_genome_fragment(hmm, path)
+    assert set(map(int, gf.haplotype_string1)) != set(map(int, gf.haplotype_string2)) or \
+        all(gf.haplotype_string1[i] != gf.haplotype_string2[i] for i in range(3))
+    # the two reads are in different partitions
+    assert len(gf.reads1) == 1 and len(gf.reads2) == 1
+
+
+def test_rphmm_tiling_paths_nonoverlap():
+    ref = _ref_with_sites(10)
+    params = PhaseParams()
+    ps = [
+        _pseq(ref, "r1", 0, [[0, 30]] * 3),   # sites 0-2
+        _pseq(ref, "r2", 4, [[0, 30]] * 3),   # sites 4-6
+        _pseq(ref, "r3", 1, [[30, 0]] * 5),   # sites 1-5 overlaps both
+    ]
+    hmms = [RPHmm.from_profile_seq(p, ref, params) for p in ps]
+    paths = get_tiling_paths(hmms)
+    # r1+r2 chain into one path; r3 into a second
+    assert len(paths) == 2
+    assert len(paths[0]) == 2 and len(paths[1]) == 1
+
+
+def test_rphmm_cross_product_inverted_partitions():
+    ref = _ref_with_sites(2)
+    params = PhaseParams(includeInvertedPartitions=True)
+    a = _pseq(ref, "A", 0, [[0, 60]] * 2)
+    b = _pseq(ref, "B", 0, [[60, 0]] * 2)
+    h1 = RPHmm.from_profile_seq(a, ref, params)
+    h2 = RPHmm.from_profile_seq(b, ref, params)
+    RPHmm.align_columns(h1, h2)
+    hmm = RPHmm.cross_product(h1, h2)
+    # single column; cross product of {1,0}x{1,0} with inversion closure
+    assert len(hmm.columns) == 1
+    parts = hmm.columns[0].partitions
+    assert len(parts) == len(set(parts))
+    assert set(parts) == {0b00, 0b01, 0b10, 0b11}
+
+
+def test_stitch_phase_vote_switch():
+    # chunk 1 has hap labels flipped relative to chunk 0 -> must switch
+    r0 = ChunkPhaseResult(0, "chr1",
+                          {"a": 10.0, "b": 10.0, "c": 10.0},
+                          {"x": 10.0, "y": 10.0})
+    r1 = ChunkPhaseResult(1, "chr1",
+                          {"x": 10.0, "y": 10.0, "z": 10.0},
+                          {"a": 10.0, "c": 10.0, "w": 10.0})
+    ids1, ids2, switched = stitch_phase_results([r0, r1])
+    assert switched == [False, True]
+    assert set(ids1) == {"a", "b", "c", "w"}
+    assert set(ids2) == {"x", "y", "z"}
+
+
+def test_stitch_dedup_by_prob():
+    # same read in both haps across chunks: higher prob wins
+    r0 = ChunkPhaseResult(0, "chr1", {"a": 5.0}, {"b": 5.0})
+    r1 = ChunkPhaseResult(1, "chr1", {"a": 9.0, "b": 20.0}, {})
+    ids1, ids2, switched = stitch_phase_results([r0, r1])
+    # chunk1 vote: cis=1 (a), trans=0 -> no switch; then b moves to hap1
+    assert switched == [False, False]
+    assert set(ids1) == {"a", "b"}
+    assert set(ids2) == set()
+
+
+def test_chunker_on_real_data():
+    from margin_tpu.phase.chunker import construct_chunker
+    params = Params.load(reference_path("params", "phase",
+                                        "allParams.haplotag.ont-r94g507.json"))
+    ch = construct_chunker(
+        reference_path("tests", "data", "realData",
+                       "HG002.r94g360.chr20_59M_100k.bam"),
+        None, {"chr20"}, params.polish)
+    assert len(ch.chunks) == 2
+    c0, c1 = ch.chunks
+    assert (c0.chunk_start, c0.chunk_end) == (0, 100000)
+    assert c0.chunk_overlap_start == 0
+    assert c0.chunk_overlap_end == 100001
+    assert (c1.chunk_start, c1.chunk_end) == (100000, 100001)
+    assert c1.chunk_overlap_start == 90000
+    assert len(ch.read_enumerator) == 314
