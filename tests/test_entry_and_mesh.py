@@ -1,0 +1,46 @@
+"""Driver entry points + multi-chip sharding dry runs on the virtual CPU
+mesh."""
+
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import __graft_entry__ as graft  # noqa: E402
+
+
+def test_entry_compiles_and_runs():
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dryrun_multichip_8():
+    graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2():
+    graft.dryrun_multichip(2)
+
+
+def test_sharded_scores_match_single_device():
+    """The sharded phase step must produce identical scores to the
+    single-device kernel."""
+    from margin_tpu.ops import pairhmm
+    from margin_tpu.parallel import mesh as meshmod
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tables, batch = graft._example_tables_and_batch(n_pairs=64, lx=10, ly=12)
+    expected = np.asarray(pairhmm.forward_total(tables, batch))
+
+    mesh = meshmod.make_mesh(8)
+    sharded_batch = meshmod.shard_batch(batch, mesh)
+    hap = jax.device_put(jnp.zeros(64, jnp.int32),
+                         NamedSharding(mesh, P(("dp", "sp"))))
+    step = meshmod.phase_step_sharded(mesh)
+    scores, vote = step(tables, sharded_batch, hap)
+    np.testing.assert_allclose(np.asarray(scores), expected, rtol=0, atol=1e-5)
+    assert int(vote.sum()) == 64
