@@ -1,0 +1,288 @@
+"""Banded pair-HMM forward-backward with posterior extraction.
+
+Parity: getPosteriorProbsWithBanding (pairwiseAligner.c:706-844) +
+diagonalCalculationPosteriorProbs (:637-681). The reference walks
+anti-diagonals with linked DpDiagonals and periodic traceback to bound
+memory; here the band is laid out as a dense (diagonal, band-offset) grid
+with host-precomputed per-diagonal geometry, the forward pass is one
+`lax.scan` storing all diagonals, and the backward pass re-reads them to
+emit per-cell posterior probabilities for match/gapX/gapY states — the
+same probabilities, computed with one global total.
+
+Band geometry: cell k of diagonal d is xmy = xmyL[d] + 2k, with
+x = (d+xmy)/2, y = (d-xmy)/2. Dependencies are index shifts between
+adjacent diagonals' band offsets, precomputed on the host
+(see `BandGeometry`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from margin_tpu.ops import logmath
+from margin_tpu.ops.pairhmm import (GAPX, GAPY, LOG_ZERO, MATCH, PairHmmTables,
+                                    T_EXT_X, T_EXT_Y, T_MM, T_M_FROM_GX,
+                                    T_M_FROM_GY, T_OPEN_X, T_OPEN_Y, T_SW_X,
+                                    T_SW_Y, _log_add3)
+from margin_tpu.testing.oracle import build_band
+
+
+@dataclass
+class BandGeometry:
+    """Host-side band description, padded to (D+1, W)."""
+    lx: int
+    ly: int
+    d_pad: int          # padded diagonal count (>= lx+ly+1)
+    w_pad: int          # padded band width
+    xmy_l: np.ndarray   # (d_pad,) int32
+    widths: np.ndarray  # (d_pad,) int32
+    x_base: np.ndarray  # (d_pad,) x index of consumed char at k=0: (d+xmyL)/2 - 1
+    y_base: np.ndarray  # (d_pad,) y index of consumed char at k=0: (d-xmyL)/2 - 1
+
+    @staticmethod
+    def build(anchors, lx: int, ly: int, expansion: int,
+              d_pad: int | None = None, w_pad: int | None = None) -> "BandGeometry":
+        band = build_band(anchors or [], lx, ly, expansion)  # (lx+ly+1, 2)
+        widths = ((band[:, 1] - band[:, 0]) // 2 + 1).astype(np.int32)
+        d_real = lx + ly + 1
+        if d_pad is None:
+            d_pad = d_real
+        if w_pad is None:
+            w_pad = int(widths.max())
+        xmy_l = np.zeros(d_pad, dtype=np.int32)
+        w = np.zeros(d_pad, dtype=np.int32)
+        xmy_l[:d_real] = band[:, 0]
+        w[:d_real] = widths
+        d_idx = np.arange(d_pad, dtype=np.int64)
+        x_base = ((d_idx + xmy_l) // 2 - 1).astype(np.int32)
+        y_base = ((d_idx - xmy_l) // 2 - 1).astype(np.int32)
+        return BandGeometry(lx, ly, d_pad, w_pad, xmy_l, w, x_base, y_base)
+
+
+def _gather_shift(arr, shift):
+    """arr: (3, W). Returns arr indexed at k+shift along axis 1 with LOG_ZERO
+    padding out of range."""
+    w = arr.shape[-1]
+    idx = jnp.arange(w) + shift
+    valid = (idx >= 0) & (idx < w)
+    vals = jnp.take(arr, jnp.clip(idx, 0, w - 1), axis=-1)
+    return jnp.where(valid[None, :], vals, LOG_ZERO)
+
+
+@functools.partial(jax.jit, static_argnames=("d_pad", "w_pad", "use_lut"))
+def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
+               x_sym, y_sym, lx, ly,
+               xmy_l, widths, x_base, y_base,
+               ragged_left, ragged_right,
+               d_pad: int, w_pad: int, use_lut: bool):
+    """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob).
+
+    x_sym: (Lxp,) int32 padded with 4; y_sym likewise.
+    """
+    log_add = logmath.log_add_lut if use_lut else logmath.log_add_exact
+    W = w_pad
+    D = d_pad
+    dtype = tables_match.dtype
+    neg = jnp.asarray(LOG_ZERO, dtype)
+    k_iota = jnp.arange(W)
+
+    trc = {i: trans[i] for i in range(9)}
+
+    xpad = jnp.concatenate([x_sym.astype(jnp.int32),
+                            jnp.full((W + 1,), 4, jnp.int32)])
+    ypad = jnp.concatenate([y_sym.astype(jnp.int32),
+                            jnp.full((W + 1,), 4, jnp.int32)])
+    # reversed y for the k-descending gather: yr[j] = ypad[Lyp-1-j]
+    yr = jnp.flip(ypad)
+    lyp = ypad.shape[0]
+
+    def consumed_syms(d):
+        """Symbols consumed arriving at cell k of diag d: X[xb+k], Y[yb-k]."""
+        xb = x_base[d]
+        yb = y_base[d]
+        cx_idx = xb + k_iota
+        cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                       jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)), 4)
+        cy_idx = yb - k_iota
+        cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                       jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
+        return cx, cy
+
+    def valid_mask(d):
+        # cell coordinates: x = x_base+1+k, y = y_base+1-k
+        x_pos = x_base[d] + 1 + k_iota
+        y_pos = y_base[d] + 1 - k_iota
+        return ((k_iota < widths[d]) & (x_pos >= 0) & (x_pos <= lx)
+                & (y_pos >= 0) & (y_pos <= ly) & (d <= lx + ly))
+
+    # initial cell: start-state weights at diag 0, k=0 (stateMachine.c:521-530)
+    init_cell = jnp.where(
+        ragged_left,
+        jnp.array([LOG_ZERO, 0.0, 0.0], dtype),
+        jnp.array([0.0, LOG_ZERO, LOG_ZERO], dtype))
+    diag0 = jnp.full((3, W), neg).at[:, 0].set(init_cell)
+
+    def fwd_step(carry, d):
+        prev1, prev2 = carry
+        cx, cy = consumed_syms(d)
+        e_m = jnp.take(tables_match, cx * 5 + cy)
+        e_gx = jnp.take(tables_gapx, cx)
+        e_gy = jnp.take(tables_gapy, cy)
+        s1 = (xmy_l[d] - 1 - xmy_l[d - 1]) // 2
+        s2 = (xmy_l[d] - xmy_l[d - 2]) // 2
+        low = _gather_shift(prev1, s1)        # (x-1, y)
+        up = _gather_shift(prev1, s1 + 1)     # (x, y-1)
+        mid = _gather_shift(prev2, s2)        # (x-1, y-1)
+        new_gx = e_gx + _log_add3(low[MATCH] + trc[T_OPEN_X],
+                                  low[GAPX] + trc[T_EXT_X],
+                                  low[GAPY] + trc[T_SW_X], log_add)
+        new_m = e_m + _log_add3(mid[MATCH] + trc[T_MM],
+                                mid[GAPX] + trc[T_M_FROM_GX],
+                                mid[GAPY] + trc[T_M_FROM_GY], log_add)
+        new_gy = e_gy + _log_add3(up[MATCH] + trc[T_OPEN_Y],
+                                  up[GAPY] + trc[T_EXT_Y],
+                                  up[GAPX] + trc[T_SW_Y], log_add)
+        cur = jnp.stack([new_m, new_gx, new_gy])
+        cur = jnp.where(valid_mask(d)[None, :], cur, neg)
+        cur = jnp.maximum(cur, neg)
+        return (cur, prev1), cur
+
+    (fl1, fl2), fwd = jax.lax.scan(fwd_step, (diag0, jnp.full((3, W), neg)),
+                                   jnp.arange(1, D))
+    fwd = jnp.concatenate([diag0[None], fwd])  # (D, 3, W)
+
+    # total probability at the final corner (lx, ly): diag lx+ly, k where
+    # xmy == lx-ly -> k = (lx-ly-xmyL)/2
+    end_w = jnp.where(
+        ragged_right,
+        jnp.stack([(trc[T_OPEN_X] + trc[T_OPEN_Y]) / 2.0, trc[T_EXT_X], trc[T_EXT_Y]]),
+        jnp.stack([trc[T_MM], trc[T_M_FROM_GX], trc[T_M_FROM_GY]]))
+    d_final = lx + ly
+    k_final = (lx - ly - xmy_l[d_final]) // 2
+    f_final = jax.lax.dynamic_index_in_dim(
+        jax.lax.dynamic_index_in_dim(fwd, d_final, 0, keepdims=False),
+        k_final, axis=-1, keepdims=False)  # (3,)
+    tot_terms = f_final + end_w
+    total = log_add(log_add(tot_terms[0], tot_terms[1]), tot_terms[2])
+
+    # backward pass over the stored forward diagonals, emitting posteriors
+    bwd_final = jnp.full((3, W), neg).at[:, k_final].set(end_w)
+
+    def bwd_step(carry, d):
+        next1, next2 = carry  # diagonals d+1, d+2
+
+        def compute_bwd():
+            # symbols consumed LEAVING cell k of diag d:
+            # to gapX consumes X[x], to match consumes X[x], Y[y]
+            xb = x_base[d] + 1
+            yb = y_base[d]
+            cx_idx = xb + k_iota
+            cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                           jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)), 4)
+            cy_idx = yb + 1 - k_iota
+            cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                           jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
+            e_m = jnp.take(tables_match, cx * 5 + cy)
+            e_gx = jnp.take(tables_gapx, cx)
+            e_gy = jnp.take(tables_gapy, cy)
+            t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
+            t2 = (xmy_l[d] - xmy_l[d + 2]) // 2
+            gx_n = _gather_shift(next1, t1)[GAPX]       # (x+1, y)
+            gy_n = _gather_shift(next1, t1 - 1)[GAPY]   # (x, y+1)
+            m_n = _gather_shift(next2, t2)[MATCH]       # (x+1, y+1)
+            b_m = _log_add3(gx_n + e_gx + trc[T_OPEN_X],
+                            m_n + e_m + trc[T_MM],
+                            gy_n + e_gy + trc[T_OPEN_Y], log_add)
+            b_gx = _log_add3(gx_n + e_gx + trc[T_EXT_X],
+                             m_n + e_m + trc[T_M_FROM_GX],
+                             gy_n + e_gy + trc[T_SW_Y], log_add)
+            b_gy = _log_add3(gx_n + e_gx + trc[T_SW_X],
+                             m_n + e_m + trc[T_M_FROM_GY],
+                             gy_n + e_gy + trc[T_EXT_Y], log_add)
+            cur = jnp.stack([b_m, b_gx, b_gy])
+            cur = jnp.where(valid_mask(d)[None, :], cur, neg)
+            return jnp.maximum(cur, neg)
+
+        cur = jax.lax.cond(d == d_final, lambda: bwd_final, compute_bwd)
+        f_d = jax.lax.dynamic_index_in_dim(fwd, d, 0, keepdims=False)
+        post = jnp.exp(jnp.minimum(f_d + cur - total, 0.0))
+        post = jnp.where(valid_mask(d)[None, :], post, 0.0)
+        return (cur, next1), post
+
+    (_, _), post = jax.lax.scan(
+        bwd_step, (jnp.full((3, W), neg), jnp.full((3, W), neg)),
+        jnp.arange(D - 1, -1, -1))
+    post = jnp.flip(post, axis=0)  # back to ascending diagonal order
+    return post, total
+
+
+def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarray,
+                      anchors, expansion: int, strand: int,
+                      ragged_left=False, ragged_right=False,
+                      threshold: float = 0.01, use_lut: bool = False,
+                      pad_shapes: bool = True):
+    """Compute (matches, gapx_pairs, gapy_pairs, total) like
+    getAlignedPairsWithIndelsUsingAnchors (pairwiseAligner.c:1144-1171):
+    lists of (prob_int, x, y) with prob scaled by PAIR_ALIGNMENT_PROB_1
+    and >= threshold. gapX pairs are reference-consuming (deletes in the
+    POA's frame); gapY are read-consuming (inserts)."""
+    lx, ly = len(x_sym), len(y_sym)
+    if lx + ly == 0:
+        return [], [], [], 0.0
+    geom = BandGeometry.build(anchors, lx, ly, expansion)
+    d_pad = geom.d_pad
+    w_pad = geom.w_pad
+    if pad_shapes:  # stabilize compiled shapes
+        d_pad = max(64, 1 << int(np.ceil(np.log2(d_pad))))
+        w_pad = int(np.ceil(w_pad / 8)) * 8
+        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad)
+
+    # pad sequences to the padded diag count (so xpad indexing stays in range)
+    xs = np.full(d_pad, 4, dtype=np.int32)
+    xs[:lx] = x_sym
+    ys = np.full(d_pad, 4, dtype=np.int32)
+    ys[:ly] = y_sym
+
+    post, total = _banded_fb(
+        tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
+        tables.trans[strand],
+        jnp.asarray(xs), jnp.asarray(ys), lx, ly,
+        jnp.asarray(geom.xmy_l), jnp.asarray(geom.widths),
+        jnp.asarray(geom.x_base), jnp.asarray(geom.y_base),
+        bool(ragged_left), bool(ragged_right),
+        d_pad=d_pad, w_pad=w_pad, use_lut=use_lut)
+    post = np.asarray(post)
+    total = float(total)
+
+    return extract_pairs_from_grid(post, geom, threshold), total
+
+
+def extract_pairs_from_grid(post: np.ndarray, geom: BandGeometry,
+                            threshold: float):
+    """Host-side thresholding of the posterior grid into reference-style
+    (weight, x-1, y-1) pair lists (addPosteriorProb, pairwiseAligner.c:598-608)."""
+    PAIR1 = 10_000_000  # PAIR_ALIGNMENT_PROB_1
+    k_idx = np.arange(geom.w_pad)[None, :]
+    x = geom.x_base[:, None] + 1 + k_idx
+    y = geom.y_base[:, None] + 1 - k_idx
+    out = []
+    for state, need_x, need_y in ((MATCH, True, True), (GAPX, True, False),
+                                  (GAPY, False, True)):
+        grid = post[:, state, :]
+        sel = grid >= threshold
+        if need_x:
+            sel &= x > 0
+        if need_y:
+            sel &= y > 0
+        dd, kk = np.nonzero(sel)
+        probs = np.floor(np.minimum(grid[dd, kk], 1.0) * PAIR1).astype(np.int64)
+        pairs = np.stack([probs, x[dd, kk] - 1, y[dd, kk] - 1], axis=1)
+        # order by (x, y) like the reference's diagonal sweep ordering
+        order = np.lexsort((pairs[:, 2], pairs[:, 1]))
+        out.append(pairs[order])
+    return tuple(out)

@@ -1,0 +1,77 @@
+"""Banded FB posterior kernel vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+from margin_tpu.ops import banded, pairhmm
+from margin_tpu.params import Params, StateMachineParams
+from margin_tpu.testing import oracle
+
+from conftest import reference_path
+
+import jax.numpy as jnp
+
+
+def _mutate(rng, x, rate=0.15):
+    y = []
+    for s in x:
+        r = rng.random()
+        if r < rate / 3:
+            continue
+        if r < 2 * rate / 3:
+            y.append(int(rng.integers(0, 4)))
+        else:
+            y.append(int(s))
+        if rng.random() < rate / 3:
+            y.append(int(rng.integers(0, 4)))
+    return np.array(y or [0], dtype=np.uint8)
+
+
+def _compare_pairs(got, expected, atol_prob=2e-4):
+    exp_map = {(int(x), int(y)): p for p, x, y in expected}
+    got_map = {(int(x), int(y)): int(w) / 1e7 for w, x, y in got}
+    # every confidently-above-threshold pair must match in probability
+    for key, p in exp_map.items():
+        if p > 0.02:
+            assert key in got_map, (key, p)
+    for key in set(exp_map) & set(got_map):
+        assert abs(exp_map[key] - got_map[key]) < atol_prob, (
+            key, exp_map[key], got_map[key])
+
+
+@pytest.mark.parametrize("expansion,use_anchors", [(6, False), (4, True), (20, False)])
+def test_banded_posteriors_match_oracle(expansion, use_anchors):
+    rng = np.random.default_rng(17 + expansion)
+    smp = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(smp, dtype=jnp.float64)
+    osm = oracle.OracleStateMachine(smp)
+    for trial in range(4):
+        x = rng.integers(0, 4, int(rng.integers(20, 60))).astype(np.uint8)
+        y = _mutate(rng, x)
+        anchors = []
+        if use_anchors:
+            # anchor roughly every 12 bases along the main diagonal
+            m = min(len(x), len(y))
+            anchors = [(i, i) for i in range(8, m - 4, 12)]
+        em, egx, egy, etot = oracle.oracle_posteriors(
+            osm, x, y, anchors=anchors, expansion=expansion)
+        (gm, ggx, ggy), total = banded.banded_posteriors(
+            tables, x, y, anchors, expansion, strand=0, use_lut=True)
+        assert abs(total - etot) < 1e-6
+        _compare_pairs(gm, em)
+        _compare_pairs(ggx, egx)
+        _compare_pairs(ggy, egy)
+
+
+def test_banded_total_matches_dense_forward():
+    """With a full-width band the banded total equals the dense kernel's."""
+    rng = np.random.default_rng(3)
+    smp = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(smp, dtype=jnp.float64)
+    x = rng.integers(0, 4, 25).astype(np.uint8)
+    y = _mutate(rng, x)
+    _, total = banded.banded_posteriors(tables, x, y, [], 0, strand=0,
+                                        use_lut=True)
+    batch = pairhmm.make_batch([(x, y)])
+    dense = float(pairhmm.forward_total(tables, batch, use_lut=True)[0])
+    assert abs(total - dense) < 1e-9
