@@ -46,8 +46,9 @@ class BandGeometry:
 
     @staticmethod
     def build(anchors, lx: int, ly: int, expansion: int,
-              d_pad: int | None = None, w_pad: int | None = None) -> "BandGeometry":
-        band = build_band(anchors or [], lx, ly, expansion)  # (lx+ly+1, 2)
+              d_pad: int | None = None, w_pad: int | None = None,
+              dynamic: bool = False) -> "BandGeometry":
+        band = build_band(anchors or [], lx, ly, expansion, dynamic=dynamic)
         widths = ((band[:, 1] - band[:, 0]) // 2 + 1).astype(np.int32)
         d_real = lx + ly + 1
         if d_pad is None:
@@ -74,12 +75,14 @@ def _gather_shift(arr, shift):
     return jnp.where(valid[None, :], vals, LOG_ZERO)
 
 
-@functools.partial(jax.jit, static_argnames=("d_pad", "w_pad", "use_lut"))
+@functools.partial(jax.jit,
+                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle"))
 def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                x_sym, y_sym, lx, ly,
                xmy_l, widths, x_base, y_base,
                ragged_left, ragged_right,
-               d_pad: int, w_pad: int, use_lut: bool):
+               d_pad: int, w_pad: int, use_lut: bool,
+               use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None):
     """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob).
 
     x_sym: (Lxp,) int32 padded with 4; y_sym likewise.
@@ -101,6 +104,26 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
     yr = jnp.flip(ypad)
     lyp = ypad.shape[0]
 
+    if use_rle:
+        rxpad = jnp.concatenate([rep_x.astype(jnp.int32),
+                                 jnp.zeros((W + 1,), jnp.int32)])
+        rypad = jnp.concatenate([rep_y.astype(jnp.int32),
+                                 jnp.zeros((W + 1,), jnp.int32)])
+
+    def _match_emission(cx, cy, cx_idx, cy_idx):
+        e_m = jnp.take(tables_match, cx * 5 + cy)
+        if use_rle:
+            # RLE overlay (stateMachine.c:733-738): + 2.3025*repeat[base,
+            # strand, observed=rep_y, underlying=rep_x]; table pre-scaled
+            rx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                           jnp.take(rxpad, jnp.clip(cx_idx, 0, rxpad.shape[0] - 1)), 0)
+            ry = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                           jnp.take(rypad, jnp.clip(cy_idx, 0, rypad.shape[0] - 1)), 0)
+            base = jnp.where(cx >= 4, 0, cx)
+            n = 51
+            e_m = e_m + jnp.take(rep_table, base * (n * n) + rx * n + ry)
+        return e_m
+
     def consumed_syms(d):
         """Symbols consumed arriving at cell k of diag d: X[xb+k], Y[yb-k]."""
         xb = x_base[d]
@@ -111,7 +134,7 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
         cy_idx = yb - k_iota
         cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
                        jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
-        return cx, cy
+        return cx, cy, cx_idx, cy_idx
 
     def valid_mask(d):
         # cell coordinates: x = x_base+1+k, y = y_base+1-k
@@ -129,8 +152,8 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
 
     def fwd_step(carry, d):
         prev1, prev2 = carry
-        cx, cy = consumed_syms(d)
-        e_m = jnp.take(tables_match, cx * 5 + cy)
+        cx, cy, cx_idx, cy_idx = consumed_syms(d)
+        e_m = _match_emission(cx, cy, cx_idx, cy_idx)
         e_gx = jnp.take(tables_gapx, cx)
         e_gy = jnp.take(tables_gapy, cy)
         s1 = (xmy_l[d] - 1 - xmy_l[d - 1]) // 2
@@ -187,7 +210,7 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
             cy_idx = yb + 1 - k_iota
             cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
                            jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
-            e_m = jnp.take(tables_match, cx * 5 + cy)
+            e_m = _match_emission(cx, cy, cx_idx, cy_idx)
             e_gx = jnp.take(tables_gapx, cx)
             e_gy = jnp.take(tables_gapy, cy)
             t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
@@ -225,7 +248,9 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
                       anchors, expansion: int, strand: int,
                       ragged_left=False, ragged_right=False,
                       threshold: float = 0.01, use_lut: bool = False,
-                      pad_shapes: bool = True):
+                      pad_shapes: bool = True, dynamic: bool = False,
+                      rep_x: np.ndarray | None = None,
+                      rep_y: np.ndarray | None = None):
     """Compute (matches, gapx_pairs, gapy_pairs, total) like
     getAlignedPairsWithIndelsUsingAnchors (pairwiseAligner.c:1144-1171):
     lists of (prob_int, x, y) with prob scaled by PAIR_ALIGNMENT_PROB_1
@@ -233,20 +258,32 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     POA's frame); gapY are read-consuming (inserts)."""
     lx, ly = len(x_sym), len(y_sym)
     if lx + ly == 0:
-        return [], [], [], 0.0
-    geom = BandGeometry.build(anchors, lx, ly, expansion)
+        empty = np.zeros((0, 3), dtype=np.int64)
+        return (empty, empty, empty), 0.0
+    geom = BandGeometry.build(anchors, lx, ly, expansion, dynamic=dynamic)
     d_pad = geom.d_pad
     w_pad = geom.w_pad
     if pad_shapes:  # stabilize compiled shapes
         d_pad = max(64, 1 << int(np.ceil(np.log2(d_pad))))
         w_pad = int(np.ceil(w_pad / 8)) * 8
-        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad)
+        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad,
+                                  dynamic=dynamic)
 
     # pad sequences to the padded diag count (so xpad indexing stays in range)
     xs = np.full(d_pad, 4, dtype=np.int32)
     xs[:lx] = x_sym
     ys = np.full(d_pad, 4, dtype=np.int32)
     ys[:ly] = y_sym
+
+    use_rle = (rep_x is not None and tables.repeat is not None)
+    rep_kwargs = {}
+    if use_rle:
+        rx = np.zeros(d_pad, dtype=np.int32)
+        rx[:lx] = np.minimum(rep_x, 50)
+        ry = np.zeros(d_pad, dtype=np.int32)
+        ry[:ly] = np.minimum(rep_y, 50)
+        rep_kwargs = dict(rep_table=tables.repeat[strand],
+                          rep_x=jnp.asarray(rx), rep_y=jnp.asarray(ry))
 
     post, total = _banded_fb(
         tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
@@ -255,7 +292,8 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
         jnp.asarray(geom.xmy_l), jnp.asarray(geom.widths),
         jnp.asarray(geom.x_base), jnp.asarray(geom.y_base),
         bool(ragged_left), bool(ragged_right),
-        d_pad=d_pad, w_pad=w_pad, use_lut=use_lut)
+        d_pad=d_pad, w_pad=w_pad, use_lut=use_lut, use_rle=use_rle,
+        **rep_kwargs)
     post = np.asarray(post)
     total = float(total)
 

@@ -1,0 +1,486 @@
+"""Partial-order alignment graph: construction, augmentation with
+posterior-weighted alignments, consensus calling, and iterative realignment.
+
+Parity: impl/poa.c. The DP alignment of each read runs on the device
+(ops/banded.py); the graph bookkeeping (left-shift normalized inserts and
+deletes, base/repeat weights, observations) is host-side — pointer-heavy
+and tiny next to the alignment compute (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from margin_tpu.alphabet import seq_to_symbols
+from margin_tpu.ops import banded, pairhmm
+from margin_tpu.ops.logmath import np_log_add_lut
+from margin_tpu.params import PolishParams
+from margin_tpu.rle import RleString
+
+PAIR1 = 10_000_000  # PAIR_ALIGNMENT_PROB_1 (pairwiseAligner.h:26)
+LOG_ZERO = -np.inf
+
+
+@dataclass
+class PoaRead:
+    """BamChunkRead for the polish path."""
+    read_name: str
+    forward_strand: bool
+    rle_read: RleString
+    qualities: Optional[np.ndarray] = None  # rle-space quals
+    full_read_length: int = 0
+
+
+@dataclass
+class PoaInsert:
+    insert: RleString
+    weight_fwd: float = 0.0
+    weight_rev: float = 0.0
+    observations: List[Tuple[int, int, float]] = field(default_factory=list)
+
+    @property
+    def weight(self):
+        return self.weight_fwd + self.weight_rev
+
+
+@dataclass
+class PoaDelete:
+    length: int
+    weight_fwd: float = 0.0
+    weight_rev: float = 0.0
+    observations: List[Tuple[int, int, float]] = field(default_factory=list)
+
+    @property
+    def weight(self):
+        return self.weight_fwd + self.weight_rev
+
+
+@dataclass
+class PoaNode:
+    base: str
+    repeat_count: int
+    base_weights: np.ndarray  # (5,)
+    repeat_count_weights: np.ndarray  # (max_repeat,)
+    inserts: List[PoaInsert] = field(default_factory=list)
+    deletes: List[PoaDelete] = field(default_factory=list)
+    observations: List[Tuple[int, int, float]] = field(default_factory=list)  # (readNo, offset, weight)
+
+
+class Poa:
+    """poa_getReferenceGraph (poa.c:112-127): node 0 is an 'N' prefix."""
+
+    def __init__(self, reference: RleString, max_repeat_count: int):
+        self.ref_string = reference.copy()
+        self.max_repeat_count = max_repeat_count
+        self.nodes: List[PoaNode] = [self._make_node("N", 1)]
+        for i in range(reference.length):
+            self.nodes.append(self._make_node(reference.bases[i].upper(),
+                                              int(reference.counts[i])))
+
+    def _make_node(self, base: str, repeat: int) -> PoaNode:
+        if base not in "ACGT":
+            base = "N"
+        return PoaNode(base, repeat, np.zeros(5), np.zeros(self.max_repeat_count))
+
+    # -- augmentation (poa.c:317-543) ---------------------------------------
+
+    def augment(self, read: RleString, read_strand: bool, read_no: int,
+                matches: np.ndarray, inserts: np.ndarray, deletes: np.ndarray,
+                params: PolishParams):
+        """poa_augment: add posterior-weighted matches, left-shifted
+        complete-inserts and complete-deletes from one read alignment.
+
+        matches/inserts/deletes: (N,3) arrays of (weight, x, y)."""
+        read_syms = read.symbols()
+        compare_rc = params.poaConstructCompareRepeatCounts
+
+        for w, xi, yi in matches:
+            node = self.nodes[xi + 1]
+            node.base_weights[read_syms[yi]] += w
+            rc = min(int(read.counts[yi]), self.max_repeat_count - 1)
+            node.repeat_count_weights[rc] += w
+            node.observations.append((read_no, int(yi), float(w)))
+
+        match_set = {(int(x), int(y)) for _, x, y in matches}
+
+        def is_match(x, y):
+            return (x, y) in match_set
+
+        # complete inserts (poa.c:352-449): runs with equal ref coord and
+        # consecutive read coords
+        ins = sorted(map(tuple, inserts), key=lambda t: (t[1], t[2]))
+        i = 0
+        n = len(ins)
+        while i < n:
+            j = i + 1
+            while (j < n and ins[j][1] == ins[i][1]
+                   and ins[i][2] + j - i == ins[j][2]):
+                j += 1
+            for k in range(i, j):
+                if not is_match(ins[i][1], ins[i][2] + k - i - 1) and \
+                        ins[i][2] + k - i - 1 > -1:
+                    continue
+                for l in range(k, j):
+                    if not is_match(ins[i][1] + 1, ins[i][2] + l - i + 1) and \
+                            ins[i][2] + l - i + 1 < read.length:
+                        continue
+                    insert = read.substring(int(ins[k][2]), l + 1 - k)
+                    weight = min(ins[m][0] for m in range(k, l + 1))
+                    pos = int(ins[i][1]) + 1
+                    pos = _get_shift(self.ref_string, pos, insert, compare_rc)
+                    suffix = _max_common_suffix(self.ref_string, pos, insert, compare_rc)
+                    if suffix > 0:
+                        insert.rotate(suffix, params.useRunLengthEncoding)
+                        pos -= suffix
+                    self._add_insert(pos, insert, weight, read_strand,
+                                     (read_no, int(ins[k][2]), float(weight)))
+            i = j
+
+        # complete deletes (poa.c:451-539): runs with equal read coord and
+        # consecutive ref coords
+        dels = sorted(map(tuple, deletes), key=lambda t: (t[2], t[1]))
+        i = 0
+        n = len(dels)
+        while i < n:
+            j = i + 1
+            while (j < n and dels[j][2] == dels[i][2]
+                   and dels[i][1] + j - i == dels[j][1]):
+                j += 1
+            for k in range(i, j):
+                if not is_match(dels[i][1] + k - i - 1, dels[i][2]) and \
+                        dels[i][1] + k - i - 1 > -1:
+                    continue
+                for l in range(k, j):
+                    if not is_match(dels[i][1] + l - i + 1, dels[i][2] + 1) and \
+                            dels[i][1] + l - i + 1 < self.ref_string.length:
+                        continue
+                    delete_length = l - k + 1
+                    weight = min(dels[m][0] for m in range(k, l + 1))
+                    pos = int(dels[i][1]) + k - i
+                    dstr = self.ref_string.substring(pos, delete_length)
+                    pos = _get_shift(self.ref_string, pos, dstr, compare_rc)
+                    pos -= _max_common_suffix(self.ref_string, pos, dstr, compare_rc)
+                    self._add_delete(pos, delete_length, weight, read_strand,
+                                     (read_no, int(dels[i][2]), float(weight)))
+            i = j
+
+    def _add_insert(self, pos, insert, weight, strand, obs):
+        node = self.nodes[pos]
+        for pi in node.inserts:
+            if pi.insert == insert:
+                break
+        else:
+            pi = PoaInsert(insert.copy())
+            node.inserts.append(pi)
+        if strand:
+            pi.weight_fwd += weight
+        else:
+            pi.weight_rev += weight
+        pi.observations.append(obs)
+
+    def _add_delete(self, pos, length, weight, strand, obs):
+        node = self.nodes[pos]
+        for pd in node.deletes:
+            if pd.length == length:
+                break
+        else:
+            pd = PoaDelete(length)
+            node.deletes.append(pd)
+        if strand:
+            pd.weight_fwd += weight
+        else:
+            pd.weight_rev += weight
+        pd.observations.append(obs)
+
+    # -- scoring (poa.c:794-839) --------------------------------------------
+
+    def total_match_weight(self) -> float:
+        return sum(n.base_weights[seq_to_symbols(n.base)[0]] for n in self.nodes)
+
+    def total_error_weight(self) -> float:
+        """poa_getTotalErrorWeight = disagreement + insert + delete weight."""
+        total = 0.0
+        for n in self.nodes:
+            ref_sym = seq_to_symbols(n.base)[0]
+            total += n.base_weights.sum() - n.base_weights[ref_sym]
+            total += sum(pi.weight * pi.insert.length for pi in n.inserts)
+            total += sum(pd.weight * pd.length for pd in n.deletes)
+        return total
+
+    def sort_observations(self):
+        """sortBaseObservations (bubbleGraph.c:475-483): by readNo asc then
+        weight desc."""
+        for n in self.nodes:
+            n.observations.sort(key=lambda o: (o[0], -o[2]))
+
+    # -- consensus (poa.c:1350-1588) ----------------------------------------
+
+    def get_consensus(self, params: PolishParams) -> Tuple[RleString, np.ndarray]:
+        """poa_getConsensus: 'cheesy profile HMM' forward + greedy traceback.
+        Returns (consensus RleString, poaToConsensusMap)."""
+        n_nodes = len(self.nodes)
+        total_out = np.zeros(n_nodes)
+        fwd = np.full(n_nodes + 1, LOG_ZERO)
+        fwd[0] = 0.0
+        match_fwd = np.zeros(n_nodes)
+
+        incoming_deletes: List[List[Tuple[int, PoaDelete]]] = [[] for _ in range(n_nodes + 1)]
+        for i, node in enumerate(self.nodes):
+            for pd in node.deletes:
+                incoming_deletes[i + pd.length + 1].append((i, pd))
+
+        for i, node in enumerate(self.nodes):
+            total_indel = (sum(pi.weight for pi in node.inserts)
+                           + sum(pd.weight for pd in node.deletes))
+            if i == 0:
+                if n_nodes == 1:
+                    match_w = 1.0
+                else:
+                    match_w = sum(n.base_weights.sum() for n in self.nodes[1:])
+                    match_w /= (n_nodes - 1)
+                    match_w -= total_indel
+            else:
+                match_w = node.base_weights.sum() - total_indel
+            if match_w <= 0.0:
+                match_w = 0.0001
+            total_out[i] = match_w + total_indel
+            for pi in node.inserts:
+                fwd[i + 1] = np_log_add_lut(fwd[i + 1],
+                                            fwd[i] + math.log(pi.weight / total_out[i]))
+            for pd in node.deletes:
+                t = i + pd.length + 1
+                fwd[t] = np_log_add_lut(fwd[t],
+                                        fwd[i] + math.log(pd.weight / total_out[i]))
+            match_fwd[i] = fwd[i] + math.log(match_w / total_out[i])
+            fwd[i + 1] = np_log_add_lut(fwd[i + 1], match_fwd[i])
+
+        # greedy traceback (poa.c:1460-1563)
+        poa_to_consensus = np.full(n_nodes - 1, -1, dtype=np.int64)
+        pieces: List[str] = []
+        running_len = 0
+        prev_base = "-"
+        i = n_nodes
+        while i > 0:
+            if i < n_nodes:
+                node = self.nodes[i]
+                base_idx = _get_max_weight(node.base_weights[:5],
+                                           seq_to_symbols(node.base)[0],
+                                           params.referenceBasePenalty)
+                base = "ACGTN"[base_idx]
+                if params.useRunLengthEncoding:
+                    rc = _get_max_weight(node.repeat_count_weights,
+                                         node.repeat_count, params.referenceBasePenalty)
+                    rc = 1 if rc == 0 else rc
+                    pieces.append(base * rc)
+                    if prev_base != base:
+                        poa_to_consensus[i - 1] = running_len
+                        running_len += 1
+                    prev_base = base
+                else:
+                    pieces.append(base)
+                    poa_to_consensus[i - 1] = running_len
+                    running_len += 1
+
+            p_node = self.nodes[i - 1]
+            max_ins_p = LOG_ZERO
+            tot_ins_p = LOG_ZERO
+            max_ins = None
+            for pi in p_node.inserts:
+                p = math.log(pi.weight / total_out[i - 1]) + fwd[i - 1]
+                if p > max_ins_p:
+                    max_ins_p = p
+                    max_ins = pi
+                tot_ins_p = np_log_add_lut(tot_ins_p, p)
+            max_del_p = LOG_ZERO
+            tot_del_p = LOG_ZERO
+            max_del = None
+            for src, pd in incoming_deletes[i]:
+                p = math.log(pd.weight / total_out[src]) + fwd[src]
+                if p > max_del_p:
+                    max_del_p = p
+                    max_del = pd
+                tot_del_p = np_log_add_lut(tot_del_p, p)
+
+            if match_fwd[i - 1] >= tot_del_p and match_fwd[i - 1] >= tot_ins_p:
+                i -= 1
+            elif tot_ins_p >= tot_del_p:
+                pieces.append(max_ins.insert.expand())
+                if params.useRunLengthEncoding:
+                    last = max_ins.insert.bases[-1]
+                    running_len += max_ins.insert.length + (0 if last != prev_base else -1)
+                    prev_base = max_ins.insert.bases[0]
+                else:
+                    running_len += max_ins.insert.non_rle_length
+                i -= 1
+            else:
+                i -= max_del.length + 1
+
+        pieces.reverse()
+        expanded = "".join(pieces)
+        consensus = (RleString.encode(expanded) if params.useRunLengthEncoding
+                     else RleString.identity(expanded))
+        # reverse map offsets (poa.c:1573-1578)
+        sel = poa_to_consensus != -1
+        poa_to_consensus[sel] = consensus.length - 1 - poa_to_consensus[sel]
+        return consensus, poa_to_consensus
+
+    # -- anchors (poa.c:545-599) --------------------------------------------
+
+    def get_anchor_alignments(self, poa_to_consensus: Optional[np.ndarray],
+                              n_reads: int, params: PolishParams) -> List[List]:
+        anchor_alignments: List[List] = [[] for _ in range(n_reads)]
+        ladder = params.minPosteriorProbForAlignmentAnchors
+        for i in range(1, len(self.nodes)):
+            node = self.nodes[i]
+            ci = i - 1 if poa_to_consensus is None else int(poa_to_consensus[i - 1])
+            if ci == -1:
+                continue
+            for read_no, offset, weight in node.observations:
+                w = weight / PAIR1
+                if w > ladder[0]:
+                    expansion = int(ladder[1])
+                    for k in range(2, len(ladder), 2):
+                        if w >= ladder[k]:
+                            expansion = int(ladder[k + 1])
+                        else:
+                            break
+                    pairs = anchor_alignments[read_no]
+                    if not pairs:
+                        pairs.append((ci, offset, expansion))
+                    else:
+                        px, py, _ = pairs[-1]
+                        if px < ci and py < offset:
+                            pairs.append((ci, offset, expansion))
+        return anchor_alignments
+
+
+def _get_max_weight(weights, ref_idx, penalty) -> int:
+    """getMaxWeight (poa.c:1334-1348): the reference index wins if its
+    weight discounted by the penalty still beats the best non-reference
+    weight (last max wins on ties)."""
+    weights = np.asarray(weights, dtype=np.float64)
+    max_w = 0.0
+    max_idx = -1
+    for j in range(len(weights)):
+        if j != ref_idx and weights[j] >= max_w:
+            max_w = weights[j]
+            max_idx = j
+    ref_w = weights[ref_idx] if 0 <= ref_idx < len(weights) else 0.0
+    return int(ref_idx) if ref_w * penalty >= max_w else int(max_idx)
+
+
+def _get_shift(ref: RleString, ref_start: int, s: RleString, compare_rc: bool) -> int:
+    """getShift (poa.c:269-298): left-shift an indel by multiples of its
+    minimal internal repeat."""
+    min_rep = 1
+    while min_rep < s.length:
+        if _has_internal_repeat(s, min_rep, compare_rc):
+            break
+        min_rep += 1
+    k = ref_start - min_rep
+    while k >= 0:
+        if not _matches_ref_substring(ref, k, s, min_rep, compare_rc):
+            break
+        ref_start = k
+        k -= min_rep
+    if (s.length == 1 and compare_rc and ref_start > 0
+            and ref.bases[ref_start - 1] == s.bases[0]):
+        ref_start -= 1
+    return ref_start
+
+
+def _has_internal_repeat(s: RleString, rep_len: int, compare_rc: bool) -> bool:
+    if s.length % rep_len != 0:
+        return False
+    for i in range(rep_len, s.length, rep_len):
+        for j in range(rep_len):
+            if s.bases[j] != s.bases[j + i]:
+                return False
+            if compare_rc and s.counts[j] != s.counts[j + i]:
+                return False
+    return True
+
+
+def _matches_ref_substring(ref: RleString, ref_start: int, s: RleString,
+                           length: int, compare_rc: bool) -> bool:
+    for l in range(length):
+        if ref.bases[ref_start + l] != s.bases[l]:
+            return False
+        if compare_rc and ref.counts[ref_start + l] != s.counts[l]:
+            return False
+    return True
+
+
+def _max_common_suffix(ref: RleString, length1: int, s: RleString,
+                       compare_rc: bool) -> int:
+    """getMaxCommonSuffixLength (poa.c:300-315)."""
+    i = 0
+    while length1 - i - 1 >= 0 and s.length - i - 1 >= 0:
+        if ref.bases[length1 - 1 - i] != s.bases[s.length - 1 - i]:
+            break
+        if compare_rc and ref.counts[length1 - 1 - i] != s.counts[s.length - 1 - i]:
+            break
+        i += 1
+    return i
+
+
+# -- realign drivers (poa.c:612-716, 1876-1975) ------------------------------
+
+def get_aligned_pairs_cropping_reference(reference: RleString, read: PoaRead,
+                                         anchors: List[Tuple[int, int, int]],
+                                         params: PolishParams,
+                                         tables: pairhmm.PairHmmTables,
+                                         use_lut: bool = False):
+    """getAlignedPairsWithIndelsCroppingReference (poa.c:612-666).
+    Returns (matches, inserts, deletes) weighted-pair arrays in reference
+    coordinates."""
+    anchors = [] if anchors is None else [tuple(int(v) for v in a) for a in anchors]
+    if len(anchors):
+        fx, fy, _ = anchors[0]
+        first_ref = max(fx - fy, 0)
+        lx_, ly_, _ = anchors[-1]
+        end_ref = min(1 + lx_ + (read.rle_read.length - ly_), reference.length)
+    else:
+        first_ref, end_ref = 0, reference.length
+    adj_anchors = [(x - first_ref, y, e) for x, y, e in anchors]
+
+    x_sym = reference.symbols()[first_ref:end_ref]
+    y_sym = read.rle_read.symbols()
+    strand = 0 if read.forward_strand else 1
+    rep_x = rep_y = None
+    if params.useRepeatCountsInAlignment:
+        rep_x = reference.counts[first_ref:end_ref]
+        rep_y = read.rle_read.counts
+    expansion = params.p.diagonalExpansion
+    (m, gx, gy), _total = banded.banded_posteriors(
+        tables, x_sym, y_sym, adj_anchors, expansion, strand,
+        threshold=params.p.threshold, use_lut=use_lut,
+        dynamic=params.p.dynamicAnchorExpansion,
+        rep_x=rep_x, rep_y=rep_y)
+    # matches/gapX(deletes)/gapY(inserts); shift ref coords back
+    for arr in (m, gx, gy):
+        if len(arr):
+            arr[:, 1] += first_ref
+    return m, gy, gx  # (matches, inserts, deletes)
+
+
+def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
+                params: PolishParams, tables: pairhmm.PairHmmTables,
+                use_lut: bool = False) -> Poa:
+    """poa_realign (poa.c:668-716)."""
+    max_rc = 2
+    if params.useRunLengthEncoding:
+        max_rc = (params.repeat_sub_matrix.max_repeat
+                  if params.repeat_sub_matrix is not None else 51)
+    poa = Poa(reference, max_rc)
+    for i, read in enumerate(reads):
+        anchors = anchor_alignments[i] if anchor_alignments is not None else []
+        matches, inserts, deletes = get_aligned_pairs_cropping_reference(
+            reference, read, anchors, params, tables, use_lut)
+        poa.augment(read.rle_read, read.forward_strand, i,
+                    matches, inserts, deletes, params)
+    return poa

@@ -19,10 +19,13 @@ LOG_ZERO = -np.inf
 MATCH, GAPX, GAPY = 0, 1, 2
 
 
-def build_band(anchors, lx: int, ly: int, expansion: int):
-    """Band construction (pairwiseAligner.c:175-226): per-diagonal
-    [xmyL, xmyR] ranges from anchor pairs (x, y[, expansion]) with fixed
-    expansion. Returns int64 array (lx+ly+1, 2)."""
+def build_band(anchors, lx: int, ly: int, expansion: int,
+               dynamic: bool = False):
+    """Band construction (pairwiseAligner.c:175-226 fixed;
+    :120-173 dynamic): per-diagonal [xmyL, xmyR] ranges from anchor pairs
+    (x, y[, expansion]). With dynamic=True the expansion comes from each
+    anchor's third element (band_constructDynamic). Returns int64 array
+    (lx+ly+1, 2)."""
 
     def avoid_off_by_one(xay, xmy):
         return xmy if (xay + xmy) % 2 == 0 else xmy + 1
@@ -59,6 +62,7 @@ def build_band(anchors, lx: int, ly: int, expansion: int):
     xay = 0
     pxay = pxmy = nxay = nxmy = 0
     xl = yl = xu = yu = 0
+    exp = 0 if dynamic else expansion
     while xay <= lx + ly:
         diags[xay] = set_diag(xay, xl, yl, xu, yu)
         if nxay == xay:
@@ -68,11 +72,13 @@ def build_band(anchors, lx: int, ly: int, expansion: int):
                 a = anchors[anchor_idx]
                 anchor_idx += 1
                 x, y = a[0] + 1, a[1] + 1
+                if dynamic:
+                    exp = int(a[2])
             nxay, nxmy = x + y, x - y
-            xl = bound(x_coord(pxay, pxmy - expansion), lx)
-            yl = bound(y_coord(nxay, nxmy - expansion), ly)
-            xu = bound(x_coord(nxay, nxmy + expansion), lx)
-            yu = bound(y_coord(pxay, pxmy + expansion), ly)
+            xl = bound(x_coord(pxay, pxmy - exp), lx)
+            yl = bound(y_coord(nxay, nxmy - exp), ly)
+            xu = bound(x_coord(nxay, nxmy + exp), lx)
+            yu = bound(y_coord(pxay, pxmy + exp), ly)
         xay += 1
     return diags
 

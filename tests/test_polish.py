@@ -1,0 +1,112 @@
+"""Polish-path tests: POA construction/augment semantics and consensus
+accuracy on the reference's real E. coli 100bp windows
+(tests/polisherTest.c:633-728 analogue)."""
+
+import numpy as np
+import pytest
+
+from margin_tpu.ops import pairhmm
+from margin_tpu.params import Params
+from margin_tpu.polish import repeats
+from margin_tpu.polish.driver import poa_realign_all
+from margin_tpu.polish.poa import Poa, PoaRead, poa_realign
+from margin_tpu.rle import RleString
+
+from conftest import reference_path
+
+EXAMPLES = reference_path("tests", "data", "polishTestExamples",
+                          "20_random_100bp_windows_directional_ecoli_guppy")
+
+
+def _read_fasta(path):
+    seqs = []
+    names = []
+    with open(path) as fh:
+        cur = []
+        for line in fh:
+            line = line.strip()
+            if line.startswith(">"):
+                names.append(line[1:])
+                if cur:
+                    seqs.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(line)
+        if cur:
+            seqs.append("".join(cur))
+    return names, seqs
+
+
+def _identity(a: str, b: str) -> float:
+    """Edit-distance identity between two strings (O(nm) DP)."""
+    n, m = len(a), len(b)
+    bb = np.frombuffer(b.encode(), np.uint8)
+    prev = np.arange(m + 1)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        diag = prev[:-1] + (ord(a[i - 1]) != bb)
+        cur[1:] = np.minimum(prev[1:] + 1, diag)
+        for j in range(1, m + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return 1.0 - int(prev[m]) / max(n, m)
+
+
+@pytest.fixture(scope="module")
+def polish_params():
+    return Params.load(reference_path("params", "polish", "ont", "r9.4",
+                                      "allParams.np.human.r94-g360.json"))
+
+
+@pytest.fixture(scope="module")
+def norle_params():
+    return Params.load(reference_path("params", "polish", "misc",
+                                      "allParams.no_rle.json"))
+
+
+def test_poa_reference_graph(polish_params):
+    ref = RleString.encode("GATTACA")
+    poa = Poa(ref, 51)
+    assert len(poa.nodes) == ref.length + 1
+    assert poa.nodes[0].base == "N"
+    assert [n.base for n in poa.nodes[1:]] == list("GATACA")
+
+
+@pytest.mark.parametrize("rle", [True, False])
+def test_polish_examples_improve_identity(polish_params, norle_params, rle):
+    """Aggregate consensus identity vs truth must beat the starting draft
+    (polisherTest.c test_poa_realign_examples)."""
+    params = polish_params if rle else norle_params
+    pp = params.polish
+    tables = pairhmm.PairHmmTables.from_params(
+        pp.sm_forward, pp.sm_reverse,
+        repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
+    total_start = total_cons = 0.0
+    n_ex = 6
+    for ex in range(n_ex):
+        _, seqs = _read_fasta(f"{EXAMPLES}/{ex}.fasta")
+        names, _ = _read_fasta(f"{EXAMPLES}/{ex}.fasta")
+        _, true_seqs = _read_fasta(f"{EXAMPLES}/{ex}.ref.fasta")
+        true_ref = true_seqs[0]
+        start_ref = seqs[0]
+        reads = []
+        for name, seq in zip(names[1:], seqs[1:]):
+            strand = name[-1]
+            assert strand in "FR"
+            rle_read = (RleString.encode(seq) if pp.useRunLengthEncoding
+                        else RleString.identity(seq))
+            reads.append(PoaRead(name, strand == "F", rle_read, None, len(seq)))
+        rle_ref = (RleString.encode(start_ref) if pp.useRunLengthEncoding
+                   else RleString.identity(start_ref))
+        poa = poa_realign_all(reads, None, rle_ref, params, tables)
+        if pp.useRunLengthEncoding:
+            repeats.estimate_repeat_counts(poa, reads, pp.repeat_sub_matrix)
+        consensus = poa.ref_string.expand()
+        total_start += _identity(start_ref, true_ref)
+        total_cons += _identity(consensus, true_ref)
+    # consensus must on aggregate beat the draft (the reference test,
+    # polisherTest.c:672-686, only logs metrics; improvement is the invariant)
+    assert total_cons > total_start, (total_cons / n_ex, total_start / n_ex)
+    assert total_cons / n_ex > 0.92, total_cons / n_ex
