@@ -31,6 +31,11 @@ from margin_tpu.rle import RleString
 class PolishOutputs:
     fasta: Optional[str] = None
     sequences: Optional[list] = None
+    hap1_fasta: Optional[str] = None
+    hap2_fasta: Optional[str] = None
+    haplotagged_bam: Optional[str] = None
+    hap1_count: int = 0
+    hap2_count: int = 0
 
 
 def poa_realign_iterative(poa: Poa, reads: List[PoaRead], params: Params,
@@ -86,11 +91,11 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                output_base: str, region: Optional[str] = None,
                diploid: bool = False, seed: int = 0, use_lut: bool = False,
                log=print) -> PolishOutputs:
-    """polish_main (polish.c:87-1014), haploid path."""
+    """polish_main (polish.c:87-1014)."""
     if diploid:
-        raise NotImplementedError(
-            "diploid polish is wired through the phase engine; "
-            "see margin_tpu.polish.diploid (next milestone)")
+        return run_polish_diploid(bam_file, reference_fasta, params,
+                                  output_base, region=region, seed=seed,
+                                  use_lut=use_lut, log=log)
     rng = random.Random(seed)
     t0 = time.time()
     pp = params.polish
@@ -138,4 +143,128 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
     write_fasta(out.fasta, sequences)
     log(f"> Wrote polished FASTA {out.fasta} in {time.time() - t0:.1f}s")
+    return out
+
+
+def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
+                       output_base: str, region: Optional[str] = None,
+                       seed: int = 0, use_lut: bool = False,
+                       log=print) -> PolishOutputs:
+    """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
+    per-hap consensus, phased stitching (seam vote + trim both haps),
+    phased FASTAs + haplotagged BAM."""
+    from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_next_chunk
+    from margin_tpu.polish import diploid as diploidmod
+    from margin_tpu.phase.driver import write_haplotagged_bam
+
+    rng = random.Random(seed)
+    t0 = time.time()
+    pp = params.polish
+    if not pp.skipHaploidPolishingIfDiploid:
+        raise ValueError("skipHaploidPolishingIfDiploid must be TRUE "
+                         "(polish.c:361-363)")
+
+    chunkr = chunkermod.construct_chunker(bam_file, region, None, pp,
+                                          record_filtered_reads=True)
+    log(f"> Built {len(chunkr.chunks)} chunks (diploid)")
+    fasta = FastaIndex(reference_fasta)
+    tables = pairhmm.PairHmmTables.from_params(
+        pp.sm_forward, pp.sm_reverse,
+        repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
+
+    reader = bamio.BamReader(bam_file)
+    chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
+    for chunk in chunkr.chunks:
+        raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
+                              chunk.chunk_overlap_end).upper()
+        rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
+                   else RleString.identity(raw_ref))
+        reads, alignments, f_reads, f_alns = convert_to_reads_and_alignments(
+            chunk, rle_ref, reader, pp, keep_filtered=True)
+        # downsample via full read length (polish.c:544-549)
+        if pp.maxDepth > 0 and reads:
+            from margin_tpu.phase.downsample import knapsack_probs
+            lengths = np.array([r.rle_read.length for r in reads])
+            span = chunk.chunk_overlap_end - chunk.chunk_overlap_start
+            if lengths.sum() / span >= pp.maxDepth:
+                metrics = np.array([r.full_read_length for r in reads])
+                probs = knapsack_probs(lengths, metrics, pp.maxDepth, span)
+                kept_r, kept_a = [], []
+                for r, a, p in zip(reads, alignments, probs):
+                    if rng.random() < p:
+                        kept_r.append(r)
+                        kept_a.append(a)
+                    else:
+                        f_reads.append(r)
+                        f_alns.append(a)
+                reads, alignments = kept_r, kept_a
+        poa = poa_realign(reads, alignments, rle_ref, pp, tables, use_lut=use_lut)
+        (hap1_seq, hap2_seq, hap1_names, hap2_names, gf, phreds,
+         name_by_id) = diploidmod.diploid_chunk(
+            poa, reads, f_reads, f_alns, rle_ref, None, params, tables,
+            ref_name=chunk.ref_name, use_lut=use_lut)
+        res = ChunkPhaseResult(chunk.chunk_idx, chunk.ref_name)
+        for r in reads:
+            p = phreds.get(id(r))
+            if r.read_name in hap1_names:
+                res.hap1_reads[r.read_name] = p if p and p > 0 else -1.0
+            elif r.read_name in hap2_names:
+                res.hap2_reads[r.read_name] = p if p and p > 0 else -1.0
+        for r in f_reads:
+            if r.read_name in hap1_names and r.read_name not in res.hap1_reads:
+                res.hap1_reads[r.read_name] = -1.0
+            elif r.read_name in hap2_names and r.read_name not in res.hap2_reads:
+                res.hap2_reads[r.read_name] = -1.0
+        chunk_results.append((res, hap1_seq, hap2_seq))
+        log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads -> "
+            f"{len(res.hap1_reads)} hap1 / {len(res.hap2_reads)} hap2; "
+            f"consensus {len(hap1_seq)}/{len(hap2_seq)}bp")
+    reader.close()
+
+    # phased stitch: vote + swap + trim both hap sequences
+    # (mergeContigChunkz, stitching.c:1413-1499)
+    out = PolishOutputs()
+    hap1_records, hap2_records = [], []
+    ids1, ids2 = [], []
+    chunk_results.sort(key=lambda t: t[0].chunk_idx)
+    i = 0
+    while i < len(chunk_results):
+        name = chunk_results[i][0].ref_name
+        j = i
+        acc1 = dict(chunk_results[i][0].hap1_reads)
+        acc2 = dict(chunk_results[i][0].hap2_reads)
+        prev1, prev2 = chunk_results[i][1], chunk_results[i][2]
+        pieces1, pieces2 = [], []
+        j += 1
+        while j < len(chunk_results) and chunk_results[j][0].ref_name == name:
+            res, s1, s2 = chunk_results[j]
+            stitch_next_chunk(acc1, acc2, res,
+                              params.phase.stitchWithPrimaryReadsOnly)
+            if res.was_switched:
+                s1, s2 = s2, s1
+            prev1, s1, _ = stitcher.trim_adjacent_sequences(prev1, s1, params)
+            prev2, s2, _ = stitcher.trim_adjacent_sequences(prev2, s2, params)
+            pieces1.append(prev1)
+            pieces2.append(prev2)
+            prev1, prev2 = s1, s2
+            j += 1
+        pieces1.append(prev1)
+        pieces2.append(prev2)
+        hap1_records.append((name, "".join(pieces1)))
+        hap2_records.append((name, "".join(pieces2)))
+        ids1.extend(acc1.keys())
+        ids2.extend(acc2.keys())
+        i = j
+
+    out.hap1_fasta = f"{output_base}.hap1.fa"
+    out.hap2_fasta = f"{output_base}.hap2.fa"
+    write_fasta(out.hap1_fasta, hap1_records)
+    write_fasta(out.hap2_fasta, hap2_records)
+    out.haplotagged_bam = f"{output_base}.haplotagged.bam"
+    h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
+                                       set(ids1), set(ids2), params)
+    out.hap1_count, out.hap2_count = h1, h2
+    log(f"> Diploid polish done in {time.time() - t0:.1f}s: "
+        f"hap lengths {sum(len(s) for _, s in hap1_records)}/"
+        f"{sum(len(s) for _, s in hap2_records)}, BAM H1 {h1} H2 {h2} H0 {h0}")
     return out
