@@ -27,6 +27,18 @@ def _add_common(p):
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+
+    # aux tool dispatch (tools/ executables in the reference)
+    if argv and argv[0] == "calcLocalPhasingCorrectness":
+        from margin_tpu.tools.lpc import main as lpc_main
+        return lpc_main(argv[1:])
+    if argv and argv[0] == "tagFromIds":
+        from margin_tpu.tools.tag_from_ids import main as tfi_main
+        return tfi_main(argv[1:])
+    if argv and argv[0] == "tagFromPhasedVcf":
+        from margin_tpu.tools.tag_from_phased_vcf import main as tfpv_main
+        return tfpv_main(argv[1:])
+
     top = argparse.ArgumentParser(prog="margin_tpu",
                                   description="TPU-native margin: phase + polish")
     sub = top.add_subparsers(dest="command", required=True)
