@@ -65,6 +65,13 @@ def main(argv=None):
             top.error(f"Could not read from input {desc} file: {path}")
 
     # late imports keep CLI startup fast
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/margin_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from margin_tpu.params import Params
     params = Params.load(args.params)
     if args.maxDepth >= 0:

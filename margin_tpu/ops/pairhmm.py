@@ -112,15 +112,35 @@ class PairBatch:
     rep_y: Optional[jnp.ndarray] = None
 
 
+def _bucket(n: int, quantum: int) -> int:
+    """Round up to a shape bucket: multiples of `quantum` up to 4x quantum,
+    then powers of two — keeps the set of compiled shapes small."""
+    n = max(n, 1)
+    if n <= 4 * quantum:
+        return ((n + quantum - 1) // quantum) * quantum
+    p = 4 * quantum
+    while p < n:
+        p *= 2
+    return p
+
+
 def make_batch(seq_pairs, strands=None, ragged_left=None, ragged_right=None,
-               rep_pairs=None, pad_to=None) -> PairBatch:
+               rep_pairs=None, pad_to=None, bucket: bool = True) -> PairBatch:
     """Host-side batch packing. seq_pairs: list of (x_sym, y_sym) numpy
-    arrays. pad_to: optional (Lx, Ly) to stabilize compiled shapes."""
-    b = len(seq_pairs)
+    arrays. pad_to: optional (Lx, Ly) to stabilize compiled shapes;
+    bucket=True quantizes (B, Lx, Ly) so repeated calls reuse compilations
+    (padding lanes carry lxs/lys = 0 and are cheap)."""
+    b_real = len(seq_pairs)
     lx = max((len(p[0]) for p in seq_pairs), default=1)
     ly = max((len(p[1]) for p in seq_pairs), default=1)
     if pad_to is not None:
         lx, ly = max(lx, pad_to[0]), max(ly, pad_to[1])
+    if bucket:
+        b = _bucket(b_real, 16)
+        lx = _bucket(lx, 16)
+        ly = _bucket(ly, 16)
+    else:
+        b = b_real
     xs = np.full((b, lx), 4, dtype=np.uint8)
     ys = np.full((b, ly), 4, dtype=np.uint8)
     lxs = np.zeros(b, dtype=np.int32)
@@ -137,11 +157,14 @@ def make_batch(seq_pairs, strands=None, ragged_left=None, ragged_right=None,
             rx[i, :len(cx)] = np.minimum(cx, MAXIMUM_REPEAT_LENGTH - 1)
             ry[i, :len(cy)] = np.minimum(cy, MAXIMUM_REPEAT_LENGTH - 1)
     def vec(v, default=False):
-        if v is None:
-            return np.full(b, default, dtype=bool)
-        return np.asarray(v, dtype=bool)
-    strands = (np.zeros(b, dtype=np.int32) if strands is None
-               else np.asarray(strands, dtype=np.int32))
+        out = np.full(b, default, dtype=bool)
+        if v is not None:
+            out[:b_real] = np.asarray(v, dtype=bool)
+        return out
+    strands_arr = np.zeros(b, dtype=np.int32)
+    if strands is not None:
+        strands_arr[:b_real] = np.asarray(strands, dtype=np.int32)
+    strands = strands_arr
     return PairBatch(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lxs),
                      jnp.asarray(lys), jnp.asarray(strands),
                      jnp.asarray(vec(ragged_left)), jnp.asarray(vec(ragged_right)),

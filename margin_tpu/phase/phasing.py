@@ -106,45 +106,67 @@ def phase_bam_chunk_reads(gf: GenomeFragment, pseqs: Dict[int, ProfileSeq],
     return hap1, hap2, phreds
 
 
+def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
+                     use_lut=False, batch_max: int = 32768):
+    """Batched scores of read substrings against two alleles for MANY
+    (allele_a, allele_b, subs) groups at once — one padded kernel launch per
+    size bucket instead of one per bubble. Returns a list of (n_subs, 2)
+    float32 arrays; identical read substrings within a group share scores
+    (the reference's per-bubble cache, bubbleGraph.c:1844-1875)."""
+    use_rle = params.polish.useRunLengthEncoding
+    outs = [np.zeros((len(subs), 2), dtype=np.float32)
+            for _, _, subs in groups]
+    dups = []
+    pairs, strands, reps, owners = [], [], [], []
+    for g, (allele_a, allele_b, subs) in enumerate(groups):
+        a_sym = [allele_a.symbols(), allele_b.symbols()]
+        a_rep = ([np.minimum(allele_a.counts, 50), np.minimum(allele_b.counts, 50)]
+                 if use_rle else None)
+        seen: Dict[str, int] = {}
+        dup = np.arange(len(subs))
+        for k, rs in enumerate(subs):
+            key = rs.rle_string.expand()
+            if key in seen:
+                dup[k] = seen[key]
+                continue
+            seen[key] = k
+            y = rs.rle_string.symbols()
+            yr = np.minimum(rs.rle_string.counts, 50) if use_rle else None
+            for j in range(2):
+                pairs.append((a_sym[j], y))
+                strands.append(0 if rs.read.forward_strand else 1)
+                if use_rle:
+                    reps.append((a_rep[j], yr))
+                owners.append((g, k, j))
+        dups.append(dup)
+    if pairs:
+        order = sorted(range(len(pairs)),
+                       key=lambda i: (len(pairs[i][0]) + len(pairs[i][1])))
+        for s0 in range(0, len(order), batch_max):
+            idxs = order[s0:s0 + batch_max]
+            batch = pairhmm.make_batch(
+                [pairs[i] for i in idxs],
+                strands=np.array([strands[i] for i in idxs], np.int32),
+                rep_pairs=[reps[i] for i in idxs] if use_rle else None)
+            scores = np.asarray(pairhmm.forward_total(tables, batch,
+                                                      use_lut=use_lut),
+                                dtype=np.float32)
+            for i, s in zip(idxs, scores):
+                g, k, j = owners[i]
+                outs[g][k, j] = s
+    for out, dup in zip(outs, dups):
+        for k in range(len(dup)):
+            if dup[k] != k:
+                out[k] = out[dup[k]]
+    return outs
+
+
 def _score_het_bubble(allele_a: RleString, allele_b: RleString,
                       subs: List, params: Params,
                       tables: pairhmm.PairHmmTables, use_lut=False):
-    """Batched scores of read substrings against two alleles. Returns
-    (n_read, 2) float array (A, B supports), deduped like the reference
-    cache."""
-    use_rle = params.polish.useRunLengthEncoding
-    a_sym = [allele_a.symbols(), allele_b.symbols()]
-    a_rep = ([np.minimum(allele_a.counts, 50), np.minimum(allele_b.counts, 50)]
-             if use_rle else None)
-    seen: Dict[str, int] = {}
-    dup = np.arange(len(subs))
-    pairs, strands, reps, owners = [], [], [], []
-    for k, rs in enumerate(subs):
-        key = rs.rle_string.expand()
-        if key in seen:
-            dup[k] = seen[key]
-            continue
-        seen[key] = k
-        y = rs.rle_string.symbols()
-        yr = np.minimum(rs.rle_string.counts, 50) if use_rle else None
-        for j in range(2):
-            pairs.append((a_sym[j], y))
-            strands.append(0 if rs.read.forward_strand else 1)
-            if use_rle:
-                reps.append((a_rep[j], yr))
-            owners.append((k, j))
-    out = np.zeros((len(subs), 2), dtype=np.float32)
-    if pairs:
-        batch = pairhmm.make_batch(pairs, strands=np.array(strands, np.int32),
-                                   rep_pairs=reps if use_rle else None)
-        scores = np.asarray(pairhmm.forward_total(tables, batch, use_lut=use_lut),
-                            dtype=np.float32)
-        for (k, j), s in zip(owners, scores):
-            out[k, j] = s
-    for k in range(len(subs)):
-        if dup[k] != k:
-            out[k] = out[dup[k]]
-    return out
+    """Single-group convenience wrapper around score_het_groups."""
+    return score_het_groups([(allele_a, allele_b, subs)], params, tables,
+                            use_lut)[0]
 
 
 def _entry_to_read_substrings(reads: List[ReadVcfSubstrings], params: Params):
@@ -175,6 +197,7 @@ def partition_filtered_reads(filtered_reads: List[ReadVcfSubstrings],
     scores2 = {id(r): 0.0 for r in filtered_reads}
     entry_subs = _entry_to_read_substrings(filtered_reads, params)
 
+    groups = []
     for i in range(gf.length):
         b = bg.bubbles[gf.ref_start + i]
         entry = entries_to_bubbles[gf.ref_start + i]
@@ -185,11 +208,10 @@ def partition_filtered_reads(filtered_reads: List[ReadVcfSubstrings],
         subs = entry_subs.get(id(entry))
         if not subs:
             continue
-        subs = list(reversed(subs))  # stList_pop order
-        # NOTE: the reference aligns against the *raw allele strings* here
-        # (hap alleles from the bubble), not the expanded substrings
-        supports = _score_het_bubble(b.alleles[a1], b.alleles[a2], subs, params,
-                                     tables)
+        # bubble alleles are the context-expanded allele substrings
+        groups.append((b.alleles[a1], b.alleles[a2], list(reversed(subs))))
+    for (_, _, subs), supports in zip(groups,
+                                      score_het_groups(groups, params, tables)):
         for rs, (sa, sb) in zip(subs, supports.astype(np.float64)):
             tot = np.logaddexp(sa, sb)
             scores1[id(rs.read)] += sa - tot
@@ -212,6 +234,8 @@ def phase_filtered_vcf_entries(reads_for_filtered: List[ReadVcfSubstrings],
     (bubbleGraph.c:2140-2351): phase low-quality variants using already
     haplotagged reads via cis/trans support voting."""
     entry_subs = _entry_to_read_substrings(reads_for_filtered, params)
+    work = []
+    groups = []
     for entry in filtered_entries:
         root = entry.root
         if entry.gt1 == entry.gt2:
@@ -221,13 +245,16 @@ def phase_filtered_vcf_entries(reads_for_filtered: List[ReadVcfSubstrings],
         subs = entry_subs.get(id(entry))
         if not subs:
             continue
-        allele_a = entry.allele_substrings[entry.gt1]
-        allele_b = entry.allele_substrings[entry.gt2]
         tagged = [rs for rs in subs
                   if rs.read.read_name in hap1_names or rs.read.read_name in hap2_names]
+        work.append((entry, subs, tagged))
+        groups.append((entry.allele_substrings[entry.gt1],
+                       entry.allele_substrings[entry.gt2], tagged))
+    all_supports = score_het_groups(groups, params, tables)
+    for (entry, subs, tagged), supports in zip(work, all_supports):
+        root = entry.root
         cis = trans = 0.0
         if tagged:
-            supports = _score_het_bubble(allele_a, allele_b, tagged, params, tables)
             for rs, (sa, sb) in zip(tagged, supports.astype(np.float64)):
                 tot = np.logaddexp(sa, sb)
                 is_h1 = rs.read.read_name in hap1_names

@@ -71,6 +71,7 @@ def partition_filtered_reads_poa(filtered_poa: Poa,
     scores1 = {id(r): 0.0 for r in filtered_reads}
     scores2 = {id(r): 0.0 for r in filtered_reads}
     pp = params.polish
+    groups = []
     for i in range(gf.length):
         b = bg.bubbles[gf.ref_start + i]
         a1 = int(gf.haplotype_string1[i])
@@ -82,8 +83,9 @@ def partition_filtered_reads_poa(filtered_poa: Poa,
             b.ref_start + b.bubble_length + 1, pp, should_filter=False)
         if not subs:
             continue
-        supports = phase_engine._score_het_bubble(
-            b.alleles[a1], b.alleles[a2], subs, params, tables, use_lut)
+        groups.append((b.alleles[a1], b.alleles[a2], subs))
+    for (_, _, subs), supports in zip(
+            groups, phase_engine.score_het_groups(groups, params, tables, use_lut)):
         for rs, (sa, sb) in zip(subs, supports.astype(np.float64)):
             tot = np.logaddexp(sa, sb)
             scores1[id(rs.read)] += sa - tot

@@ -53,7 +53,7 @@ def test_forward_total_matches_oracle_default_sm(base_params):
 
     tables = pairhmm.PairHmmTables.from_params(smp, dtype=jnp.float64)
     batch = pairhmm.make_batch(pairs, ragged_left=ragged_l, ragged_right=ragged_r)
-    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))
+    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))[:len(pairs)]
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-9)
 
 
@@ -69,7 +69,7 @@ def test_forward_total_trained_sm_both_strands(base_params):
         for (x, y), s in zip(pairs, strands)])
     tables = pairhmm.PairHmmTables.from_params(sm_f, sm_r, dtype=jnp.float64)
     batch = pairhmm.make_batch(pairs, strands=strands)
-    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))
+    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))[:len(pairs)]
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-9)
 
 
@@ -81,8 +81,8 @@ def test_forward_total_exact_close_to_lut(base_params):
     pairs = [_random_pair(rng, 20, 35) for _ in range(8)]
     tables = pairhmm.PairHmmTables.from_params(smp, dtype=jnp.float64)
     batch = pairhmm.make_batch(pairs)
-    lut = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))
-    exact = np.asarray(pairhmm.forward_total(tables, batch, use_lut=False))
+    lut = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))[:len(pairs)]
+    exact = np.asarray(pairhmm.forward_total(tables, batch, use_lut=False))[:len(pairs)]
     np.testing.assert_allclose(exact, lut, rtol=0, atol=5e-2)
 
 
@@ -127,7 +127,7 @@ def test_forward_total_rle_emissions():
                                                dtype=jnp.float64)
     batch = pairhmm.make_batch(pairs, strands=np.array(strands),
                                rep_pairs=reps)
-    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))
+    got = np.asarray(pairhmm.forward_total(tables, batch, use_lut=True))[:len(pairs)]
     np.testing.assert_allclose(got, np.array(expected), rtol=0, atol=1e-9)
 
 
