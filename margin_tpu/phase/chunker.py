@@ -126,7 +126,107 @@ def construct_chunker(bam_file: str, region: Optional[str],
                       valid_contigs: Optional[Set[str]],
                       params: PolishParams,
                       record_filtered_reads: bool = True) -> BamChunker:
-    """bamChunker_construct2 (htsIntegration.c:203-396)."""
+    """bamChunker_construct2 (htsIntegration.c:203-396). Uses the native
+    scan engine when available (one C pass + vectorized geometry)."""
+    try:
+        from margin_tpu.io import native
+        if native.lib() is not None:
+            return _construct_chunker_native(bam_file, region, valid_contigs,
+                                             params, record_filtered_reads)
+    except Exception:
+        pass
+    return _construct_chunker_py(bam_file, region, valid_contigs, params,
+                                 record_filtered_reads)
+
+
+def _construct_chunker_native(bam_file, region, valid_contigs, params,
+                              record_filtered_reads) -> BamChunker:
+    from margin_tpu.io import native
+    region_contig, region_start, region_end = parse_region(region)
+    chunk_size, margin = params.chunkSize, params.chunkBoundary
+    chunker = BamChunker(bam_file, chunk_size, margin)
+
+    with native.NativeBam(bam_file) as nb:
+        scan = nb.scan()
+        ref_names = nb.ref_names
+
+    tid = scan["tid"]
+    pos = scan["pos"]
+    flag = scan["flag"]
+    keep = (scan["aligned_len"] > 0) & ((flag & bamio.FUNMAP) == 0)
+    if not params.includeSecondaryAlignments:
+        keep &= (flag & bamio.FSECONDARY) == 0
+    if not params.includeSupplementaryAlignments:
+        keep &= (flag & bamio.FSUPPLEMENTARY) == 0
+    if not record_filtered_reads:
+        keep &= scan["mapq"] >= params.filterAlignmentsWithMapQBelowThisThreshold
+    end = pos + scan["aligned_len"]
+    if region_contig is not None:
+        rid = ref_names.index(region_contig) if region_contig in ref_names else -1
+        keep &= tid == rid
+        if region_start >= 0:
+            keep &= (pos < region_end) & (end > max(region_start - 1, 0))
+    if valid_contigs is not None:
+        valid_ids = np.array([i for i, n in enumerate(ref_names)
+                              if n in valid_contigs])
+        keep &= np.isin(tid, valid_ids)
+
+    idx = np.flatnonzero(keep)
+    # read enumerator in scan order
+    read_idx = 1
+    names = scan["names"]
+    for i in idx:
+        name = names[i]
+        if name not in chunker.read_enumerator:
+            chunker.read_enumerator[name] = read_idx
+            read_idx += 1
+
+    bs = _bucket_size(chunk_size)
+    # contigs in encounter order
+    seen = []
+    for t in tid[idx]:
+        if not seen or seen[-1] != t:
+            if t not in seen:
+                seen.append(int(t))
+    for t in seen:
+        sel = idx[tid[idx] == t]
+        c_start = int(pos[sel].min())
+        c_end = int(end[sel].max())
+        if (region_contig is not None and region_start > 0 and region_end > 0):
+            c_start = max(c_start, region_start)
+            c_end = min(c_end, region_end)
+        # depth buckets (storeReadDepthInformation)
+        n_buckets = int(end[sel].max() // bs) + 1
+        buckets = np.zeros(n_buckets + 1, dtype=np.int64)
+        b0 = pos[sel] // bs
+        b1 = end[sel] // bs
+        np.add.at(buckets, b0, 1)
+        np.add.at(buckets, np.minimum(b1, n_buckets), -1)
+        buckets = np.cumsum(buckets)[:n_buckets]
+        blist = buckets.tolist()
+        contig = ref_names[t]
+        if chunk_size == 0:
+            chunker.chunks.append(BamChunk(contig, len(chunker.chunks), c_start,
+                                           c_start, c_end, c_end,
+                                           _estimated_depth(blist, c_start, c_end, chunk_size)))
+        else:
+            i = c_start
+            while i < c_end:
+                ce = min(i + chunk_size, c_end)
+                ms = max(i - margin, c_start)
+                me = min(ce + margin, c_end)
+                chunker.chunks.append(BamChunk(contig, len(chunker.chunks), ms,
+                                               i, ce, me,
+                                               _estimated_depth(blist, ms, me, chunk_size)))
+                i += chunk_size
+    return chunker
+
+
+def _construct_chunker_py(bam_file: str, region: Optional[str],
+                          valid_contigs: Optional[Set[str]],
+                          params: PolishParams,
+                          record_filtered_reads: bool = True) -> BamChunker:
+    """Pure-Python chunker (fallback)."""
     region_contig, region_start, region_end = parse_region(region)
     chunk_size, margin = params.chunkSize, params.chunkBoundary
     chunker = BamChunker(bam_file, chunk_size, margin)

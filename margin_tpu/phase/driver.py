@@ -217,9 +217,31 @@ def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
 
 def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
                           hap1_names: set, hap2_names: set, params: Params):
-    """writeHaplotaggedBam (htsIntegration.c:1310-1503)."""
+    """writeHaplotaggedBam (htsIntegration.c:1310-1503). Uses the native
+    marginio engine when built; pure-Python fallback otherwise."""
     from margin_tpu.io.vcf import parse_region
     region_contig, region_start, region_end = parse_region(region)
+
+    try:
+        from margin_tpu.io import native
+        if native.lib() is not None:
+            tags = {n: 1 for n in hap1_names if n not in hap2_names}
+            tags.update({n: 2 for n in hap2_names if n not in hap1_names})
+            tid, start, end = -1, -1, -1
+            if region_contig is not None:
+                with native.NativeBam(bam_in) as nb:
+                    tid = nb.ref_names.index(region_contig)
+                start = max(region_start - 1, 0) if region_start > 0 else 0
+                end = region_end if region_end > 0 else (1 << 60)
+            res = native.write_haplotagged_native(
+                bam_in, bam_out, tags, tid, start, end,
+                params.polish.includeSecondaryAlignments,
+                params.polish.includeSupplementaryAlignments)
+            if res is not None:
+                return res
+    except Exception:
+        pass  # fall back to the Python path
+
     h1 = h2 = h0 = 0
     with bamio.BamReader(bam_in) as reader:
         with bamio.BamWriter(bam_out, reader.header) as writer:

@@ -1,0 +1,675 @@
+// marginio: native BAM/BGZF engine for margin_tpu.
+//
+// Host-side replacement for the reference's htslib usage
+// (impl/htsIntegration.c): BGZF block (de)compression, BAM record
+// iteration, BAI region queries, and the haplotagged-BAM rewrite
+// (writeHaplotaggedBam, htsIntegration.c:1310-1503) run natively; Python
+// receives packed arrays / raw record payloads over a small C ABI (ctypes).
+//
+// Build: make -C native  (produces libmarginio.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+// ---------------------------------------------------------------- BGZF ----
+
+struct BgzfReader {
+    FILE* fh = nullptr;
+    std::vector<uint8_t> block;   // decompressed current block
+    int64_t block_coffset = -1;   // compressed offset of current block
+    int64_t next_coffset = 0;
+    size_t within = 0;
+
+    bool open(const char* path) {
+        fh = fopen(path, "rb");
+        return fh != nullptr;
+    }
+    ~BgzfReader() {
+        if (fh) fclose(fh);
+    }
+
+    // Load block at compressed offset; false at EOF.
+    bool load_block(int64_t coffset) {
+        if (coffset == block_coffset) return true;
+        if (fseeko(fh, coffset, SEEK_SET) != 0) return false;
+        uint8_t header[18];
+        if (fread(header, 1, 18, fh) != 18) return false;
+        if (header[0] != 0x1f || header[1] != 0x8b) return false;
+        uint16_t xlen = header[10] | (header[11] << 8);
+        std::vector<uint8_t> extra(header + 12, header + 18);
+        if (xlen > 6) {
+            extra.resize(xlen);
+            if (fread(extra.data() + 6, 1, xlen - 6, fh) != (size_t)(xlen - 6))
+                return false;
+        }
+        int bsize = -1;
+        for (size_t i = 0; i + 4 <= extra.size();) {
+            uint8_t si1 = extra[i], si2 = extra[i + 1];
+            uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+            if (si1 == 'B' && si2 == 'C' && slen == 2) {
+                bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+                break;
+            }
+            i += 4 + slen;
+        }
+        if (bsize < 0) return false;
+        int payload_len = bsize - 12 - xlen - 8;
+        std::vector<uint8_t> payload(payload_len);
+        if (payload_len > 0 &&
+            fread(payload.data(), 1, payload_len, fh) != (size_t)payload_len)
+            return false;
+        uint8_t tail[8];
+        if (fread(tail, 1, 8, fh) != 8) return false;
+        uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+                         ((uint32_t)tail[7] << 24);
+        block.resize(isize);
+        if (isize > 0) {
+            z_stream zs{};
+            inflateInit2(&zs, -15);
+            zs.next_in = payload.data();
+            zs.avail_in = payload_len;
+            zs.next_out = block.data();
+            zs.avail_out = isize;
+            int ret = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (ret != Z_STREAM_END) return false;
+        }
+        block_coffset = coffset;
+        next_coffset = coffset + bsize;
+        return isize > 0 || bsize > 28;
+    }
+
+    void seek_virtual(int64_t voffset) {
+        load_block(voffset >> 16);
+        within = voffset & 0xFFFF;
+    }
+    int64_t tell_virtual() const {
+        return (block_coffset << 16) | (int64_t)within;
+    }
+
+    // Read n bytes; returns count actually read.
+    size_t read(uint8_t* dst, size_t n) {
+        size_t got = 0;
+        while (n > 0) {
+            if (block_coffset < 0) {
+                if (!load_block(0)) break;
+            }
+            size_t avail = block.size() - within;
+            if (avail == 0) {
+                int64_t nxt = next_coffset;
+                within = 0;
+                if (!load_block(nxt) || block.empty()) break;
+                continue;
+            }
+            size_t take = std::min(avail, n);
+            memcpy(dst + got, block.data() + within, take);
+            within += take;
+            got += take;
+            n -= take;
+        }
+        return got;
+    }
+};
+
+struct BgzfWriter {
+    FILE* fh = nullptr;
+    std::vector<uint8_t> buf;
+    static constexpr size_t MAX_BLOCK = 0xFF00;
+
+    bool open(const char* path) {
+        fh = fopen(path, "wb");
+        return fh != nullptr;
+    }
+
+    void flush_block(const uint8_t* data, size_t n) {
+        std::vector<uint8_t> comp(compressBound(n) + 64);
+        z_stream zs{};
+        deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+        zs.next_in = const_cast<uint8_t*>(data);
+        zs.avail_in = n;
+        zs.next_out = comp.data();
+        zs.avail_out = comp.size();
+        deflate(&zs, Z_FINISH);
+        size_t clen = comp.size() - zs.avail_out;
+        deflateEnd(&zs);
+        uint32_t bsize = clen + 26;
+        uint8_t header[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                              6, 0, 'B', 'C', 2, 0,
+                              (uint8_t)((bsize - 1) & 0xff),
+                              (uint8_t)(((bsize - 1) >> 8) & 0xff)};
+        fwrite(header, 1, 18, fh);
+        fwrite(comp.data(), 1, clen, fh);
+        uint32_t crc = crc32(0, data, n);
+        uint32_t isize = n;
+        fwrite(&crc, 4, 1, fh);
+        fwrite(&isize, 4, 1, fh);
+    }
+
+    void write(const uint8_t* data, size_t n) {
+        buf.insert(buf.end(), data, data + n);
+        while (buf.size() >= MAX_BLOCK) {
+            flush_block(buf.data(), MAX_BLOCK);
+            buf.erase(buf.begin(), buf.begin() + MAX_BLOCK);
+        }
+    }
+
+    void close() {
+        if (!fh) return;
+        if (!buf.empty()) {
+            flush_block(buf.data(), buf.size());
+            buf.clear();
+        }
+        static const uint8_t kEof[28] = {
+            0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+            0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+            0, 0, 0, 0, 0, 0, 0, 0};
+        fwrite(kEof, 1, 28, fh);
+        fclose(fh);
+        fh = nullptr;
+    }
+    ~BgzfWriter() { close(); }
+};
+
+// ----------------------------------------------------------------- BAM ----
+
+inline int32_t rd_i32(const uint8_t* p) {
+    int32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+inline uint32_t rd_u32(const uint8_t* p) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return v;
+}
+
+// cigar op consumes ref?
+inline bool consumes_ref(int op) {
+    return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+
+struct BamFile {
+    BgzfReader rd;
+    std::string header_text;
+    std::vector<std::string> ref_names;
+    std::vector<int64_t> ref_lens;
+    int64_t data_voffset = 0;
+    // BAI: per ref, bins -> chunks; linear index
+    struct RefIndex {
+        std::unordered_map<uint32_t, std::vector<std::pair<uint64_t, uint64_t>>> bins;
+        std::vector<uint64_t> ioffsets;
+    };
+    std::vector<RefIndex> index;
+    bool has_index = false;
+
+    bool open(const char* path) {
+        if (!rd.open(path)) return false;
+        uint8_t magic[4];
+        if (rd.read(magic, 4) != 4 || memcmp(magic, "BAM\1", 4) != 0) return false;
+        uint8_t tmp[8];
+        rd.read(tmp, 4);
+        int32_t l_text = rd_i32(tmp);
+        header_text.resize(l_text);
+        rd.read((uint8_t*)header_text.data(), l_text);
+        rd.read(tmp, 4);
+        int32_t n_ref = rd_i32(tmp);
+        for (int i = 0; i < n_ref; i++) {
+            rd.read(tmp, 4);
+            int32_t l_name = rd_i32(tmp);
+            std::string name(l_name, 0);
+            rd.read((uint8_t*)name.data(), l_name);
+            name.resize(l_name - 1);
+            rd.read(tmp, 4);
+            ref_names.push_back(name);
+            ref_lens.push_back(rd_i32(tmp));
+        }
+        data_voffset = rd.tell_virtual();
+        load_index((std::string(path) + ".bai").c_str());
+        return true;
+    }
+
+    void load_index(const char* path) {
+        FILE* fh = fopen(path, "rb");
+        if (!fh) return;
+        fseeko(fh, 0, SEEK_END);
+        long sz = ftello(fh);
+        fseeko(fh, 0, SEEK_SET);
+        std::vector<uint8_t> data(sz);
+        if (fread(data.data(), 1, sz, fh) != (size_t)sz) {
+            fclose(fh);
+            return;
+        }
+        fclose(fh);
+        if (sz < 8 || memcmp(data.data(), "BAI\1", 4) != 0) return;
+        size_t off = 4;
+        int32_t n_ref = rd_i32(&data[off]);
+        off += 4;
+        index.resize(n_ref);
+        for (int r = 0; r < n_ref; r++) {
+            int32_t n_bin = rd_i32(&data[off]);
+            off += 4;
+            for (int b = 0; b < n_bin; b++) {
+                uint32_t bin_id = rd_u32(&data[off]);
+                int32_t n_chunk = rd_i32(&data[off + 4]);
+                off += 8;
+                auto& chunks = index[r].bins[bin_id];
+                for (int c = 0; c < n_chunk; c++) {
+                    uint64_t beg, end;
+                    memcpy(&beg, &data[off], 8);
+                    memcpy(&end, &data[off + 8], 8);
+                    off += 16;
+                    chunks.emplace_back(beg, end);
+                }
+            }
+            int32_t n_intv = rd_i32(&data[off]);
+            off += 4;
+            index[r].ioffsets.resize(n_intv);
+            memcpy(index[r].ioffsets.data(), &data[off], 8 * (size_t)n_intv);
+            off += 8 * (size_t)n_intv;
+        }
+        has_index = true;
+    }
+
+    // merged voffset chunks for [start, end) on tid
+    std::vector<std::pair<uint64_t, uint64_t>> query_chunks(int tid, int64_t start,
+                                                            int64_t end) {
+        std::vector<std::pair<uint64_t, uint64_t>> out;
+        if (!has_index || tid < 0 || tid >= (int)index.size()) return out;
+        auto& ri = index[tid];
+        uint64_t min_off = 0;
+        if (!ri.ioffsets.empty()) {
+            size_t i = std::min((size_t)(start >> 14), ri.ioffsets.size() - 1);
+            min_off = ri.ioffsets[i];
+        }
+        int64_t e = end - 1;
+        std::vector<uint32_t> bins = {0};
+        int shifts[5] = {26, 23, 20, 17, 14};
+        int offsets[5] = {1, 9, 73, 585, 4681};
+        for (int l = 0; l < 5; l++)
+            for (int64_t b = offsets[l] + (start >> shifts[l]);
+                 b <= offsets[l] + (e >> shifts[l]); b++)
+                bins.push_back((uint32_t)b);
+        for (uint32_t b : bins) {
+            auto it = ri.bins.find(b);
+            if (it == ri.bins.end()) continue;
+            for (auto& ch : it->second)
+                if (ch.second > min_off)
+                    out.emplace_back(std::max(ch.first, min_off), ch.second);
+        }
+        std::sort(out.begin(), out.end());
+        std::vector<std::pair<uint64_t, uint64_t>> merged;
+        for (auto& c : out) {
+            if (!merged.empty() && c.first <= merged.back().second)
+                merged.back().second = std::max(merged.back().second, c.second);
+            else
+                merged.push_back(c);
+        }
+        return merged;
+    }
+
+    // Reads one record payload into buf; false at EOF.
+    bool next_record(std::vector<uint8_t>& buf) {
+        uint8_t tmp[4];
+        if (rd.read(tmp, 4) != 4) return false;
+        int32_t block_size = rd_i32(tmp);
+        if (block_size <= 0) return false;
+        buf.resize(block_size);
+        return rd.read(buf.data(), block_size) == (size_t)block_size;
+    }
+};
+
+// reference span from the cigar
+int64_t ref_span(const uint8_t* rec) {
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    uint8_t l_read_name = rec[8];
+    const uint8_t* cig = rec + 32 + l_read_name;
+    int64_t span = 0;
+    for (int i = 0; i < n_cigar; i++) {
+        uint32_t v = rd_u32(cig + 4 * i);
+        if (consumes_ref(v & 0xF)) span += v >> 4;
+    }
+    return span;
+}
+
+// aligned read length + soft clips (getAlignedReadLength3 boundaryAtMatch=0)
+int64_t aligned_len(const uint8_t* rec, int64_t* start_sc, int64_t* end_sc) {
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    uint8_t l_read_name = rec[8];
+    int32_t l_seq = rd_i32(rec + 16);
+    const uint8_t* cig = rec + 32 + l_read_name;
+    *start_sc = 0;
+    *end_sc = 0;
+    int i = 0;
+    for (; i < n_cigar; i++) {
+        uint32_t v = rd_u32(cig + 4 * i);
+        int op = v & 0xF;
+        if (op == 0 || op == 7 || op == 8) break;        // M/=/X
+        if (op == 2 || op == 3 || op == 1) break;        // D/N/I (boundary)
+        if (op == 4) *start_sc += v >> 4;                // S
+        // H/P: skip
+    }
+    for (int j = n_cigar - 1; j > 0; j--) {
+        uint32_t v = rd_u32(cig + 4 * j);
+        int op = v & 0xF;
+        if (op == 0 || op == 7 || op == 8) break;
+        if (op == 2 || op == 3 || op == 1) break;
+        if (op == 4) *end_sc += v >> 4;
+    }
+    int64_t n_ins = 0, n_del = 0;
+    for (int j = 0; j < n_cigar; j++) {
+        uint32_t v = rd_u32(cig + 4 * j);
+        int op = v & 0xF;
+        if (op == 1) n_ins += v >> 4;
+        if (op == 2) n_del += v >> 4;
+    }
+    return l_seq - *start_sc - *end_sc + n_del - n_ins;
+}
+
+// supplementary read name suffix (getReadName, htsIntegration.c:523-542)
+std::string read_name_of(const uint8_t* rec, const std::vector<std::string>& refs) {
+    uint8_t l_read_name = rec[8];
+    std::string name((const char*)rec + 32, l_read_name - 1);
+    uint16_t flag;
+    memcpy(&flag, rec + 14, 2);
+    if (!(flag & 0x800)) return name;
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    const uint8_t* cig = rec + 32 + l_read_name;
+    uint64_t hash = 37;
+    for (int i = 0; i < n_cigar; i++) {
+        uint32_t v = rd_u32(cig + 4 * i);
+        hash = 97 * hash + (v & 0xF);
+        hash = 193 * hash + (v >> 4);
+    }
+    int32_t tid = rd_i32(rec);
+    int32_t pos = rd_i32(rec + 4);
+    char strand = (flag & 0x10) ? 'r' : 'f';
+    char buf[64];
+    snprintf(buf, sizeof(buf), "@@%s:%d%c#%llu",
+             tid >= 0 ? refs[tid].c_str() : "*", pos, strand,
+             (unsigned long long)hash);
+    return name + buf;
+}
+
+// tag blob iteration: find + rewrite HP tag
+size_t tag_size(const uint8_t* p, size_t remaining) {
+    uint8_t typ = p[2];
+    switch (typ) {
+        case 'A': case 'c': case 'C': return 4;
+        case 's': case 'S': return 5;
+        case 'i': case 'I': case 'f': return 7;
+        case 'Z': case 'H': {
+            size_t i = 3;
+            while (i < remaining && p[i] != 0) i++;
+            return i + 1;
+        }
+        case 'B': {
+            uint8_t sub = p[3];
+            int32_t cnt = rd_i32(p + 4);
+            size_t es = (sub == 'c' || sub == 'C') ? 1 :
+                        (sub == 's' || sub == 'S') ? 2 : 4;
+            return 8 + es * (size_t)cnt;
+        }
+        default: return remaining;  // unknown: consume rest
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------- C ABI ------
+
+struct MioBam {
+    BamFile bf;
+};
+
+MioBam* mio_open(const char* path) {
+    auto* m = new MioBam();
+    if (!m->bf.open(path)) {
+        delete m;
+        return nullptr;
+    }
+    return m;
+}
+
+void mio_close(MioBam* m) { delete m; }
+
+int mio_n_refs(MioBam* m) { return (int)m->bf.ref_names.size(); }
+const char* mio_ref_name(MioBam* m, int i) { return m->bf.ref_names[i].c_str(); }
+int64_t mio_ref_len(MioBam* m, int i) { return m->bf.ref_lens[i]; }
+const char* mio_header_text(MioBam* m) { return m->bf.header_text.c_str(); }
+
+// Full-file scan for the chunker: fills packed per-record arrays.
+// Returns the number of records written (<= capacity), or -1 on error.
+// Arrays: tid, pos, flag (u16->i32), mapq, aligned_len, start_sc, end_sc,
+// name_off (into names blob). names blob is NUL-separated.
+int64_t mio_scan(MioBam* m, int32_t* tid, int64_t* pos, int32_t* flag,
+                 int32_t* mapq, int64_t* alen, int64_t* ssc, int64_t* esc,
+                 int64_t* name_off, char* names, int64_t names_cap,
+                 int64_t capacity) {
+    m->bf.rd.seek_virtual(m->bf.data_voffset);
+    std::vector<uint8_t> rec;
+    int64_t n = 0;
+    int64_t nameo = 0;
+    while (m->bf.next_record(rec)) {
+        if (n >= capacity) return -2;  // caller must grow
+        const uint8_t* p = rec.data();
+        tid[n] = rd_i32(p);
+        pos[n] = rd_i32(p + 4);
+        uint16_t fl;
+        memcpy(&fl, p + 14, 2);
+        flag[n] = fl;
+        mapq[n] = p[9];
+        uint16_t nc;
+        memcpy(&nc, p + 12, 2);
+        int32_t lseq = rd_i32(p + 16);
+        if (lseq <= 0 || nc == 0) {
+            alen[n] = 0;
+            ssc[n] = esc[n] = 0;
+        } else {
+            alen[n] = aligned_len(p, &ssc[n], &esc[n]);
+        }
+        std::string nm = read_name_of(p, m->bf.ref_names);
+        if (nameo + (int64_t)nm.size() + 1 > names_cap) return -3;
+        name_off[n] = nameo;
+        memcpy(names + nameo, nm.c_str(), nm.size() + 1);
+        nameo += nm.size() + 1;
+        n++;
+    }
+    return n;
+}
+
+// Region iterator returning raw record payloads.
+struct MioIter {
+    MioBam* m;
+    std::vector<std::pair<uint64_t, uint64_t>> chunks;
+    size_t chunk_idx = 0;
+    bool in_chunk = false;
+    int tid;
+    int64_t start, end;
+    bool sequential;
+    std::vector<uint8_t> rec;
+};
+
+MioIter* mio_iter_region(MioBam* m, int tid, int64_t start, int64_t end) {
+    auto* it = new MioIter();
+    it->m = m;
+    it->tid = tid;
+    it->start = start;
+    it->end = end;
+    it->sequential = (tid < 0);
+    if (it->sequential) {
+        m->bf.rd.seek_virtual(m->bf.data_voffset);
+    } else {
+        it->chunks = m->bf.query_chunks(tid, start, end);
+    }
+    return it;
+}
+
+// Returns payload size and sets *payload, or 0 at end.
+int64_t mio_iter_next(MioIter* it, const uint8_t** payload) {
+    BamFile& bf = it->m->bf;
+    for (;;) {
+        if (it->sequential) {
+            if (!bf.next_record(it->rec)) return 0;
+            *payload = it->rec.data();
+            return (int64_t)it->rec.size();
+        }
+        if (!it->in_chunk) {
+            if (it->chunk_idx >= it->chunks.size()) return 0;
+            bf.rd.seek_virtual(it->chunks[it->chunk_idx].first);
+            it->in_chunk = true;
+        }
+        if ((uint64_t)bf.rd.tell_virtual() >= it->chunks[it->chunk_idx].second) {
+            it->in_chunk = false;
+            it->chunk_idx++;
+            continue;
+        }
+        if (!bf.next_record(it->rec)) return 0;
+        const uint8_t* p = it->rec.data();
+        int32_t tid = rd_i32(p);
+        int64_t pos = rd_i32(p + 4);
+        uint16_t fl;
+        memcpy(&fl, p + 14, 2);
+        if (tid != it->tid) {
+            if (tid > it->tid) {
+                it->in_chunk = false;
+                it->chunk_idx++;
+            }
+            continue;
+        }
+        if (pos >= it->end) {
+            it->in_chunk = false;
+            it->chunk_idx++;
+            continue;
+        }
+        if (fl & 0x4) continue;
+        int64_t span = ref_span(p);
+        if (span < 1) span = 1;
+        if (pos + span <= it->start) continue;
+        *payload = p;
+        return (int64_t)it->rec.size();
+    }
+}
+
+void mio_iter_destroy(MioIter* it) { delete it; }
+
+// Haplotagged-BAM rewrite (writeHaplotaggedBam, htsIntegration.c:1310-1503).
+// names: NUL-separated blob of n_names names; haps: parallel 1/2 values.
+// Returns 0 on success; counts_out = {h1, h2, h0}.
+int mio_write_haplotagged(const char* in_path, const char* out_path,
+                          const char* names, const int32_t* haps,
+                          int64_t n_names, int tid, int64_t start, int64_t end,
+                          int include_secondary, int include_supplementary,
+                          int64_t* counts_out) {
+    MioBam* m = mio_open(in_path);
+    if (!m) return -1;
+    std::unordered_map<std::string, int32_t> tags;
+    const char* p = names;
+    for (int64_t i = 0; i < n_names; i++) {
+        std::string nm(p);
+        p += nm.size() + 1;
+        auto itr = tags.find(nm);
+        if (itr == tags.end()) tags[nm] = haps[i];
+        else if (itr->second != haps[i]) itr->second = 0;  // conflicting: untag
+    }
+
+    BgzfWriter wr;
+    if (!wr.open(out_path)) {
+        mio_close(m);
+        return -2;
+    }
+    // header
+    {
+        std::vector<uint8_t> hdr;
+        auto put_i32 = [&](int32_t v) {
+            const uint8_t* q = (const uint8_t*)&v;
+            hdr.insert(hdr.end(), q, q + 4);
+        };
+        hdr.insert(hdr.end(), {'B', 'A', 'M', 1});
+        put_i32((int32_t)m->bf.header_text.size());
+        hdr.insert(hdr.end(), m->bf.header_text.begin(), m->bf.header_text.end());
+        put_i32((int32_t)m->bf.ref_names.size());
+        for (size_t i = 0; i < m->bf.ref_names.size(); i++) {
+            put_i32((int32_t)m->bf.ref_names[i].size() + 1);
+            hdr.insert(hdr.end(), m->bf.ref_names[i].begin(), m->bf.ref_names[i].end());
+            hdr.push_back(0);
+            put_i32((int32_t)m->bf.ref_lens[i]);
+        }
+        wr.write(hdr.data(), hdr.size());
+    }
+
+    counts_out[0] = counts_out[1] = counts_out[2] = 0;
+    MioIter* it = mio_iter_region(m, tid, start, end);
+    const uint8_t* rec;
+    int64_t sz;
+    std::vector<uint8_t> out;
+    while ((sz = mio_iter_next(it, &rec)) > 0) {
+        uint16_t fl;
+        memcpy(&fl, rec + 14, 2);
+        uint16_t nc;
+        memcpy(&nc, rec + 12, 2);
+        int32_t lseq = rd_i32(rec + 16);
+        if (lseq <= 0 || nc == 0 || (fl & 0x4)) continue;
+        if (!include_secondary && (fl & 0x100)) continue;
+        if (!include_supplementary && (fl & 0x800)) continue;
+
+        std::string nm = read_name_of(rec, m->bf.ref_names);
+        auto itr = tags.find(nm);
+        int32_t hap = itr == tags.end() ? 0 : itr->second;
+        if (hap == 1) counts_out[0]++;
+        else if (hap == 2) counts_out[1]++;
+        else counts_out[2]++;
+
+        // rebuild record with HP tag edited
+        uint8_t l_read_name = rec[8];
+        size_t tag_off = 32 + l_read_name + 4 * (size_t)nc +
+                         ((size_t)lseq + 1) / 2 + (size_t)lseq;
+        out.assign(rec, rec + tag_off);
+        size_t i = tag_off;
+        bool found = false;
+        while (i + 3 <= (size_t)sz) {
+            size_t tsz = tag_size(rec + i, sz - i);
+            if (rec[i] == 'H' && rec[i + 1] == 'P') {
+                found = true;
+                if (hap != 0) {
+                    const uint8_t t[3] = {'H', 'P', 'i'};
+                    out.insert(out.end(), t, t + 3);
+                    const uint8_t* q = (const uint8_t*)&hap;
+                    out.insert(out.end(), q, q + 4);
+                }
+            } else {
+                out.insert(out.end(), rec + i, rec + i + tsz);
+            }
+            i += tsz;
+        }
+        if (!found && hap != 0) {
+            const uint8_t t[3] = {'H', 'P', 'i'};
+            out.insert(out.end(), t, t + 3);
+            const uint8_t* q = (const uint8_t*)&hap;
+            out.insert(out.end(), q, q + 4);
+        }
+        int32_t osz = (int32_t)out.size();
+        wr.write((const uint8_t*)&osz, 4);
+        wr.write(out.data(), out.size());
+    }
+    mio_iter_destroy(it);
+    wr.close();
+    mio_close(m);
+    return 0;
+}
+
+}  // extern "C"
