@@ -38,6 +38,9 @@ def main(argv=None):
     if argv and argv[0] == "tagFromPhasedVcf":
         from margin_tpu.tools.tag_from_phased_vcf import main as tfpv_main
         return tfpv_main(argv[1:])
+    if argv and argv[0] == "runLengthMatrix":
+        from margin_tpu.tools.run_length_matrix import main as rlm_main
+        return rlm_main(argv[1:])
 
     top = argparse.ArgumentParser(prog="margin_tpu",
                                   description="TPU-native margin: phase + polish")
