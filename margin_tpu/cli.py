@@ -55,6 +55,18 @@ def main(argv=None):
     po = sub.add_parser("polish", help="polish an assembly")
     _add_common(po)
     po.add_argument("--diploid", action="store_true")
+    # HELEN feature export (polish.c:148-151, 195-219)
+    po.add_argument("-f", "--produceFeatures", action="store_true",
+                    help="output HELEN features (default type splitRleWeight)")
+    po.add_argument("-F", "--featureType", default=None,
+                    help="simpleWeight | splitRleWeight | channelRleWeight")
+    po.add_argument("-L", "--splitRleWeightMaxRL", type=int, default=0,
+                    help="max run length for RLE feature types [default 10]")
+    po.add_argument("-u", "--trueReferenceBam", default=None,
+                    help="truth assembly aligned to the reference, for "
+                         "HELEN feature labels")
+    po.add_argument("--fullFeatureOutput", action="store_true",
+                    help="also write per-chunk consensus FASTAs")
 
     args = top.parse_args(argv)
 
@@ -66,6 +78,17 @@ def main(argv=None):
                        (args.params, "params")]:
         if not os.path.exists(path):
             top.error(f"Could not read from input {desc} file: {path}")
+    if args.command == "polish":
+        # polish.c:216-219, 301-307: validate feature flags up front
+        if args.splitRleWeightMaxRL < 0:
+            top.error(f"Invalid splitRleWeightMaxRL: {args.splitRleWeightMaxRL}")
+        if args.trueReferenceBam is not None:
+            if not os.path.exists(args.trueReferenceBam):
+                top.error("Could not read from truth file: "
+                          f"{args.trueReferenceBam}")
+            if not os.path.exists(args.trueReferenceBam + ".bai"):
+                top.error("BAM does not appear to be indexed: "
+                          f"{args.trueReferenceBam}")
 
     # late imports keep CLI startup fast
     try:
@@ -88,8 +111,15 @@ def main(argv=None):
                   use_lut=args.lut_logadd)
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
+        feature_type = args.featureType
+        if feature_type is None and args.produceFeatures:
+            feature_type = "splitRleWeight"  # polish.c:333-335
         run_polish(args.bam, args.reference, params, args.outputBase,
-                   region=args.region, diploid=args.diploid, seed=args.seed)
+                   region=args.region, diploid=args.diploid, seed=args.seed,
+                   feature_type=feature_type,
+                   feature_max_rl=args.splitRleWeightMaxRL,
+                   true_reference_bam=args.trueReferenceBam,
+                   full_feature_output=args.fullFeatureOutput)
     return 0
 
 

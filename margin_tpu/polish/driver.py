@@ -90,6 +90,9 @@ def poa_realign_all(reads: List[PoaRead], alignments, reference: RleString,
 def run_polish(bam_file: str, reference_fasta: str, params: Params,
                output_base: str, region: Optional[str] = None,
                diploid: bool = False, seed: int = 0, use_lut: bool = False,
+               feature_type: Optional[str] = None, feature_max_rl: int = 0,
+               true_reference_bam: Optional[str] = None,
+               full_feature_output: bool = False,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014)."""
     if diploid:
@@ -99,6 +102,23 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     rng = random.Random(seed)
     t0 = time.time()
     pp = params.polish
+
+    helen_h5 = None
+    if feature_type is not None:
+        from margin_tpu.polish import helen
+        feature_type = helen.normalize_feature_type(feature_type)
+        # polish.c:374-383: simpleWeight requires non-RLE params, the RLE
+        # feature types require RLE params
+        if feature_type == "simpleWeight" and pp.useRunLengthEncoding:
+            raise ValueError("Invalid runLengthEncoding parameter because "
+                             "of HELEN feature type.")
+        if feature_type != "simpleWeight" and not pp.useRunLengthEncoding:
+            raise ValueError("Invalid runLengthEncoding parameter because "
+                             "of HELEN feature type.")
+        if feature_max_rl <= 0:
+            feature_max_rl = helen.SPLIT_MAX_RUN_LENGTH_DEFAULT
+        # openHelenFeatureHDF5FilesByThreadCount (helenFeatures.c:2782-2790)
+        helen_h5 = helen.HelenHDF5File(f"{output_base}.T00.h5")
 
     chunkr = chunkermod.construct_chunker(bam_file, region, None, pp,
                                           record_filtered_reads=False)
@@ -133,11 +153,20 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         poa = poa_realign_all(reads, alignments, rle_ref, params, tables, use_lut)
         if pp.useRunLengthEncoding:
             repeats.estimate_repeat_counts(poa, reads, pp.repeat_sub_matrix)
+        if helen_h5 is not None:
+            from margin_tpu.polish import helen
+            helen.handle_helen_features(
+                feature_type, feature_max_rl, helen_h5, full_feature_output,
+                true_reference_bam, rle_ref, params, chunk.chunk_idx, chunk,
+                poa, reads, tables, use_lut, log)
         chunk_seqs.append((chunk.ref_name, chunk.chunk_idx,
                            poa.ref_string.expand()))
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads, "
             f"consensus {poa.ref_string.non_rle_length}bp")
     reader.close()
+    if helen_h5 is not None:
+        helen_h5.close()
+        log(f"> Wrote HELEN features to {helen_h5.filename}")
 
     sequences = stitcher.stitch_sequences(chunk_seqs, params)
     out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
