@@ -67,6 +67,18 @@ def main(argv=None):
                          "HELEN feature labels")
     po.add_argument("--fullFeatureOutput", action="store_true",
                     help="also write per-chunk consensus FASTAs")
+    # supplementary outputs (polish.c:77-80, 154-161)
+    po.add_argument("-i", "--outputRepeatCounts", action="store_true",
+                    help="write per-chunk repeat count observations as CSV")
+    po.add_argument("-j", "--outputPoaCsv", action="store_true",
+                    help="write per-chunk POA as CSV")
+    po.add_argument("--outputPoaDot", action="store_true",
+                    help="write per-chunk POA as DOT")
+    po.add_argument("-n", "--outputHaplotypeReads", action="store_true",
+                    help="write phased reads and likelihoods as CSV "
+                         "(--diploid only)")
+    po.add_argument("--outputPhasingState", action="store_true",
+                    help="write phasing likelihoods as JSON (--diploid only)")
 
     args = top.parse_args(argv)
 
@@ -119,7 +131,12 @@ def main(argv=None):
                    feature_type=feature_type,
                    feature_max_rl=args.splitRleWeightMaxRL,
                    true_reference_bam=args.trueReferenceBam,
-                   full_feature_output=args.fullFeatureOutput)
+                   full_feature_output=args.fullFeatureOutput,
+                   output_poa_csv=args.outputPoaCsv,
+                   output_poa_dot=args.outputPoaDot,
+                   output_repeat_counts=args.outputRepeatCounts,
+                   output_haplotype_reads=args.outputHaplotypeReads,
+                   output_phasing_state=args.outputPhasingState)
     return 0
 
 

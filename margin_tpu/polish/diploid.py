@@ -102,9 +102,12 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                   filtered_reads: List[PoaRead],
                   filtered_alignments, rle_reference: RleString,
                   chunk_vcf_entries, params: Params, tables,
-                  ref_name: str = "ref", use_lut: bool = False):
+                  ref_name: str = "ref", use_lut: bool = False,
+                  collect: dict = None):
     """One chunk of the diploid polish path. Returns
-    (hap1_consensus, hap2_consensus, hap1_names, hap2_names, gf)."""
+    (hap1_consensus, hap2_consensus, hap1_names, hap2_names, gf).
+    If `collect` is a dict, internal state needed for supplementary
+    outputs (hap POAs, hap id sets, bubble graph) is stashed in it."""
     pp = params.polish
     bg, ref, gf, pseqs, hap1_ids, hap2_ids, phreds = phase_poa(
         poa, reads, chunk_vcf_entries, params, tables, ref_name, use_lut)
@@ -137,6 +140,10 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
 
     hap1_names = {r.read_name for r in reads + all_filtered if id(r) in hap1_ids}
     hap2_names = {r.read_name for r in reads + all_filtered if id(r) in hap2_ids}
+    if collect is not None:
+        collect.update(poa_hap1=poa_hap1, poa_hap2=poa_hap2, bg=bg, gf=gf,
+                       hap1_ids=hap1_ids, hap2_ids=hap2_ids,
+                       all_filtered=all_filtered)
     return (poa_hap1.ref_string.expand(), poa_hap2.ref_string.expand(),
             hap1_names, hap2_names, gf, phreds,
             {id(r): r.read_name for r in reads})

@@ -93,12 +93,22 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                feature_type: Optional[str] = None, feature_max_rl: int = 0,
                true_reference_bam: Optional[str] = None,
                full_feature_output: bool = False,
+               output_poa_csv: bool = False, output_poa_dot: bool = False,
+               output_repeat_counts: bool = False,
+               output_haplotype_reads: bool = False,
+               output_phasing_state: bool = False,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014)."""
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
                                   output_base, region=region, seed=seed,
-                                  use_lut=use_lut, log=log)
+                                  use_lut=use_lut,
+                                  output_poa_csv=output_poa_csv,
+                                  output_poa_dot=output_poa_dot,
+                                  output_repeat_counts=output_repeat_counts,
+                                  output_haplotype_reads=output_haplotype_reads,
+                                  output_phasing_state=output_phasing_state,
+                                  log=log)
     rng = random.Random(seed)
     t0 = time.time()
     pp = params.polish
@@ -159,6 +169,11 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                 feature_type, feature_max_rl, helen_h5, full_feature_output,
                 true_reference_bam, rle_ref, params, chunk.chunk_idx, chunk,
                 poa, reads, tables, use_lut, log)
+        if output_poa_csv or output_poa_dot or output_repeat_counts:
+            from margin_tpu.polish import outputs
+            outputs.write_supplemental_chunk_information(
+                output_base, chunk.chunk_idx, chunk, poa, reads, params,
+                output_poa_dot, output_poa_csv, output_repeat_counts)
         chunk_seqs.append((chunk.ref_name, chunk.chunk_idx,
                            poa.ref_string.expand()))
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads, "
@@ -178,6 +193,11 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
 def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        output_base: str, region: Optional[str] = None,
                        seed: int = 0, use_lut: bool = False,
+                       output_poa_csv: bool = False,
+                       output_poa_dot: bool = False,
+                       output_repeat_counts: bool = False,
+                       output_haplotype_reads: bool = False,
+                       output_phasing_state: bool = False,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -228,10 +248,50 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                         f_alns.append(a)
                 reads, alignments = kept_r, kept_a
         poa = poa_realign(reads, alignments, rle_ref, pp, tables, use_lut=use_lut)
+        want_supplemental = (output_poa_csv or output_poa_dot
+                             or output_repeat_counts
+                             or output_haplotype_reads
+                             or output_phasing_state)
+        collect = {} if want_supplemental else None
         (hap1_seq, hap2_seq, hap1_names, hap2_names, gf, phreds,
          name_by_id) = diploidmod.diploid_chunk(
             poa, reads, f_reads, f_alns, rle_ref, None, params, tables,
-            ref_name=chunk.ref_name, use_lut=use_lut)
+            ref_name=chunk.ref_name, use_lut=use_lut, collect=collect)
+        if want_supplemental:
+            from margin_tpu.polish import outputs
+            # poa_writeSupplementalChunkInformationDiploid
+            # (htsIntegration.c:1546-1587)
+            for hap_id, key in ((".hap1", "poa_hap1"), (".hap2", "poa_hap2")):
+                outputs.write_supplemental_chunk_information(
+                    output_base, chunk.chunk_idx, chunk, collect[key], reads,
+                    params, output_poa_dot, output_poa_csv,
+                    output_repeat_counts, hap_identifier=hap_id)
+            if output_haplotype_reads:
+                min_phred = params.phase.minPhredScoreForHaplotypePartition
+                for hap_id, ids in ((".hap1", collect["hap1_ids"]),
+                                    (".hap2", collect["hap2_ids"])):
+                    path = outputs._chunk_file_base(
+                        output_base, "readIds", chunk.chunk_idx,
+                        chunk, hap_id) + ".csv"
+                    hap_reads = {r.read_name: phreds.get(id(r), 0.0) or 0.0
+                                 for r in reads if id(r) in ids}
+                    with open(path, "w") as fh:
+                        outputs.write_partition_csv(fh, hap_reads, min_phred)
+            if output_phasing_state:
+                path = (f"{output_base}.C{chunk.chunk_idx:05d}."
+                        f"{chunk.ref_name}-{chunk.chunk_overlap_start}-"
+                        f"{chunk.chunk_overlap_end}.phasingInfo.json")
+                rle_map = rle_ref.rle_to_non_rle_map()
+                with open(path, "w") as fh:
+                    fh.write("{\n")
+                    outputs.save_bubble_phasing_info(
+                        chunk, collect["bg"], gf, collect["hap1_ids"],
+                        collect["hap2_ids"], rle_map, fh)
+                    outputs.write_phased_read_info_json(
+                        chunk, reads, alignments, f_reads, f_alns,
+                        collect["hap1_ids"], collect["hap2_ids"],
+                        rle_map, fh)
+                    fh.write("\n}\n")
         res = ChunkPhaseResult(chunk.chunk_idx, chunk.ref_name)
         for r in reads:
             p = phreds.get(id(r))
