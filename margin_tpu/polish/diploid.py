@@ -44,19 +44,111 @@ def bubble_graph_get_new_poa(bg: BubbleGraph, consensus_path: np.ndarray,
                        tables, use_lut=use_lut)
 
 
+def produce_vcf_entries_from_bubble_graph(ref_name: str, bg: BubbleGraph,
+                                          gf: GenomeFragment, pseqs,
+                                          strand_skew_threshold: float,
+                                          read_skew_threshold: float,
+                                          log=None):
+    """produceVcfEntriesFromBubbleGraph (misc.c:259-351): turn the phased
+    het bubbles into VCF entries, dropping bubbles whose strand balance or
+    read split fails a binomial test."""
+    from margin_tpu.io.vcf import VcfEntry
+    from margin_tpu.io.vcf_writer import binomial_pvalue
+
+    entries = []
+    passes = total = fails_strand = fails_read = 0
+    for i in range(gf.length):
+        b = bg.bubbles[gf.ref_start + i]
+        a1 = int(gf.haplotype_string1[i])
+        a2 = int(gf.haplotype_string2[i])
+        if a1 == a2:  # we only care about hets
+            continue
+        hap1, hap2 = b.alleles[a1], b.alleles[a2]
+
+        # read split between the two het alleles
+        total_reads = hap1_reads = 0
+        for j in range(len(b.reads)):
+            s1 = float(b.allele_read_supports[a1, j])
+            s2 = float(b.allele_read_supports[a2, j])
+            if s1 != s2:
+                total_reads += 1
+                if s1 > s2:
+                    hap1_reads += 1
+
+        # strand skew over the HMM partitions (bubble_phasedStrandSkew,
+        # bubbleGraph.c:2885-2903; uses gf reads1/reads2, pre-phred-filter)
+        n = k = 0
+        for rs in b.reads:
+            ps = pseqs.get(id(rs.read))
+            if ps is None:
+                continue
+            if id(ps) in gf.reads1:
+                n += 1
+                k += 1 if rs.read.forward_strand else 0
+            elif id(ps) in gf.reads2:
+                n += 1
+                k += 0 if rs.read.forward_strand else 1
+        strand_skew = binomial_pvalue(n, k)
+        read_skew = binomial_pvalue(total_reads, hap1_reads)
+
+        ok = True
+        if strand_skew < strand_skew_threshold:
+            fails_strand += 1
+            ok = False
+        if read_skew < read_skew_threshold:
+            fails_read += 1
+            ok = False
+        if ok:
+            for vp in getattr(b, "variant_position_offsets", []):
+                # the reference's pointer-identity ref-allele check
+                # (misc.c:319-330) never fires because bubble alleles are
+                # fresh copies, so entries are always [ref, hap1, hap2] 1|2
+                alleles = [b.ref_allele.copy(), hap1.copy(), hap2.copy()]
+                entries.append(VcfEntry(
+                    ref_name, int(b.ref_start + vp), -1, -1.0,
+                    hap1.non_rle_length != hap2.non_rle_length, False,
+                    alleles, 1, 2))
+            passes += 1
+        total += 1
+    if log is not None:
+        log(f"  kept {passes} of {total} bubbles after quality filtering "
+            f"({fails_strand} strand / {fails_read} read-split failures)")
+    return entries
+
+
 def phase_poa(poa: Poa, reads: List[PoaRead], chunk_vcf_entries,
               params: Params, tables, ref_name: str = "ref",
-              use_lut: bool = False):
-    """The diploid bubble-finding + phasing step (polish.c:644-712, single
-    iteration). Returns (bg, ref, gf, pseqs, hap1_ids, hap2_ids) where the
-    id sets are id(PoaRead)."""
-    bg = bubbles_poa.bubble_graph_from_poa(poa, reads, chunk_vcf_entries,
-                                           params, tables, phasing=True,
-                                           use_lut=use_lut)
-    ref = phase_engine.get_reference(bg, ref_name, params)
-    gf, pseqs = phase_engine.phase_bubble_graph(bg, ref, reads, params)
-    hap1_ids, hap2_ids, phreds = phase_engine.phase_bam_chunk_reads(
-        gf, pseqs, reads, params)
+              use_lut: bool = False, log=None):
+    """The diploid bubble-finding + phasing loop (polish.c:644-714): build
+    the bubble graph, phase, then (in no-VCF mode) refine by regenerating
+    the graph from the skew-filtered het bubbles, up to
+    bubbleFindingIterations extra rounds. Returns
+    (bg, ref, gf, pseqs, hap1_ids, hap2_ids, phreds) where the id sets are
+    id(PoaRead)."""
+    vcf_entries = chunk_vcf_entries
+    iteration = 0
+    bg = ref = gf = pseqs = hap1_ids = hap2_ids = phreds = None
+    while True:
+        if iteration != 0:
+            filtered = produce_vcf_entries_from_bubble_graph(
+                ref_name, bg, gf, pseqs,
+                params.phase.bubbleMinBinomialStrandLikelihood,
+                params.phase.bubbleMinBinomialReadSplitLikelihood, log)
+            # terminate or iterate (polish.c:655-661)
+            if len(filtered) == 0 or len(filtered) == len(bg.bubbles):
+                break
+            vcf_entries = filtered
+        bg = bubbles_poa.bubble_graph_from_poa(poa, reads, vcf_entries,
+                                               params, tables, phasing=True,
+                                               use_lut=use_lut)
+        ref = phase_engine.get_reference(bg, ref_name, params)
+        gf, pseqs = phase_engine.phase_bubble_graph(bg, ref, reads, params)
+        hap1_ids, hap2_ids, phreds = phase_engine.phase_bam_chunk_reads(
+            gf, pseqs, reads, params)
+        iteration += 1
+        if (chunk_vcf_entries is not None
+                or iteration > params.phase.bubbleFindingIterations):
+            break
     return bg, ref, gf, pseqs, hap1_ids, hap2_ids, phreds
 
 

@@ -37,3 +37,51 @@ def test_diploid_polish_small_region(tmp_path):
     assert _identity(h2[0], truth) > 0.95
     # reads split into two nonempty haplotypes
     assert out.hap1_count > 0 and out.hap2_count > 0
+
+
+@pytest.mark.slow
+def test_bubble_finding_iteration_produces_vcf_entries(tmp_path):
+    """produceVcfEntriesFromBubbleGraph (misc.c:259-351) + the
+    bubbleFindingIterations refinement loop (polish.c:644-714)."""
+    import numpy as np
+    from margin_tpu.io import bam as bamio
+    from margin_tpu.io.fasta import FastaIndex
+    from margin_tpu.ops import pairhmm
+    from margin_tpu.phase import chunker as chunkermod
+    from margin_tpu.polish import diploid as diploidmod
+    from margin_tpu.polish.poa import poa_realign
+    from margin_tpu.polish.reads import convert_to_reads_and_alignments
+    from margin_tpu.rle import RleString
+
+    params = Params.load(reference_path(
+        "params", "polish", "ont", "r9.4", "allParams.np.human.r94-g360.json"))
+    pp = params.polish
+    tables = pairhmm.PairHmmTables.from_params(
+        pp.sm_forward, pp.sm_reverse,
+        repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
+    chunkr = chunkermod.construct_chunker(BAM, "chr20:2000-5000", None, pp,
+                                          record_filtered_reads=False)
+    chunk = chunkr.chunks[0]
+    raw_ref = FastaIndex(FASTA).fetch(chunk.ref_name,
+                                      chunk.chunk_overlap_start,
+                                      chunk.chunk_overlap_end).upper()
+    rle_ref = RleString.encode(raw_ref)
+    reader = bamio.BamReader(BAM)
+    reads, alignments, _f, _fa = convert_to_reads_and_alignments(
+        chunk, rle_ref, reader, pp, keep_filtered=False)
+    reader.close()
+    poa = poa_realign(reads, alignments, rle_ref, pp, tables)
+
+    bg, ref, gf, pseqs, h1, h2, _ = diploidmod.phase_poa(
+        poa, reads, None, params, tables, ref_name=chunk.ref_name)
+    entries = diploidmod.produce_vcf_entries_from_bubble_graph(
+        chunk.ref_name, bg, gf, pseqs,
+        params.phase.bubbleMinBinomialStrandLikelihood,
+        params.phase.bubbleMinBinomialReadSplitLikelihood)
+    # every entry is a [ref, hap1, hap2] triple phased 1|2 at a node pos
+    for e in entries:
+        assert len(e.alleles) == 3
+        assert (e.gt1, e.gt2) == (1, 2)
+        assert 0 <= e.ref_pos < len(poa.nodes)
+    poss = [e.ref_pos for e in entries]
+    assert poss == sorted(poss)
