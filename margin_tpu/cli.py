@@ -55,6 +55,14 @@ def main(argv=None):
     po = sub.add_parser("polish", help="polish an assembly")
     _add_common(po)
     po.add_argument("--diploid", action="store_true")
+    po.add_argument("-v", "--vcf", default=None,
+                    help="VCF with variants for diploid phasing")
+    po.add_argument("--onlyVcfAlleles", action="store_true",
+                    help="only consider alleles from the VCF (requires "
+                         "non-RLE params and --skipOutputFasta)")
+    po.add_argument("--skipOutputFasta", action="store_true",
+                    help="skip consensus FASTA output (diploid: only the "
+                         "haplotagged BAM and ancillary files are written)")
     # HELEN feature export (polish.c:148-151, 195-219)
     po.add_argument("-f", "--produceFeatures", action="store_true",
                     help="output HELEN features (default type splitRleWeight)")
@@ -91,6 +99,11 @@ def main(argv=None):
         if not os.path.exists(path):
             top.error(f"Could not read from input {desc} file: {path}")
     if args.command == "polish":
+        if args.vcf is not None and not os.path.exists(args.vcf):
+            top.error(f"Could not read from vcf file: {args.vcf}")
+        if args.onlyVcfAlleles and not args.skipOutputFasta:
+            top.error("The --onlyVcfAlleles parameter must be used with "
+                      "the --skipOutputFasta option")
         # polish.c:216-219, 301-307: validate feature flags up front
         if args.splitRleWeightMaxRL < 0:
             top.error(f"Invalid splitRleWeightMaxRL: {args.splitRleWeightMaxRL}")
@@ -136,7 +149,10 @@ def main(argv=None):
                    output_poa_dot=args.outputPoaDot,
                    output_repeat_counts=args.outputRepeatCounts,
                    output_haplotype_reads=args.outputHaplotypeReads,
-                   output_phasing_state=args.outputPhasingState)
+                   output_phasing_state=args.outputPhasingState,
+                   vcf_file=args.vcf,
+                   only_use_vcf_alleles=args.onlyVcfAlleles,
+                   skip_output_fasta=args.skipOutputFasta)
     return 0
 
 

@@ -19,10 +19,12 @@ from margin_tpu.rle import RleString
 
 def get_vcf_entries_for_region(vcf_entries_map, ref_name: str, start: int,
                                end: int, params: Params,
-                               rng: random.Random) -> Tuple[List[VcfEntry], List[VcfEntry]]:
+                               rng: random.Random,
+                               rle_map=None) -> Tuple[List[VcfEntry], List[VcfEntry]]:
     """Returns (primary_entries, filtered_entries); chunk-local copies with
     refPos in 1-based 'POA space' relative to `start`
-    (getVcfEntriesForRegion, vcf.c:259-391)."""
+    (getVcfEntriesForRegion, vcf.c:259-391). `rle_map` is the chunk
+    reference's non-RLE-to-RLE coordinate map for the RLE polish path."""
     pp = params.phase
     entries = vcf_entries_map.get(ref_name)
     if entries is None:
@@ -40,7 +42,9 @@ def get_vcf_entries_for_region(vcf_entries_map, ref_name: str, start: int,
         e = entries[i]
         if e.ref_pos >= end:
             break
-        ref_pos = e.ref_pos - start + 1  # 1-based POA space (vcf.c:291)
+        # 1-based POA space, through the RLE map if given (vcf.c:291)
+        local = e.ref_pos - start
+        ref_pos = (int(rle_map[local]) if rle_map is not None else local) + 1
 
         is_unusable = False
         if e.is_sv:

@@ -118,7 +118,9 @@ def produce_vcf_entries_from_bubble_graph(ref_name: str, bg: BubbleGraph,
 
 def phase_poa(poa: Poa, reads: List[PoaRead], chunk_vcf_entries,
               params: Params, tables, ref_name: str = "ref",
-              use_lut: bool = False, log=None):
+              use_lut: bool = False, log=None,
+              only_vcf_alleles: bool = False,
+              rle_reference: Optional[RleString] = None):
     """The diploid bubble-finding + phasing loop (polish.c:644-714): build
     the bubble graph, phase, then (in no-VCF mode) refine by regenerating
     the graph from the skew-filtered het bubbles, up to
@@ -138,9 +140,16 @@ def phase_poa(poa: Poa, reads: List[PoaRead], chunk_vcf_entries,
             if len(filtered) == 0 or len(filtered) == len(bg.bubbles):
                 break
             vcf_entries = filtered
-        bg = bubbles_poa.bubble_graph_from_poa(poa, reads, vcf_entries,
-                                               params, tables, phasing=True,
-                                               use_lut=use_lut)
+        if only_vcf_alleles:
+            # polish.c:673-674
+            bg = bubbles_poa.bubble_graph_from_poa_and_vcf_only_alleles(
+                poa, reads, rle_reference, vcf_entries, params, tables,
+                use_lut=use_lut)
+        else:
+            bg = bubbles_poa.bubble_graph_from_poa(poa, reads, vcf_entries,
+                                                   params, tables,
+                                                   phasing=True,
+                                                   use_lut=use_lut)
         ref = phase_engine.get_reference(bg, ref_name, params)
         gf, pseqs = phase_engine.phase_bubble_graph(bg, ref, reads, params)
         hap1_ids, hap2_ids, phreds = phase_engine.phase_bam_chunk_reads(
@@ -195,30 +204,36 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                   filtered_alignments, rle_reference: RleString,
                   chunk_vcf_entries, params: Params, tables,
                   ref_name: str = "ref", use_lut: bool = False,
-                  collect: dict = None):
+                  collect: dict = None, only_vcf_alleles: bool = False,
+                  output_fasta: bool = True):
     """One chunk of the diploid polish path. Returns
     (hap1_consensus, hap2_consensus, hap1_names, hap2_names, gf).
     If `collect` is a dict, internal state needed for supplementary
-    outputs (hap POAs, hap id sets, bubble graph) is stashed in it."""
+    outputs (hap POAs, hap id sets, bubble graph) is stashed in it.
+    With output_fasta=False (polish.c:719 skipOutputFasta) the per-hap
+    POA construction is skipped and the consensus strings are empty."""
     pp = params.polish
     bg, ref, gf, pseqs, hap1_ids, hap2_ids, phreds = phase_poa(
-        poa, reads, chunk_vcf_entries, params, tables, ref_name, use_lut)
+        poa, reads, chunk_vcf_entries, params, tables, ref_name, use_lut,
+        only_vcf_alleles=only_vcf_alleles, rle_reference=rle_reference)
 
-    hap1_path = get_padded_haplotype_string(
-        gf.haplotype_string1[:gf.length], gf, bg)
-    hap2_path = get_padded_haplotype_string(
-        gf.haplotype_string2[:gf.length], gf, bg)
+    poa_hap1 = poa_hap2 = None
+    if output_fasta:
+        hap1_path = get_padded_haplotype_string(
+            gf.haplotype_string1[:gf.length], gf, bg)
+        hap2_path = get_padded_haplotype_string(
+            gf.haplotype_string2[:gf.length], gf, bg)
 
-    poa_hap1 = bubble_graph_get_new_poa(bg, hap1_path, poa, reads, params,
-                                        tables, use_lut)
-    poa_hap2 = bubble_graph_get_new_poa(bg, hap2_path, poa, reads, params,
-                                        tables, use_lut)
+        poa_hap1 = bubble_graph_get_new_poa(bg, hap1_path, poa, reads, params,
+                                            tables, use_lut)
+        poa_hap2 = bubble_graph_get_new_poa(bg, hap2_path, poa, reads, params,
+                                            tables, use_lut)
 
-    if pp.useRunLengthEncoding and pp.repeat_sub_matrix is not None:
-        repeats.estimate_phased_repeat_counts(poa_hap1, reads,
-                                              pp.repeat_sub_matrix, hap1_ids, pp)
-        repeats.estimate_phased_repeat_counts(poa_hap2, reads,
-                                              pp.repeat_sub_matrix, hap2_ids, pp)
+        if pp.useRunLengthEncoding and pp.repeat_sub_matrix is not None:
+            repeats.estimate_phased_repeat_counts(
+                poa_hap1, reads, pp.repeat_sub_matrix, hap1_ids, pp)
+            repeats.estimate_phased_repeat_counts(
+                poa_hap2, reads, pp.repeat_sub_matrix, hap2_ids, pp)
 
     # unassigned primary reads join the filtered pool (polish.c:762-770)
     extra = [(r, None) for r in reads
@@ -236,6 +251,7 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
         collect.update(poa_hap1=poa_hap1, poa_hap2=poa_hap2, bg=bg, gf=gf,
                        hap1_ids=hap1_ids, hap2_ids=hap2_ids,
                        all_filtered=all_filtered)
-    return (poa_hap1.ref_string.expand(), poa_hap2.ref_string.expand(),
+    return (poa_hap1.ref_string.expand() if poa_hap1 is not None else "",
+            poa_hap2.ref_string.expand() if poa_hap2 is not None else "",
             hap1_names, hap2_names, gf, phreds,
             {id(r): r.read_name for r in reads})

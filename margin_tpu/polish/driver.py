@@ -87,6 +87,14 @@ def poa_realign_all(reads: List[PoaRead], alignments, reference: RleString,
     return poa
 
 
+def _write_chunks_csv(output_base: str, chunkr) -> None:
+    """The per-run chunk geometry dump (polish.c:410-418)."""
+    with open(f"{output_base}.chunks.csv", "w") as fh:
+        for c in chunkr.chunks:
+            fh.write(f"{c.ref_name},{c.chunk_overlap_start},"
+                     f"{c.chunk_overlap_end},{c.chunk_start},{c.chunk_end}\n")
+
+
 def run_polish(bam_file: str, reference_fasta: str, params: Params,
                output_base: str, region: Optional[str] = None,
                diploid: bool = False, seed: int = 0, use_lut: bool = False,
@@ -97,6 +105,9 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                output_repeat_counts: bool = False,
                output_haplotype_reads: bool = False,
                output_phasing_state: bool = False,
+               vcf_file: Optional[str] = None,
+               only_use_vcf_alleles: bool = False,
+               skip_output_fasta: bool = False,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014)."""
     if diploid:
@@ -108,6 +119,9 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   output_repeat_counts=output_repeat_counts,
                                   output_haplotype_reads=output_haplotype_reads,
                                   output_phasing_state=output_phasing_state,
+                                  vcf_file=vcf_file,
+                                  only_use_vcf_alleles=only_use_vcf_alleles,
+                                  skip_output_fasta=skip_output_fasta,
                                   log=log)
     rng = random.Random(seed)
     t0 = time.time()
@@ -133,6 +147,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     chunkr = chunkermod.construct_chunker(bam_file, region, None, pp,
                                           record_filtered_reads=False)
     log(f"> Built {len(chunkr.chunks)} chunks")
+    _write_chunks_csv(output_base, chunkr)
     fasta = FastaIndex(reference_fasta)
     tables = pairhmm.PairHmmTables.from_params(
         pp.sm_forward, pp.sm_reverse,
@@ -198,10 +213,16 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        output_repeat_counts: bool = False,
                        output_haplotype_reads: bool = False,
                        output_phasing_state: bool = False,
+                       vcf_file: Optional[str] = None,
+                       only_use_vcf_alleles: bool = False,
+                       skip_output_fasta: bool = False,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
-    phased FASTAs + haplotagged BAM."""
+    phased FASTAs + haplotagged BAM. With `vcf_file`, candidate variant
+    positions come from the VCF; `only_use_vcf_alleles` restricts alleles
+    to the VCF's (requires non-RLE params and skip_output_fasta,
+    polish.c:364-371)."""
     from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_next_chunk
     from margin_tpu.polish import diploid as diploidmod
     from margin_tpu.phase.driver import write_haplotagged_bam
@@ -212,10 +233,24 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     if not pp.skipHaploidPolishingIfDiploid:
         raise ValueError("skipHaploidPolishingIfDiploid must be TRUE "
                          "(polish.c:361-363)")
+    if only_use_vcf_alleles:
+        if pp.useRunLengthEncoding:
+            raise ValueError("The --onlyVcfAlleles parameter can only be "
+                             "used without runLengthEncoding")
+        if not skip_output_fasta:
+            raise ValueError("The --onlyVcfAlleles parameter must be used "
+                             "with the --skipOutputFasta option")
+
+    vcf_entries_map = None
+    if vcf_file is not None:
+        from margin_tpu.io.vcf import parse_vcf
+        vcf_entries_map = parse_vcf(vcf_file, region,
+                                    use_rle=pp.useRunLengthEncoding)
 
     chunkr = chunkermod.construct_chunker(bam_file, region, None, pp,
                                           record_filtered_reads=True)
     log(f"> Built {len(chunkr.chunks)} chunks (diploid)")
+    _write_chunks_csv(output_base, chunkr)
     fasta = FastaIndex(reference_fasta)
     tables = pairhmm.PairHmmTables.from_params(
         pp.sm_forward, pp.sm_reverse,
@@ -248,6 +283,15 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                         f_alns.append(a)
                 reads, alignments = kept_r, kept_a
         poa = poa_realign(reads, alignments, rle_ref, pp, tables, use_lut=use_lut)
+        chunk_vcf_entries = None
+        if vcf_entries_map is not None:
+            # polish.c:630-642
+            from margin_tpu.phase import variants
+            rle_map = (rle_ref.non_rle_to_rle_map()
+                       if pp.useRunLengthEncoding else None)
+            chunk_vcf_entries, _filtered = variants.get_vcf_entries_for_region(
+                vcf_entries_map, chunk.ref_name, chunk.chunk_overlap_start,
+                chunk.chunk_overlap_end, params, rng, rle_map=rle_map)
         want_supplemental = (output_poa_csv or output_poa_dot
                              or output_repeat_counts
                              or output_haplotype_reads
@@ -255,8 +299,10 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         collect = {} if want_supplemental else None
         (hap1_seq, hap2_seq, hap1_names, hap2_names, gf, phreds,
          name_by_id) = diploidmod.diploid_chunk(
-            poa, reads, f_reads, f_alns, rle_ref, None, params, tables,
-            ref_name=chunk.ref_name, use_lut=use_lut, collect=collect)
+            poa, reads, f_reads, f_alns, rle_ref, chunk_vcf_entries, params,
+            tables, ref_name=chunk.ref_name, use_lut=use_lut, collect=collect,
+            only_vcf_alleles=only_use_vcf_alleles,
+            output_fasta=not skip_output_fasta)
         if want_supplemental:
             from margin_tpu.polish import outputs
             # poa_writeSupplementalChunkInformationDiploid
@@ -331,8 +377,11 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                               params.phase.stitchWithPrimaryReadsOnly)
             if res.was_switched:
                 s1, s2 = s2, s1
-            prev1, s1, _ = stitcher.trim_adjacent_sequences(prev1, s1, params)
-            prev2, s2, _ = stitcher.trim_adjacent_sequences(prev2, s2, params)
+            if not skip_output_fasta:
+                prev1, s1, _ = stitcher.trim_adjacent_sequences(prev1, s1,
+                                                                params)
+                prev2, s2, _ = stitcher.trim_adjacent_sequences(prev2, s2,
+                                                                params)
             pieces1.append(prev1)
             pieces2.append(prev2)
             prev1, prev2 = s1, s2
@@ -345,10 +394,11 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         ids2.extend(acc2.keys())
         i = j
 
-    out.hap1_fasta = f"{output_base}.hap1.fa"
-    out.hap2_fasta = f"{output_base}.hap2.fa"
-    write_fasta(out.hap1_fasta, hap1_records)
-    write_fasta(out.hap2_fasta, hap2_records)
+    if not skip_output_fasta:
+        out.hap1_fasta = f"{output_base}.hap1.fa"
+        out.hap2_fasta = f"{output_base}.hap2.fa"
+        write_fasta(out.hap1_fasta, hap1_records)
+        write_fasta(out.hap2_fasta, hap2_records)
     out.haplotagged_bam = f"{output_base}.haplotagged.bam"
     h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
                                        set(ids1), set(ids2), params)

@@ -85,3 +85,41 @@ def test_bubble_finding_iteration_produces_vcf_entries(tmp_path):
         assert 0 <= e.ref_pos < len(poa.nodes)
     poss = [e.ref_pos for e in entries]
     assert poss == sorted(poss)
+
+
+VCF = reference_path("tests", "data", "realData",
+                     "HG002.r94g360.chr20_59M_100k.vcf")
+
+
+@pytest.mark.slow
+def test_diploid_polish_with_vcf(tmp_path):
+    """polish --diploid -v: VCF entries drive candidate variant positions
+    (polish.c:630-642, bubbleGraph_constructFromPoaAndVCF)."""
+    params = Params.load(reference_path(
+        "params", "polish", "ont", "r9.4", "allParams.np.human.r94-g360.json"))
+    out = run_polish(BAM, FASTA, params, str(tmp_path / "dv"),
+                     region="chr20:2000-5000", diploid=True, vcf_file=VCF,
+                     log=lambda *a: None)
+    assert out.hap1_count > 0 and out.hap2_count > 0
+    from test_polish import _read_fasta, _identity
+    from margin_tpu.io.fasta import FastaIndex
+    _, h1 = _read_fasta(out.hap1_fasta)
+    truth = FastaIndex(FASTA).fetch("chr20", 2000, 5000).upper()
+    assert _identity(h1[0], truth) > 0.95
+
+
+@pytest.mark.slow
+def test_diploid_only_vcf_alleles(tmp_path):
+    """--onlyVcfAlleles --skipOutputFasta: bubbles strictly from VCF
+    alleles, haplotag-only output
+    (bubbleGraph_constructFromPoaAndVCFOnlyVCFAllele)."""
+    params = Params.load(reference_path("params", "polish", "misc",
+                                        "allParams.no_rle.json"))
+    out = run_polish(BAM, FASTA, params, str(tmp_path / "ov"),
+                     region="chr20:2000-5000", diploid=True, vcf_file=VCF,
+                     only_use_vcf_alleles=True, skip_output_fasta=True,
+                     log=lambda *a: None)
+    assert out.hap1_fasta is None and out.hap2_fasta is None
+    assert out.hap1_count > 5 and out.hap2_count > 5
+    import os
+    assert os.path.exists(out.haplotagged_bam)
