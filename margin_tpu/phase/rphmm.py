@@ -207,6 +207,50 @@ class RPHmm:
         self.columns.insert(idx + 1, rcol)
         self.merges.insert(idx, m)
 
+    def _column_index_at(self, site: int) -> int:
+        """getColumn (hmm.c): index of the column containing `site`."""
+        for i, col in enumerate(self.columns):
+            if col.ref_start <= site < col.ref_start + col.length:
+                return i
+        raise ValueError(f"site {site} outside hmm "
+                         f"[{self.ref_start}, {self.ref_start + self.ref_length})")
+
+    def split(self, split_point: int) -> "RPHmm":
+        """stRPHmm_split (hmm.c:1223-1300): split in place at split_point,
+        returning the suffix hmm (this hmm becomes the prefix). Profile
+        seqs spanning the split end up in both."""
+        assert self.ref_start < split_point < self.ref_start + self.ref_length
+        idx = self._column_index_at(split_point)
+        if split_point > self.columns[idx].ref_start:
+            self._split_column(idx, split_point - self.columns[idx].ref_start)
+            idx += 1
+        assert self.columns[idx].ref_start == split_point
+        suffix_seqs = [ps for ps in self.profile_seqs
+                       if ps.ref_start + ps.length > split_point]
+        prefix_seqs = [ps for ps in self.profile_seqs
+                       if ps.ref_start < split_point]
+        suffix = RPHmm(self.ref, split_point,
+                       self.ref_start + self.ref_length - split_point,
+                       suffix_seqs, self.columns[idx:], self.merges[idx:],
+                       self.params)
+        self.ref_length = split_point - self.ref_start
+        self.profile_seqs = prefix_seqs
+        self.columns = self.columns[:idx]
+        self.merges = self.merges[:idx - 1]
+        assert self.ref_length > 0 and suffix.ref_length > 0
+        return suffix
+
+    def _sites_linkage_is_well_supported(self, left_site: int,
+                                         right_site: int) -> bool:
+        """sitesLinkageIsWellSupported (hmm.c:1302-1320): enough reads span
+        both sites."""
+        left = self.columns[self._column_index_at(left_site)]
+        right = self.columns[self._column_index_at(right_site)]
+        common = ({id(ps) for ps in left.seqs}
+                  & {id(ps) for ps in right.seqs})
+        return len(common) >= \
+            self.params.minReadCoverageToSupportPhasingBetweenHeterozygousSites
+
     @staticmethod
     def align_columns(h1: "RPHmm", h2: "RPHmm"):
         """stRPHmm_alignColumns (hmm.c:374-507), in place."""
@@ -616,6 +660,31 @@ def merge_tiling_paths(paths: List[List[RPHmm]],
     else:
         tp1, tp2 = paths[0], paths[1]
     return merge_two_tiling_paths(tp1, tp2, include_ancestor)
+
+
+def split_where_phasing_is_uncertain(hmm: RPHmm) -> List[RPHmm]:
+    """stRPHMM_splitWherePhasingIsUncertain (hmm.c:1322-1383): split the hmm
+    between consecutive predicted het sites whose linkage is supported by
+    fewer than minReadCoverageToSupportPhasingBetweenHeterozygousSites
+    spanning reads. Returns the ordered list of fragments."""
+    from margin_tpu.phase.fragment import construct_genome_fragment
+
+    hmm.forward_backward()
+    path = hmm.forward_traceback()
+    gf = construct_genome_fragment(hmm, path)
+
+    het_sites = [gf.ref_start + i for i in range(gf.length)
+                 if gf.haplotype_string1[i] != gf.haplotype_string2[i]]
+
+    out: List[RPHmm] = []
+    for j, k in zip(het_sites, het_sites[1:]):
+        if not hmm._sites_linkage_is_well_supported(j, k):
+            split_point = j + (k - j + 1) // 2
+            right = hmm.split(split_point)
+            out.append(hmm)
+            hmm = right
+    out.append(hmm)
+    return out
 
 
 def get_rp_hmms(profile_seqs: List[ProfileSeq], ref: Reference,

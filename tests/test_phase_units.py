@@ -158,3 +158,54 @@ def test_chunker_on_real_data():
     assert (c1.chunk_start, c1.chunk_end) == (100000, 100001)
     assert c1.chunk_overlap_start == 90000
     assert len(ch.read_enumerator) == 314
+
+
+def test_split_where_phasing_is_uncertain():
+    """stRPHMM_splitWherePhasingIsUncertain (hmm.c:1322-1383): hets with no
+    spanning reads between them split the hmm at the midpoint."""
+    from margin_tpu.phase.rphmm import split_where_phasing_is_uncertain
+    ref = _ref_with_sites(6)
+    params = PhaseParams(maxNotSumTransitions=True,
+                         minPartitionsInAColumn=100,
+                         maxPartitionsInAColumn=100,
+                         minPosteriorProbabilityForPartition=0.0,
+                         minReadCoverageToSupportPhasingBetweenHeterozygousSites=1)
+    # two het islands (sites 0-1 and 4-5); overlapping uninformative reads
+    # keep the hmm connected but no read spans hets on both sides
+    left = [_pseq(ref, "La", 0, [[0, 60], [0, 60], [0, 0]]),
+            _pseq(ref, "Lb", 0, [[60, 0], [60, 0], [0, 0]])]
+    mid = [_pseq(ref, "Ma", 2, [[0, 0]] * 2),
+           _pseq(ref, "Mb", 2, [[0, 0]] * 2)]
+    right = [_pseq(ref, "Ra", 3, [[0, 0], [0, 60], [0, 60]]),
+             _pseq(ref, "Rb", 3, [[0, 0], [60, 0], [60, 0]])]
+    hmms = get_rp_hmms(left + mid + right, ref, params)
+    assert len(hmms) == 1
+    frags = split_where_phasing_is_uncertain(hmms[0])
+    assert len(frags) >= 2
+    # fragments tile the original interval contiguously
+    assert frags[0].ref_start == 0
+    for a, b in zip(frags, frags[1:]):
+        assert a.ref_start + a.ref_length == b.ref_start
+    assert frags[-1].ref_start + frags[-1].ref_length == 6
+    # each fragment's columns are internally consistent
+    for f in frags:
+        assert len(f.merges) == len(f.columns) - 1
+        assert f.columns[0].ref_start == f.ref_start
+        total = sum(c.length for c in f.columns)
+        assert total == f.ref_length
+
+
+def test_split_keeps_linked_hets_together():
+    from margin_tpu.phase.rphmm import split_where_phasing_is_uncertain
+    ref = _ref_with_sites(4)
+    params = PhaseParams(maxNotSumTransitions=True,
+                         minPartitionsInAColumn=100,
+                         maxPartitionsInAColumn=100,
+                         minPosteriorProbabilityForPartition=0.0,
+                         minReadCoverageToSupportPhasingBetweenHeterozygousSites=1)
+    # reads span ALL sites: linkage everywhere, no split
+    a = _pseq(ref, "A", 0, [[0, 60]] * 4)
+    b = _pseq(ref, "B", 0, [[60, 0]] * 4)
+    hmms = get_rp_hmms([a, b], ref, params)
+    frags = split_where_phasing_is_uncertain(hmms[0])
+    assert len(frags) == 1
