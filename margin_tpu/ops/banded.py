@@ -76,14 +76,18 @@ def _gather_shift(arr, shift):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle"))
+                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
+                                    "compute_expectations"))
 def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                x_sym, y_sym, lx, ly,
                xmy_l, widths, x_base, y_base,
                ragged_left, ragged_right,
                d_pad: int, w_pad: int, use_lut: bool,
-               use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None):
-    """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob).
+               use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None,
+               compute_expectations: bool = False):
+    """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob) —
+    plus, with compute_expectations, a (3, 3) [from, to] transition
+    expectation matrix (updateExpectations, pairwiseAligner.c:349-366).
 
     x_sym: (Lxp,) int32 padded with 4; y_sym likewise.
     """
@@ -196,51 +200,71 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
     # backward pass over the stored forward diagonals, emitting posteriors
     bwd_final = jnp.full((3, W), neg).at[:, k_final].set(end_w)
 
+    # transition log-prob matrix [from, to] for the expectation pass
+    tmat = jnp.stack([
+        jnp.stack([trc[T_MM], trc[T_OPEN_X], trc[T_OPEN_Y]]),
+        jnp.stack([trc[T_M_FROM_GX], trc[T_EXT_X], trc[T_SW_Y]]),
+        jnp.stack([trc[T_M_FROM_GY], trc[T_SW_X], trc[T_EXT_Y]]),
+    ])
+
     def bwd_step(carry, d):
-        next1, next2 = carry  # diagonals d+1, d+2
+        next1, next2, exp_acc = carry  # bwd at diagonals d+1, d+2
 
-        def compute_bwd():
-            # symbols consumed LEAVING cell k of diag d:
-            # to gapX consumes X[x], to match consumes X[x], Y[y]
-            xb = x_base[d] + 1
-            yb = y_base[d]
-            cx_idx = xb + k_iota
-            cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
-                           jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)), 4)
-            cy_idx = yb + 1 - k_iota
-            cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
-                           jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
-            e_m = _match_emission(cx, cy, cx_idx, cy_idx)
-            e_gx = jnp.take(tables_gapx, cx)
-            e_gy = jnp.take(tables_gapy, cy)
-            t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
-            t2 = (xmy_l[d] - xmy_l[d + 2]) // 2
-            gx_n = _gather_shift(next1, t1)[GAPX]       # (x+1, y)
-            gy_n = _gather_shift(next1, t1 - 1)[GAPY]   # (x, y+1)
-            m_n = _gather_shift(next2, t2)[MATCH]       # (x+1, y+1)
-            b_m = _log_add3(gx_n + e_gx + trc[T_OPEN_X],
-                            m_n + e_m + trc[T_MM],
-                            gy_n + e_gy + trc[T_OPEN_Y], log_add)
-            b_gx = _log_add3(gx_n + e_gx + trc[T_EXT_X],
-                             m_n + e_m + trc[T_M_FROM_GX],
-                             gy_n + e_gy + trc[T_SW_Y], log_add)
-            b_gy = _log_add3(gx_n + e_gx + trc[T_SW_X],
-                             m_n + e_m + trc[T_M_FROM_GY],
-                             gy_n + e_gy + trc[T_EXT_Y], log_add)
-            cur = jnp.stack([b_m, b_gx, b_gy])
-            cur = jnp.where(valid_mask(d)[None, :], cur, neg)
-            return jnp.maximum(cur, neg)
-
-        cur = jax.lax.cond(d == d_final, lambda: bwd_final, compute_bwd)
+        # symbols consumed LEAVING cell k of diag d:
+        # to gapX consumes X[x], to match consumes X[x], Y[y]
+        xb = x_base[d] + 1
+        yb = y_base[d]
+        cx_idx = xb + k_iota
+        cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                       jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)), 4)
+        cy_idx = yb + 1 - k_iota
+        cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                       jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
+        e_m = _match_emission(cx, cy, cx_idx, cy_idx)
+        e_gx = jnp.take(tables_gapx, cx)
+        e_gy = jnp.take(tables_gapy, cy)
+        t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
+        t2 = (xmy_l[d] - xmy_l[d + 2]) // 2
+        gx_n = _gather_shift(next1, t1)[GAPX]       # (x+1, y)
+        gy_n = _gather_shift(next1, t1 - 1)[GAPY]   # (x, y+1)
+        m_n = _gather_shift(next2, t2)[MATCH]       # (x+1, y+1)
+        b_m = _log_add3(gx_n + e_gx + trc[T_OPEN_X],
+                        m_n + e_m + trc[T_MM],
+                        gy_n + e_gy + trc[T_OPEN_Y], log_add)
+        b_gx = _log_add3(gx_n + e_gx + trc[T_EXT_X],
+                         m_n + e_m + trc[T_M_FROM_GX],
+                         gy_n + e_gy + trc[T_SW_Y], log_add)
+        b_gy = _log_add3(gx_n + e_gx + trc[T_SW_X],
+                         m_n + e_m + trc[T_M_FROM_GY],
+                         gy_n + e_gy + trc[T_EXT_Y], log_add)
+        computed = jnp.maximum(
+            jnp.where(valid_mask(d)[None, :], jnp.stack([b_m, b_gx, b_gy]),
+                      neg), neg)
+        cur = jnp.where(d == d_final, bwd_final, computed)
         f_d = jax.lax.dynamic_index_in_dim(fwd, d, 0, keepdims=False)
         post = jnp.exp(jnp.minimum(f_d + cur - total, 0.0))
         post = jnp.where(valid_mask(d)[None, :], post, 0.0)
-        return (cur, next1), post
 
-    (_, _), post = jax.lax.scan(
-        bwd_step, (jnp.full((3, W), neg), jnp.full((3, W), neg)),
+        if compute_expectations:
+            # updateExpectations (pairwiseAligner.c:349-366): posterior of
+            # each (from cell at diag d) -> (to cell at diag d+1/d+2)
+            # transition: exp(f[from] + b_next[to] + eP + tP - total)
+            to_terms = jnp.stack([m_n + e_m, gx_n + e_gx, gy_n + e_gy])
+            contrib = jnp.exp(f_d[:, None, :] + to_terms[None, :, :]
+                              + tmat[:, :, None] - total)
+            contrib = jnp.where(valid_mask(d)[None, None, :], contrib, 0.0)
+            exp_acc = exp_acc + contrib.sum(axis=-1)
+
+        return (cur, next1, exp_acc), post
+
+    (_, _, exp_acc), post = jax.lax.scan(
+        bwd_step,
+        (jnp.full((3, W), neg), jnp.full((3, W), neg),
+         jnp.zeros((3, 3), dtype)),
         jnp.arange(D - 1, -1, -1))
     post = jnp.flip(post, axis=0)  # back to ascending diagonal order
+    if compute_expectations:
+        return post, total, exp_acc
     return post, total
 
 
@@ -298,6 +322,38 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     total = float(total)
 
     return extract_pairs_from_grid(post, geom, threshold), total
+
+
+def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
+                        y_sym: np.ndarray, anchors, expansion: int,
+                        strand: int, ragged_left=False, ragged_right=False,
+                        use_lut: bool = False, pad_shapes: bool = True):
+    """getExpectationsUsingAnchors (pairwiseAligner.c:1193-1209): Baum-Welch
+    transition expectations over the banded forward-backward. Returns
+    (E (3,3) [from, to] expected transition counts, total log prob)."""
+    lx, ly = len(x_sym), len(y_sym)
+    if lx + ly == 0:
+        return np.zeros((3, 3)), 0.0
+    geom = BandGeometry.build(anchors, lx, ly, expansion)
+    d_pad, w_pad = geom.d_pad, geom.w_pad
+    if pad_shapes:
+        d_pad = max(64, 1 << int(np.ceil(np.log2(d_pad))))
+        w_pad = int(np.ceil(w_pad / 8)) * 8
+        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad)
+    xs = np.full(d_pad, 4, dtype=np.int32)
+    xs[:lx] = x_sym
+    ys = np.full(d_pad, 4, dtype=np.int32)
+    ys[:ly] = y_sym
+    _post, total, exp_acc = _banded_fb(
+        tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
+        tables.trans[strand],
+        jnp.asarray(xs), jnp.asarray(ys), lx, ly,
+        jnp.asarray(geom.xmy_l), jnp.asarray(geom.widths),
+        jnp.asarray(geom.x_base), jnp.asarray(geom.y_base),
+        bool(ragged_left), bool(ragged_right),
+        d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
+        compute_expectations=True)
+    return np.asarray(exp_acc, dtype=np.float64), float(total)
 
 
 def extract_pairs_from_grid(post: np.ndarray, geom: BandGeometry,
