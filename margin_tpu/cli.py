@@ -23,6 +23,9 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0, help="random seed")
     p.add_argument("--lut-logadd", action="store_true",
                    help="use the reference's LUT logAdd (parity mode; slower)")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="persist per-chunk results under "
+                        "<outputBase>.checkpoint/ and resume a killed run")
 
 
 def main(argv=None):
@@ -133,7 +136,7 @@ def main(argv=None):
         run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
                   region=args.region, write_bam=not args.skipHaplotypeBAM,
                   write_vcf=not args.skipPhasedVCF, seed=args.seed,
-                  use_lut=args.lut_logadd)
+                  use_lut=args.lut_logadd, checkpoint=args.checkpoint)
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType
@@ -152,7 +155,8 @@ def main(argv=None):
                    output_phasing_state=args.outputPhasingState,
                    vcf_file=args.vcf,
                    only_use_vcf_alleles=args.onlyVcfAlleles,
-                   skip_output_fasta=args.skipOutputFasta)
+                   skip_output_fasta=args.skipOutputFasta,
+                   checkpoint=args.checkpoint)
     return 0
 
 

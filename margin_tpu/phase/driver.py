@@ -44,8 +44,11 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               params: Params, output_base: str, region: Optional[str] = None,
               write_bam: bool = True, write_vcf: bool = True,
               seed: int = 0, use_lut: bool = False,
+              checkpoint: bool = False,
               log=print) -> PhaseOutputs:
-    """End-to-end phase pipeline (phase.c:56-570)."""
+    """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
+    per-chunk results are persisted under <output_base>.checkpoint/ and a
+    rerun resumes from the completed chunks."""
     rng = random.Random(seed)
     t0 = time.time()
     out = PhaseOutputs()
@@ -81,13 +84,37 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         repeat=(params.polish.repeat_sub_matrix
                 if params.polish.useRepeatCountsInAlignment else None))
 
+    from margin_tpu.utils.checkpoint import (ChunkCheckpointer,
+                                             apply_vcf_snapshot,
+                                             snapshot_vcf_entries)
+    ckpt = ChunkCheckpointer(
+        f"{output_base}.checkpoint", enabled=checkpoint,
+        meta={"bam": os.path.abspath(bam_file), "vcf": os.path.abspath(vcf_file),
+              "region": region, "seed": seed, "n_chunks": len(chunkr.chunks)},
+        log=log)
+
     results: List[ChunkPhaseResult] = []
     reader = bamio.BamReader(bam_file)
 
     for chunk in chunkr.chunks:
-        res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params,
-                              tables, rng, write_bam, use_lut, log)
+        payload = ckpt.load(chunk.chunk_idx)
+        if payload is not None:
+            res = payload["res"]
+            apply_vcf_snapshot(vcf_entries, chunk.ref_name, payload["vcf"])
+            rng.setstate(payload["rng_state"])
+        else:
+            res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
+                                  params, tables, rng, write_bam, use_lut, log)
+            ckpt.save(chunk.chunk_idx, {
+                "res": res,
+                "vcf": snapshot_vcf_entries(vcf_entries, chunk.ref_name,
+                                            chunk.chunk_overlap_start,
+                                            chunk.chunk_overlap_end),
+                "rng_state": rng.getstate()})
         results.append(res)
+    if ckpt.loaded:
+        log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
+            f"from checkpoint")
 
     reader.close()
 
@@ -118,6 +145,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                 if not line.startswith("#") and ("1|0" in line or "0|1" in line))
         log(f"> Wrote phased VCF ({out.phased_het_count} phased 0/1 hets)")
 
+    ckpt.finalize()
     log(f"> Finished phasing in {time.time() - t0:.1f}s")
     return out
 

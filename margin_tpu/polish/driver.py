@@ -9,6 +9,7 @@ consensus and phased outputs.
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from dataclasses import dataclass
@@ -108,6 +109,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                vcf_file: Optional[str] = None,
                only_use_vcf_alleles: bool = False,
                skip_output_fasta: bool = False,
+               checkpoint: bool = False,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014)."""
     if diploid:
@@ -122,6 +124,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   vcf_file=vcf_file,
                                   only_use_vcf_alleles=only_use_vcf_alleles,
                                   skip_output_fasta=skip_output_fasta,
+                                  checkpoint=checkpoint,
                                   log=log)
     rng = random.Random(seed)
     t0 = time.time()
@@ -153,9 +156,26 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         pp.sm_forward, pp.sm_reverse,
         repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
 
+    from margin_tpu.utils.checkpoint import ChunkCheckpointer
+    if checkpoint and helen_h5 is not None:
+        # the HDF5 feature file is rewritten whole each run, so skipped
+        # chunks would lose their features
+        log("> Checkpointing disabled: incompatible with HELEN feature output")
+        checkpoint = False
+    ckpt = ChunkCheckpointer(
+        f"{output_base}.checkpoint", enabled=checkpoint,
+        meta={"bam": os.path.abspath(bam_file), "region": region,
+              "seed": seed, "diploid": False,
+              "n_chunks": len(chunkr.chunks)}, log=log)
+
     reader = bamio.BamReader(bam_file)
     chunk_seqs = []
     for chunk in chunkr.chunks:
+        payload = ckpt.load(chunk.chunk_idx)
+        if payload is not None:
+            chunk_seqs.append(payload["seq"])
+            rng.setstate(payload["rng_state"])
+            continue
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -189,11 +209,16 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
             outputs.write_supplemental_chunk_information(
                 output_base, chunk.chunk_idx, chunk, poa, reads, params,
                 output_poa_dot, output_poa_csv, output_repeat_counts)
-        chunk_seqs.append((chunk.ref_name, chunk.chunk_idx,
-                           poa.ref_string.expand()))
+        seq_rec = (chunk.ref_name, chunk.chunk_idx, poa.ref_string.expand())
+        chunk_seqs.append(seq_rec)
+        ckpt.save(chunk.chunk_idx, {"seq": seq_rec,
+                                    "rng_state": rng.getstate()})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads, "
             f"consensus {poa.ref_string.non_rle_length}bp")
     reader.close()
+    if ckpt.loaded:
+        log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
+            f"from checkpoint")
     if helen_h5 is not None:
         helen_h5.close()
         log(f"> Wrote HELEN features to {helen_h5.filename}")
@@ -201,6 +226,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     sequences = stitcher.stitch_sequences(chunk_seqs, params)
     out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
     write_fasta(out.fasta, sequences)
+    ckpt.finalize()
     log(f"> Wrote polished FASTA {out.fasta} in {time.time() - t0:.1f}s")
     return out
 
@@ -216,6 +242,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        vcf_file: Optional[str] = None,
                        only_use_vcf_alleles: bool = False,
                        skip_output_fasta: bool = False,
+                       checkpoint: bool = False,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -256,9 +283,22 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         pp.sm_forward, pp.sm_reverse,
         repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
 
+    from margin_tpu.utils.checkpoint import ChunkCheckpointer
+    ckpt = ChunkCheckpointer(
+        f"{output_base}.checkpoint", enabled=checkpoint,
+        meta={"bam": os.path.abspath(bam_file), "region": region,
+              "seed": seed, "diploid": True, "vcf": vcf_file,
+              "n_chunks": len(chunkr.chunks)}, log=log)
+
     reader = bamio.BamReader(bam_file)
     chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
     for chunk in chunkr.chunks:
+        payload = ckpt.load(chunk.chunk_idx)
+        if payload is not None:
+            chunk_results.append((payload["res"], payload["hap1_seq"],
+                                  payload["hap2_seq"]))
+            rng.setstate(payload["rng_state"])
+            continue
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -351,10 +391,16 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             elif r.read_name in hap2_names and r.read_name not in res.hap2_reads:
                 res.hap2_reads[r.read_name] = -1.0
         chunk_results.append((res, hap1_seq, hap2_seq))
+        ckpt.save(chunk.chunk_idx, {"res": res, "hap1_seq": hap1_seq,
+                                    "hap2_seq": hap2_seq,
+                                    "rng_state": rng.getstate()})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads -> "
             f"{len(res.hap1_reads)} hap1 / {len(res.hap2_reads)} hap2; "
             f"consensus {len(hap1_seq)}/{len(hap2_seq)}bp")
     reader.close()
+    if ckpt.loaded:
+        log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
+            f"from checkpoint")
 
     # phased stitch: vote + swap + trim both hap sequences
     # (mergeContigChunkz, stitching.c:1413-1499)
@@ -403,6 +449,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
                                        set(ids1), set(ids2), params)
     out.hap1_count, out.hap2_count = h1, h2
+    ckpt.finalize()
     log(f"> Diploid polish done in {time.time() - t0:.1f}s: "
         f"hap lengths {sum(len(s) for _, s in hap1_records)}/"
         f"{sum(len(s) for _, s in hap2_records)}, BAM H1 {h1} H2 {h2} H0 {h0}")
