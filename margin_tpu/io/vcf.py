@@ -78,9 +78,14 @@ def _open_text(path: str):
             if buf:
                 yield buf.decode("utf-8")
         return lines()
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":  # plain (non-BGZF) gzip
+        import gzip
+        fh = gzip.open(path, "rt")
     else:
         fh = open(path)
-        return (line.rstrip("\n") for line in fh)
+    return (line.rstrip("\n") for line in fh)
 
 
 def parse_region(region: Optional[str]):
