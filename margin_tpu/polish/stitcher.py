@@ -19,6 +19,19 @@ from margin_tpu.polish.kmers import get_kmer_alignment_anchors
 from margin_tpu.rle import RleString
 
 MIN_OVERLAP_ANCHOR_PAIRS = 2  # stitching.c:632
+PAIRWISE_ALIGNER_KMER_SIZE = None  # None -> kmers.KMER_SIZE (20)
+
+
+def set_min_overlap_anchor_pairs(n: int) -> None:
+    """setMinOverlapAnchorPairs (stitching.c test hook)."""
+    global MIN_OVERLAP_ANCHOR_PAIRS
+    MIN_OVERLAP_ANCHOR_PAIRS = n
+
+
+def set_pairwise_aligner_kmer_size(k) -> None:
+    """setPairwiseAlignerKmerSize (pairwiseAligner.c test hook)."""
+    global PAIRWISE_ALIGNER_KMER_SIZE
+    PAIRWISE_ALIGNER_KMER_SIZE = k
 
 
 _DEFAULT_TABLES = None
@@ -47,8 +60,12 @@ def remove_overlap(prefix: str, suffix: str, approx_overlap: int,
 
     x_sym = seq_to_symbols(prefix[i:])
     y_sym = seq_to_symbols(suffix[:j])
+    kmer_kwargs = {}
+    if PAIRWISE_ALIGNER_KMER_SIZE is not None:
+        kmer_kwargs["kmer_size"] = PAIRWISE_ALIGNER_KMER_SIZE
     anchors = get_kmer_alignment_anchors(x_sym, y_sym,
-                                         params.polish.p.diagonalExpansion)
+                                         params.polish.p.diagonalExpansion,
+                                         **kmer_kwargs)
     if len(anchors) < MIN_OVERLAP_ANCHOR_PAIRS:
         return -1, plen, 0
 
