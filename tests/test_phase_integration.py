@@ -79,3 +79,45 @@ def test_phase_vcf_golden(tmp_path):
         lines = fh.readlines()
     assert len(lines) >= 1
     assert lines[0].startswith("chr20\t")
+
+
+@pytest.mark.slow
+def test_phase_vcf_chunked_cis_trans(tmp_path):
+    """test_marginPhaseIntegration (marginTest.c:253-330): a CHUNKED run
+    (chunkSize 20000, boundary 500) must preserve every VCF record's
+    position, keep each genotype cis or trans to the input, and produce
+    balanced haplotags."""
+    import json
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "phase",
+                                  "allParams.phase_vcf.ont.json"),
+        "polish": {"chunkSize": 20000, "chunkBoundary": 500},
+    }))
+    out_base = str(tmp_path / "out")
+    main([
+        "phase", BAM, FASTA, str(pfile), VCF, "-o", out_base])
+
+    def records(path):
+        out = []
+        for line in open(path):
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            gt = parts[9].split(":")[0].replace("|", "/")
+            a, _, b = gt.partition("/")
+            out.append((parts[0], parts[1], a, b))
+        return out
+
+    orig = records(VCF)
+    phased = records(out_base + ".phased.vcf")
+    assert len(orig) == len(phased)
+    for (c1, p1, a1, b1), (c2, p2, a2, b2) in zip(orig, phased):
+        assert (c1, p1) == (c2, p2)
+        assert {a1, b1} == {a2, b2}  # cis or trans (marginTest.c:230-232)
+
+    counts, names = _hp_counts(out_base + ".haplotagged.bam")
+    h1, h2 = counts[1], counts[2]
+    assert h1 > 0 and h2 > 0
+    assert h1 > h2 * 2 // 3 and h2 > h1 * 2 // 3  # marginTest.c:173-178
+    assert not (names[1] & names[2])
