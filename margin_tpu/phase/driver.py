@@ -137,13 +137,27 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         out.phased_vcf = f"{output_base}.phased.vcf"
         out.phaseset_bed = f"{output_base}.phaseset.bed"
         update_haplotype_switching(chunkr.chunks, switched, vcf_entries)
-        write_phased_vcf(vcf_file, region, out.phased_vcf, out.phaseset_bed,
-                         vcf_entries, params)
+        ps_lengths = write_phased_vcf(vcf_file, region, out.phased_vcf,
+                                      out.phaseset_bed, vcf_entries, params)
         with open(out.phased_vcf) as fh:
             out.phased_het_count = sum(
                 1 for line in fh
                 if not line.startswith("#") and ("1|0" in line or "0|1" in line))
         log(f"> Wrote phased VCF ({out.phased_het_count} phased 0/1 hets)")
+        # end-of-run phase-set summary (vcf.c:1038-1061)
+        if ps_lengths:
+            lengths = sorted(ps_lengths)
+            total = sum(lengths)
+            n50 = 0
+            acc = 0
+            for ln in lengths:
+                acc += ln
+                if acc > total / 2:
+                    n50 = ln
+                    break
+            log(f"> Identified {len(lengths)} phase sets with lengths "
+                f"avg:{total // len(lengths)}, min:{lengths[0]}, "
+                f"max:{lengths[-1]}, N50:{n50}")
 
     ckpt.finalize()
     log(f"> Finished phasing in {time.time() - t0:.1f}s")
