@@ -77,7 +77,8 @@ class MergeColumn:
     """stRPMergeColumn: maps partitions between adjacent read sets."""
 
     __slots__ = ("mask_from", "mask_to", "from_parts", "to_parts",
-                 "from_index", "to_index", "forward", "backward")
+                 "from_index", "to_index", "forward", "backward",
+                 "_from_sorted", "_from_order", "_to_sorted", "_to_order")
 
     def __init__(self, mask_from: int, mask_to: int):
         self.mask_from = mask_from
@@ -88,6 +89,10 @@ class MergeColumn:
         self.to_index: Dict[int, int] = {}
         self.forward: Optional[np.ndarray] = None
         self.backward: Optional[np.ndarray] = None
+        self._from_sorted = None
+        self._from_order = None
+        self._to_sorted = None
+        self._to_order = None
 
     def add_cell(self, from_p: int, to_p: int):
         assert from_p not in self.from_index
@@ -96,6 +101,18 @@ class MergeColumn:
         self.to_index[to_p] = len(self.to_parts)
         self.from_parts.append(from_p)
         self.to_parts.append(to_p)
+        self._from_sorted = None
+        self._to_sorted = None
+
+    def set_cells(self, from_parts: List[int], to_parts: List[int]):
+        """Bulk add_cell."""
+        self.from_parts = from_parts
+        self.to_parts = to_parts
+        self.from_index = {p: i for i, p in enumerate(from_parts)}
+        self.to_index = {p: i for i, p in enumerate(to_parts)}
+        assert len(self.from_index) == len(from_parts)
+        assert len(self.to_index) == len(to_parts)
+        self._from_sorted = self._to_sorted = None
 
     def size(self) -> int:
         return len(self.from_parts)
@@ -107,6 +124,24 @@ class MergeColumn:
     def prev_cell_idx(self, partition: int) -> Optional[int]:
         """Merge cell this column-cell feeds from (mergeColumn.c:72-79)."""
         return self.to_index.get(partition & self.mask_to)
+
+    def next_idx_array(self, parts_u64: np.ndarray) -> np.ndarray:
+        """Vectorized next_cell_idx over a partition array (all present)."""
+        if self._from_sorted is None:
+            vals = np.array(self.from_parts, dtype=np.uint64)
+            self._from_order = np.argsort(vals, kind="stable")
+            self._from_sorted = vals[self._from_order]
+        masked = parts_u64 & np.uint64(self.mask_from)
+        return self._from_order[np.searchsorted(self._from_sorted, masked)]
+
+    def prev_idx_array(self, parts_u64: np.ndarray) -> np.ndarray:
+        """Vectorized prev_cell_idx over a partition array (all present)."""
+        if self._to_sorted is None:
+            vals = np.array(self.to_parts, dtype=np.uint64)
+            self._to_order = np.argsort(vals, kind="stable")
+            self._to_sorted = vals[self._to_order]
+        masked = parts_u64 & np.uint64(self.mask_to)
+        return self._to_order[np.searchsorted(self._to_sorted, masked)]
 
 
 class RPHmm:
@@ -287,22 +322,27 @@ class RPHmm:
         merges: List[MergeColumn] = []
         for ci, (c1, c2) in enumerate(zip(h1.columns, h2.columns)):
             depth = c1.depth + c2.depth
-            parts: List[int] = []
-            seen = set()
-            for p1 in c1.partitions:
-                for p2 in c2.partitions:
-                    p = merge_partitions(p1, p2, c1.depth, c2.depth)
-                    if inverted:
-                        if p not in seen:
-                            parts.append(p)
-                            seen.add(p)
-                            if depth > 0:
-                                ip = invert_partition(p, depth)
-                                assert ip not in seen
-                                parts.append(ip)
-                                seen.add(ip)
-                    else:
+            # vectorized pairwise merge, p1-major (== the reference's
+            # nested-loop order); dedup + invert interleaving in plain ints
+            p1a = np.array(c1.partitions, dtype=np.uint64)
+            p2a = np.array(c2.partitions, dtype=np.uint64)
+            mm = ((p2a[None, :] << np.uint64(c1.depth))
+                  | p1a[:, None]).ravel().tolist()
+            if inverted:
+                parts: List[int] = []
+                seen = set()
+                full = make_accept_mask(depth)
+                for p in mm:
+                    if p not in seen:
                         parts.append(p)
+                        seen.add(p)
+                        if depth > 0:
+                            ip = full & ~p
+                            assert ip not in seen
+                            parts.append(ip)
+                            seen.add(ip)
+            else:
+                parts = mm
             columns.append(Column(c1.ref_start, c1.length, c1.seqs + c2.seqs, parts))
             if ci < len(h1.columns) - 1:
                 m1, m2 = h1.merges[ci], h2.merges[ci]
@@ -311,19 +351,34 @@ class RPHmm:
                 mask_from = merge_partitions(m1.mask_from, m2.mask_from, d1p, d2p)
                 mask_to = merge_partitions(m1.mask_to, m2.mask_to, d1n, d2n)
                 m = MergeColumn(mask_from, mask_to)
-                for f1, t1 in zip(m1.from_parts, m1.to_parts):
-                    for f2, t2 in zip(m2.from_parts, m2.to_parts):
-                        fp = merge_partitions(f1, f2, d1p, d2p)
-                        tp = merge_partitions(t1, t2, d1n, d2n)
-                        if inverted:
-                            if fp not in m.from_index:
-                                m.add_cell(fp, tp)
-                                if bin(mask_from).count("1") > 0:
-                                    ifp = mask_from & invert_partition(fp, d1p + d2p)
-                                    itp = mask_to & invert_partition(tp, d1n + d2n)
-                                    m.add_cell(ifp, itp)
-                        else:
-                            m.add_cell(fp, tp)
+                f1a = np.array(m1.from_parts, dtype=np.uint64)
+                t1a = np.array(m1.to_parts, dtype=np.uint64)
+                f2a = np.array(m2.from_parts, dtype=np.uint64)
+                t2a = np.array(m2.to_parts, dtype=np.uint64)
+                fps = ((f2a[None, :] << np.uint64(d1p))
+                       | f1a[:, None]).ravel().tolist()
+                tps = ((t2a[None, :] << np.uint64(d1n))
+                       | t1a[:, None]).ravel().tolist()
+                if inverted:
+                    full_f = make_accept_mask(d1p + d2p)
+                    full_t = make_accept_mask(d1n + d2n)
+                    has_bits = mask_from != 0
+                    f_list: List[int] = []
+                    t_list: List[int] = []
+                    seen_f = set()
+                    for fp, tp in zip(fps, tps):
+                        if fp not in seen_f:
+                            f_list.append(fp)
+                            t_list.append(tp)
+                            seen_f.add(fp)
+                            if has_bits:
+                                ifp = mask_from & full_f & ~fp
+                                f_list.append(ifp)
+                                t_list.append(mask_to & full_t & ~tp)
+                                seen_f.add(ifp)
+                    m.set_cells(f_list, t_list)
+                else:
+                    m.set_cells(fps, tps)
                 merges.append(m)
         return RPHmm(h1.ref, h1.ref_start, h1.ref_length,
                      h1.profile_seqs + h2.profile_seqs, columns, merges, params)
@@ -382,6 +437,17 @@ class RPHmm:
         self.forward_log_prob = LOG_ZERO
         self.backward_log_prob = LOG_ZERO
 
+        # per-column vectorized merge index maps, shared by both passes
+        parts_u64 = [np.array(c.partitions, dtype=np.uint64)
+                     for c in self.columns]
+        idx_prev = [None] * len(self.columns)  # merges[ci-1] <- col ci
+        idx_next = [None] * len(self.columns)  # merges[ci]   <- col ci
+        for ci in range(len(self.columns)):
+            if ci > 0:
+                idx_prev[ci] = self.merges[ci - 1].prev_idx_array(parts_u64[ci])
+            if ci < len(self.merges):
+                idx_next[ci] = self.merges[ci].next_idx_array(parts_u64[ci])
+
         # forward (hmm.c:827-879)
         for ci, col in enumerate(self.columns):
             emission = self._column_emissions(col, include_ancestor)
@@ -389,15 +455,12 @@ class RPHmm:
             if ci == 0:
                 fwd = emission.copy()
             else:
-                m = self.merges[ci - 1]
-                prev_idx = np.array([m.prev_cell_idx(p) for p in col.partitions])
-                fwd = m.forward[prev_idx] + emission
+                fwd = self.merges[ci - 1].forward[idx_prev[ci]] + emission
             col.forward = fwd
             if ci < len(self.merges):
                 m = self.merges[ci]
                 m.forward = np.full(m.size(), LOG_ZERO)
-                nxt_idx = np.array([m.next_cell_idx(p) for p in col.partitions])
-                reduce_into(m.forward, nxt_idx, fwd)
+                reduce_into(m.forward, idx_next[ci], fwd)
             else:
                 self.forward_log_prob = (np.max(fwd) if max_not_sum
                                          else _lse(fwd))
@@ -406,9 +469,7 @@ class RPHmm:
         for ci in range(len(self.columns) - 1, -1, -1):
             col = self.columns[ci]
             if ci < len(self.merges):
-                m = self.merges[ci]
-                nxt_idx = np.array([m.next_cell_idx(p) for p in col.partitions])
-                bwd = m.backward[nxt_idx]
+                bwd = self.merges[ci].backward[idx_next[ci]]
             else:
                 bwd = np.zeros(len(col.partitions))
             col.backward = bwd
@@ -416,8 +477,7 @@ class RPHmm:
             if ci > 0:
                 m = self.merges[ci - 1]
                 m.backward = np.full(m.size(), LOG_ZERO)
-                prev_idx = np.array([m.prev_cell_idx(p) for p in col.partitions])
-                reduce_into(m.backward, prev_idx, propagate)
+                reduce_into(m.backward, idx_prev[ci], propagate)
             else:
                 self.backward_log_prob = (np.max(propagate) if max_not_sum
                                           else _lse(propagate))
@@ -505,6 +565,7 @@ class RPHmm:
             m.to_parts = [m.to_parts[i] for i in sel]
             m.from_index = {p: i for i, p in enumerate(m.from_parts)}
             m.to_index = {p: i for i, p in enumerate(m.to_parts)}
+            m._from_sorted = m._to_sorted = None  # drop idx-array caches
             m.forward = m.forward[sel]
             m.backward = m.backward[sel]
             prev_merge = m
