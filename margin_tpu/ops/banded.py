@@ -85,6 +85,51 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                d_pad: int, w_pad: int, use_lut: bool,
                use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None,
                compute_expectations: bool = False):
+    return _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
+                           x_sym, y_sym, lx, ly, xmy_l, widths, x_base,
+                           y_base, ragged_left, ragged_right, d_pad, w_pad,
+                           use_lut, use_rle, rep_table, rep_x, rep_y,
+                           compute_expectations)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle"))
+def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
+                    x_sym, y_sym, lx, ly,
+                    xmy_l, widths, x_base, y_base,
+                    ragged_left, ragged_right,
+                    d_pad: int, w_pad: int, use_lut: bool,
+                    use_rle: bool = False, rep_table=None,
+                    rep_x=None, rep_y=None):
+    """vmapped _banded_fb over a batch of same-padded-shape problems.
+    Batched args: x_sym/y_sym (B, Lp), lx/ly (B,), geometry (B, D).
+    Returns (post (B, D, 3, W), total (B,))."""
+    if use_rle:
+        def one(xs, ys, lx1, ly1, xl, wd, xb, yb, rx, ry):
+            return _banded_fb_core(
+                tables_match, tables_gapx, tables_gapy, trans,
+                xs, ys, lx1, ly1, xl, wd, xb, yb,
+                ragged_left, ragged_right, d_pad, w_pad, use_lut,
+                use_rle=True, rep_table=rep_table, rep_x=rx, rep_y=ry)
+        return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
+                             x_base, y_base, rep_x, rep_y)
+
+    def one(xs, ys, lx1, ly1, xl, wd, xb, yb):
+        return _banded_fb_core(
+            tables_match, tables_gapx, tables_gapy, trans,
+            xs, ys, lx1, ly1, xl, wd, xb, yb,
+            ragged_left, ragged_right, d_pad, w_pad, use_lut)
+    return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
+                         x_base, y_base)
+
+
+def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
+                    x_sym, y_sym, lx, ly,
+                    xmy_l, widths, x_base, y_base,
+                    ragged_left, ragged_right,
+                    d_pad: int, w_pad: int, use_lut: bool,
+                    use_rle: bool = False, rep_table=None, rep_x=None,
+                    rep_y=None, compute_expectations: bool = False):
     """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob) —
     plus, with compute_expectations, a (3, 3) [from, to] transition
     expectation matrix (updateExpectations, pairwiseAligner.c:349-366).
@@ -322,6 +367,83 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     total = float(total)
 
     return extract_pairs_from_grid(post, geom, threshold), total
+
+
+def banded_posteriors_many(tables: PairHmmTables, items,
+                           expansion: int, threshold: float = 0.01,
+                           use_lut: bool = False, dynamic: bool = False):
+    """Batched banded_posteriors: `items` is a list of dicts with keys
+    x_sym, y_sym, anchors, strand, and optional rep_x/rep_y. Problems are
+    grouped by padded shape + strand and solved with one vmapped kernel
+    launch per group. Returns a list of ((matches, gapx, gapy), total) in
+    input order — numerically identical to per-item banded_posteriors."""
+    results = [None] * len(items)
+    groups = {}
+    for idx, it in enumerate(items):
+        lx, ly = len(it["x_sym"]), len(it["y_sym"])
+        if lx + ly == 0:
+            empty = np.zeros((0, 3), dtype=np.int64)
+            results[idx] = ((empty, empty, empty), 0.0)
+            continue
+        geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
+                                  dynamic=dynamic)
+        d_pad = max(64, 1 << int(np.ceil(np.log2(geom.d_pad))))
+        w_pad = int(np.ceil(geom.w_pad / 8)) * 8
+        use_rle = it.get("rep_x") is not None and tables.repeat is not None
+        key = (d_pad, w_pad, int(it["strand"]), use_rle)
+        groups.setdefault(key, []).append(idx)
+
+    for (d_pad, w_pad, strand, use_rle), idxs in groups.items():
+        # pad the batch to a power of two (repeating the last problem) so
+        # the compiled kernel count stays bounded
+        b_pad = 1 << int(np.ceil(np.log2(len(idxs)))) if len(idxs) > 1 else 1
+        padded_idxs = idxs + [idxs[-1]] * (b_pad - len(idxs))
+        xs = np.full((b_pad, d_pad), 4, dtype=np.int32)
+        ys = np.full((b_pad, d_pad), 4, dtype=np.int32)
+        lxs = np.zeros(b_pad, dtype=np.int32)
+        lys = np.zeros(b_pad, dtype=np.int32)
+        xmy_l = np.zeros((b_pad, d_pad), dtype=np.int32)
+        widths = np.zeros((b_pad, d_pad), dtype=np.int32)
+        x_base = np.zeros((b_pad, d_pad), dtype=np.int32)
+        y_base = np.zeros((b_pad, d_pad), dtype=np.int32)
+        rx = np.zeros((b_pad, d_pad), dtype=np.int32)
+        ry = np.zeros((b_pad, d_pad), dtype=np.int32)
+        geoms = []
+        for k, idx in enumerate(padded_idxs):
+            it = items[idx]
+            lx, ly = len(it["x_sym"]), len(it["y_sym"])
+            geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
+                                      d_pad, w_pad, dynamic=dynamic)
+            geoms.append(geom)
+            xs[k, :lx] = it["x_sym"]
+            ys[k, :ly] = it["y_sym"]
+            lxs[k], lys[k] = lx, ly
+            xmy_l[k] = geom.xmy_l
+            widths[k] = geom.widths
+            x_base[k] = geom.x_base
+            y_base[k] = geom.y_base
+            if use_rle:
+                rx[k, :lx] = np.minimum(it["rep_x"], 50)
+                ry[k, :ly] = np.minimum(it["rep_y"], 50)
+        rep_kwargs = {}
+        if use_rle:
+            rep_kwargs = dict(rep_table=tables.repeat[strand],
+                              rep_x=jnp.asarray(rx), rep_y=jnp.asarray(ry))
+        post, totals = _banded_fb_many(
+            tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
+            tables.trans[strand],
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lxs),
+            jnp.asarray(lys), jnp.asarray(xmy_l), jnp.asarray(widths),
+            jnp.asarray(x_base), jnp.asarray(y_base),
+            False, False, d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
+            use_rle=use_rle, **rep_kwargs)
+        post = np.asarray(post)
+        totals = np.asarray(totals)
+        for k, idx in enumerate(idxs):
+            results[idx] = (extract_pairs_from_grid(post[k], geoms[k],
+                                                    threshold),
+                            float(totals[k]))
+    return results
 
 
 def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,

@@ -430,14 +430,11 @@ def _max_common_suffix(ref: RleString, length1: int, s: RleString,
 
 # -- realign drivers (poa.c:612-716, 1876-1975) ------------------------------
 
-def get_aligned_pairs_cropping_reference(reference: RleString, read: PoaRead,
-                                         anchors: List[Tuple[int, int, int]],
-                                         params: PolishParams,
-                                         tables: pairhmm.PairHmmTables,
-                                         use_lut: bool = False):
-    """getAlignedPairsWithIndelsCroppingReference (poa.c:612-666).
-    Returns (matches, inserts, deletes) weighted-pair arrays in reference
-    coordinates."""
+def _crop_item(reference: RleString, read: PoaRead, anchors,
+               params: PolishParams):
+    """The reference-cropping half of
+    getAlignedPairsWithIndelsCroppingReference (poa.c:612-666). Returns
+    (kernel item dict, first_ref)."""
     anchors = [] if anchors is None else [tuple(int(v) for v in a) for a in anchors]
     if len(anchors):
         fx, fy, _ = anchors[0]
@@ -447,20 +444,33 @@ def get_aligned_pairs_cropping_reference(reference: RleString, read: PoaRead,
     else:
         first_ref, end_ref = 0, reference.length
     adj_anchors = [(x - first_ref, y, e) for x, y, e in anchors]
-
-    x_sym = reference.symbols()[first_ref:end_ref]
-    y_sym = read.rle_read.symbols()
-    strand = 0 if read.forward_strand else 1
-    rep_x = rep_y = None
+    item = {
+        "x_sym": reference.symbols()[first_ref:end_ref],
+        "y_sym": read.rle_read.symbols(),
+        "anchors": adj_anchors,
+        "strand": 0 if read.forward_strand else 1,
+    }
     if params.useRepeatCountsInAlignment:
-        rep_x = reference.counts[first_ref:end_ref]
-        rep_y = read.rle_read.counts
-    expansion = params.p.diagonalExpansion
+        item["rep_x"] = reference.counts[first_ref:end_ref]
+        item["rep_y"] = read.rle_read.counts
+    return item, first_ref
+
+
+def get_aligned_pairs_cropping_reference(reference: RleString, read: PoaRead,
+                                         anchors: List[Tuple[int, int, int]],
+                                         params: PolishParams,
+                                         tables: pairhmm.PairHmmTables,
+                                         use_lut: bool = False):
+    """getAlignedPairsWithIndelsCroppingReference (poa.c:612-666).
+    Returns (matches, inserts, deletes) weighted-pair arrays in reference
+    coordinates."""
+    item, first_ref = _crop_item(reference, read, anchors, params)
     (m, gx, gy), _total = banded.banded_posteriors(
-        tables, x_sym, y_sym, adj_anchors, expansion, strand,
+        tables, item["x_sym"], item["y_sym"], item["anchors"],
+        params.p.diagonalExpansion, item["strand"],
         threshold=params.p.threshold, use_lut=use_lut,
         dynamic=params.p.dynamicAnchorExpansion,
-        rep_x=rep_x, rep_y=rep_y)
+        rep_x=item.get("rep_x"), rep_y=item.get("rep_y"))
     # matches/gapX(deletes)/gapY(inserts); shift ref coords back
     for arr in (m, gx, gy):
         if len(arr):
@@ -509,13 +519,44 @@ def poa_realign_only_anchor_alignments(reads: List[PoaRead], anchor_alignments,
 
 def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
                 params: PolishParams, tables: pairhmm.PairHmmTables,
-                use_lut: bool = False) -> Poa:
-    """poa_realign (poa.c:668-716)."""
+                use_lut: bool = False, batched: bool = None) -> Poa:
+    """poa_realign (poa.c:668-716).
+
+    On accelerator backends the per-read banded alignments are grouped by
+    padded shape and run as vmapped kernel batches (cutting launches from
+    one per read to a handful); augmentation stays strictly in read order
+    so float accumulation matches the reference's sequential loop. On the
+    CPU backend the per-item path is faster (batch padding is wasted
+    serial work), so batching is off unless forced."""
+    import jax
+    if batched is None:
+        batched = jax.default_backend() != "cpu"
     max_rc = 2
     if params.useRunLengthEncoding:
         max_rc = (params.repeat_sub_matrix.max_repeat
                   if params.repeat_sub_matrix is not None else 51)
     poa = Poa(reference, max_rc)
+    if batched:
+        items = []
+        firsts = []
+        for i, read in enumerate(reads):
+            anchors = (anchor_alignments[i]
+                       if anchor_alignments is not None else [])
+            item, first_ref = _crop_item(reference, read, anchors, params)
+            items.append(item)
+            firsts.append(first_ref)
+        results = banded.banded_posteriors_many(
+            tables, items, params.p.diagonalExpansion,
+            threshold=params.p.threshold, use_lut=use_lut,
+            dynamic=params.p.dynamicAnchorExpansion)
+        for i, read in enumerate(reads):
+            (m, gx, gy), _total = results[i]
+            for arr in (m, gx, gy):
+                if len(arr):
+                    arr[:, 1] += firsts[i]
+            poa.augment(read.rle_read, read.forward_strand, i, m, gy, gx,
+                        params)
+        return poa
     for i, read in enumerate(reads):
         anchors = anchor_alignments[i] if anchor_alignments is not None else []
         matches, inserts, deletes = get_aligned_pairs_cropping_reference(

@@ -75,3 +75,36 @@ def test_banded_total_matches_dense_forward():
     batch = pairhmm.make_batch([(x, y)])
     dense = float(pairhmm.forward_total(tables, batch, use_lut=True)[0])
     assert abs(total - dense) < 1e-9
+
+
+def test_banded_posteriors_many_matches_single():
+    """banded_posteriors_many must be numerically identical to per-item
+    banded_posteriors (it backs the accelerator polish path)."""
+    import numpy as np
+    from margin_tpu.alphabet import seq_to_symbols
+    from margin_tpu.ops import banded, pairhmm
+    from margin_tpu.params import StateMachineParams
+
+    rng = np.random.default_rng(9)
+    sm = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(sm)
+    items = []
+    for i in range(7):
+        n = int(rng.integers(5, 40))
+        x = "".join("ACGT"[v] for v in rng.integers(0, 4, n))
+        y = list(x)
+        for j in range(len(y)):
+            if rng.random() < 0.15:
+                y[j] = "ACGT"[rng.integers(0, 4)]
+        items.append({"x_sym": seq_to_symbols(x),
+                      "y_sym": seq_to_symbols("".join(y)),
+                      "anchors": [], "strand": int(rng.integers(0, 2))})
+    many = banded.banded_posteriors_many(tables, items, 10, threshold=0.01)
+    for it, ((m, gx, gy), total) in zip(items, many):
+        (m1, gx1, gy1), total1 = banded.banded_posteriors(
+            tables, it["x_sym"], it["y_sym"], it["anchors"], 10,
+            it["strand"], threshold=0.01)
+        assert total == pytest.approx(total1, abs=1e-9)
+        assert np.array_equal(m, m1)
+        assert np.array_equal(gx, gx1)
+        assert np.array_equal(gy, gy1)
