@@ -354,3 +354,75 @@ def set_hp_tag(raw: bytes, rec: BamRecord, haplotype: int) -> bytes:
     if not found and haplotype != 0:
         pieces.append(b"HPi" + struct.pack("<i", haplotype))
     return head + b"".join(pieces)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    """SAM spec reg2bin: smallest bin containing [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def build_bai(bam_path: str, out_path: str = None) -> str:
+    """Write a BAI index for a coordinate-sorted BAM (the binning +
+    16kb-window linear index scheme BaiIndex reads)."""
+    out_path = out_path or bam_path + ".bai"
+    reader = BamReader(bam_path)
+    n_ref = len(reader.header.ref_names)
+    bins = [dict() for _ in range(n_ref)]      # bin -> [(beg_voff, end_voff)]
+    linear = [dict() for _ in range(n_ref)]    # window -> min voff
+    while True:
+        voff_start = reader._bgzf.tell_virtual()
+        rec = reader._read_record()
+        if rec is None:
+            break
+        voff_end = reader._bgzf.tell_virtual()
+        if rec.ref_id < 0 or rec.pos < 0:
+            continue
+        ops = rec.cigar_ops()
+        ref_len = int(ops[np.isin(ops[:, 0], (0, 2, 3, 7, 8)), 1].sum()) \
+            if len(ops) else 1
+        beg, end = rec.pos, rec.pos + max(ref_len, 1)
+        b = _reg2bin(beg, end)
+        chunks = bins[rec.ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_start:
+            chunks[-1] = (chunks[-1][0], voff_end)  # merge adjacent
+        else:
+            chunks.append((voff_start, voff_end))
+        for w in range(beg >> 14, ((end - 1) >> 14) + 1):
+            cur = linear[rec.ref_id].get(w)
+            if cur is None or voff_start < cur:
+                linear[rec.ref_id][w] = voff_start
+    reader.close()
+
+    out = bytearray(b"BAI\x01")
+    out += struct.pack("<i", n_ref)
+    for rid in range(n_ref):
+        out += struct.pack("<i", len(bins[rid]))
+        for b, chunks in sorted(bins[rid].items()):
+            out += struct.pack("<Ii", b, len(chunks))
+            for beg_v, end_v in chunks:
+                out += struct.pack("<QQ", beg_v, end_v)
+        if linear[rid]:
+            n_win = max(linear[rid]) + 1
+            out += struct.pack("<i", n_win)
+            prev = 0
+            for w in range(n_win):
+                v = linear[rid].get(w)
+                if v is not None:
+                    prev = v
+                out += struct.pack("<Q", linear[rid].get(w, prev))
+        else:
+            out += struct.pack("<i", 0)
+    with open(out_path, "wb") as fh:
+        fh.write(bytes(out))
+    return out_path

@@ -111,7 +111,8 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                skip_output_fasta: bool = False,
                checkpoint: bool = False,
                log=print) -> PolishOutputs:
-    """polish_main (polish.c:87-1014)."""
+    """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
+    enables truth-sequence partitioning (polish.c:423-431)."""
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
                                   output_base, region=region, seed=seed,
@@ -125,6 +126,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   only_use_vcf_alleles=only_use_vcf_alleles,
                                   skip_output_fasta=skip_output_fasta,
                                   checkpoint=checkpoint,
+                                  true_reference_bam=true_reference_bam,
                                   log=log)
     rng = random.Random(seed)
     t0 = time.time()
@@ -243,6 +245,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        only_use_vcf_alleles: bool = False,
                        skip_output_fasta: bool = False,
                        checkpoint: bool = False,
+                       true_reference_bam: Optional[str] = None,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -305,6 +308,25 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                    else RleString.identity(raw_ref))
         reads, alignments, f_reads, f_alns = convert_to_reads_and_alignments(
             chunk, rle_ref, reader, pp, keep_filtered=True)
+        if true_reference_bam is not None:
+            # chunkTruthHaplotypes_addTruthReadsToFilteredReadSet
+            # (misc.c:443-473): truth contigs ride along as filtered reads
+            # with CTRID.<chunkIdx>.<name> names and get partitioned with
+            # the phased haplotypes
+            import copy as _copy
+            pp_truth = _copy.copy(pp)
+            pp_truth.includeSupplementaryAlignments = True
+            truth_reader = bamio.BamReader(true_reference_bam)
+            try:
+                t_reads, t_alns, _tf, _tfa = convert_to_reads_and_alignments(
+                    chunk, rle_ref, truth_reader, pp_truth,
+                    keep_filtered=False)
+            finally:
+                truth_reader.close()
+            for tr in t_reads:
+                tr.read_name = f"CTRID.{chunk.chunk_idx}.{tr.read_name}"
+            f_reads.extend(t_reads)
+            f_alns.extend(t_alns)
         # downsample via full read length (polish.c:544-549)
         if pp.maxDepth > 0 and reads:
             from margin_tpu.phase.downsample import knapsack_probs
@@ -449,6 +471,28 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
                                        set(ids1), set(ids2), params)
     out.hap1_count, out.hap2_count = h1, h2
+    if true_reference_bam is not None:
+        # chunkTruthHaplotypes_print (misc.c:382-440)
+        path = f"{output_base}.truthHaplotypesPartition.tsv"
+        per_chunk = {c.chunk_idx: ([], []) for c in chunkr.chunks}
+        for hap, ids in ((1, ids1), (2, ids2)):
+            for name in ids:
+                if not name.startswith("CTRID."):
+                    continue
+                parts = name.split(".")
+                ci = int(parts[1])
+                per_chunk[ci][hap - 1].append(".".join(parts[2:]))
+        with open(path, "w") as fh:
+            fh.write("#contig\tstartPos\tendPos\toverlapStart\toverlapEnd"
+                     "\thap\tsequenceName\n")
+            for c in chunkr.chunks:
+                h1_names, h2_names = per_chunk[c.chunk_idx]
+                for hap_no, names in ((1, h1_names), (2, h2_names)):
+                    for nm in names:
+                        fh.write(f"{c.ref_name}\t{c.chunk_start}\t"
+                                 f"{c.chunk_end}\t{c.chunk_overlap_start}\t"
+                                 f"{c.chunk_overlap_end}\t{hap_no}\t{nm}\n")
+        log(f"> Wrote truth haplotype partitioning to {path}")
     ckpt.finalize()
     log(f"> Diploid polish done in {time.time() - t0:.1f}s: "
         f"hap lengths {sum(len(s) for _, s in hap1_records)}/"
