@@ -205,7 +205,8 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                   chunk_vcf_entries, params: Params, tables,
                   ref_name: str = "ref", use_lut: bool = False,
                   collect: dict = None, only_vcf_alleles: bool = False,
-                  output_fasta: bool = True):
+                  output_fasta: bool = True, alignments=None, chunk=None,
+                  rng=None):
     """One chunk of the diploid polish path. Returns
     (hap1_consensus, hap2_consensus, hap1_names, hap2_names, gf).
     If `collect` is a dict, internal state needed for supplementary
@@ -235,12 +236,50 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
             repeats.estimate_phased_repeat_counts(
                 poa_hap2, reads, pp.repeat_sub_matrix, hap2_ids, pp)
 
-    # unassigned primary reads join the filtered pool (polish.c:762-770)
-    extra = [(r, None) for r in reads
-             if id(r) not in hap1_ids and id(r) not in hap2_ids]
-    all_filtered = list(filtered_reads) + [r for r, _ in extra]
+    # unassigned primary reads join the filtered pool, keeping their
+    # alignments as realignment anchors (polish.c:762-770)
+    all_filtered = list(filtered_reads)
+    all_alns = (list(filtered_alignments)
+                if filtered_alignments is not None
+                else [None] * len(all_filtered))
+    for i, r in enumerate(reads):
+        if id(r) not in hap1_ids and id(r) not in hap2_ids:
+            all_filtered.append(r)
+            all_alns.append(alignments[i] if alignments is not None else None)
+
+    if chunk is not None and all_filtered:
+        # removeReadsOnlyInChunkBoundary (misc.c:171-194)
+        cs = chunk.chunk_start - chunk.chunk_overlap_start
+        ce = chunk.chunk_end - chunk.chunk_overlap_start
+        kept_r, kept_a = [], []
+        for r, a in zip(all_filtered, all_alns):
+            if a is not None and len(a) > 0 and \
+                    (int(a[-1][0]) < cs or int(a[0][0]) >= ce):
+                continue
+            kept_r.append(r)
+            kept_a.append(a)
+        all_filtered, all_alns = kept_r, kept_a
+
+        # cap filtered reads at excessiveDepthThreshold
+        # (downsampleViaFullReadLengthLikelihood, polish.c:780-800)
+        if pp.excessiveDepthThreshold > 0 and rng is not None and all_filtered:
+            from margin_tpu.phase.downsample import knapsack_probs
+            lengths = np.array([r.rle_read.length for r in all_filtered])
+            span = chunk.chunk_overlap_end - chunk.chunk_overlap_start
+            if lengths.sum() / span >= pp.excessiveDepthThreshold:
+                metrics = np.array([r.full_read_length
+                                    for r in all_filtered])
+                probs = knapsack_probs(lengths, metrics,
+                                       pp.excessiveDepthThreshold, span)
+                kept_r, kept_a = [], []
+                for r, a, p in zip(all_filtered, all_alns, probs):
+                    if rng.random() < p:
+                        kept_r.append(r)
+                        kept_a.append(a)
+                all_filtered, all_alns = kept_r, kept_a
+
     if all_filtered:
-        filtered_poa = poa_realign(all_filtered, None, rle_reference, pp,
+        filtered_poa = poa_realign(all_filtered, all_alns, rle_reference, pp,
                                    tables, use_lut=use_lut)
         partition_filtered_reads_poa(filtered_poa, all_filtered, gf, bg,
                                      hap1_ids, hap2_ids, params, tables, use_lut)

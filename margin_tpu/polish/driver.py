@@ -364,7 +364,8 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             poa, reads, f_reads, f_alns, rle_ref, chunk_vcf_entries, params,
             tables, ref_name=chunk.ref_name, use_lut=use_lut, collect=collect,
             only_vcf_alleles=only_use_vcf_alleles,
-            output_fasta=not skip_output_fasta)
+            output_fasta=not skip_output_fasta, alignments=alignments,
+            chunk=chunk, rng=rng)
         if want_supplemental:
             from margin_tpu.polish import outputs
             # poa_writeSupplementalChunkInformationDiploid
