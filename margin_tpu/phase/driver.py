@@ -264,9 +264,33 @@ def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
     from margin_tpu.io.vcf import parse_region
     region_contig, region_start, region_end = parse_region(region)
 
+    sync = params.polish.synchronizeSupplementaryAlignments
+    sync_len1: Dict[str, int] = {}
+    sync_len2: Dict[str, int] = {}
+    if sync:
+        # synchronizeReadHaplotags (htsIntegration.c:1219-1308): vote each
+        # ORIGINAL read name's haplotype by total mapped length across its
+        # (supplementary) alignments
+        with bamio.BamReader(bam_in) as reader:
+            for rec in reader:
+                if rec.l_seq <= 0 or len(rec.cigar) == 0 or rec.is_unmapped:
+                    continue
+                if not params.polish.includeSecondaryAlignments and rec.is_secondary:
+                    continue
+                if not params.polish.includeSupplementaryAlignments and rec.is_supplementary:
+                    continue
+                fragment = chunkermod.get_read_name(
+                    rec, reader.header.ref_names[rec.ref_id])
+                in1 = fragment in hap1_names
+                in2 = fragment in hap2_names
+                if in1 and not in2:
+                    sync_len1[rec.name] = sync_len1.get(rec.name, 0) + rec.l_seq
+                elif in2 and not in1:
+                    sync_len2[rec.name] = sync_len2.get(rec.name, 0) + rec.l_seq
+
     try:
         from margin_tpu.io import native
-        if native.lib() is not None:
+        if not sync and native.lib() is not None:
             tags = {n: 1 for n in hap1_names if n not in hap2_names}
             tags.update({n: 2 for n in hap2_names if n not in hap1_names})
             tid, start, end = -1, -1, -1
@@ -299,18 +323,33 @@ def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
                     continue
                 if not params.polish.includeSupplementaryAlignments and rec.is_supplementary:
                     continue
-                name = chunkermod.get_read_name(
-                    rec, reader.header.ref_names[rec.ref_id])
-                in1 = name in hap1_names
-                in2 = name in hap2_names
-                if in1 and not in2:
-                    hap = 1
-                    h1 += 1
-                elif in2 and not in1:
-                    hap = 2
-                    h2 += 1
+                if sync:
+                    # majority-mapped-length vote per original read name
+                    # (htsIntegration.c:1438-1456)
+                    l1 = sync_len1.get(rec.name, 0)
+                    l2 = sync_len2.get(rec.name, 0)
+                    if l1 > l2:
+                        hap = 1
+                        h1 += 1
+                    elif l1 < l2:
+                        hap = 2
+                        h2 += 1
+                    else:
+                        hap = 0
+                        h0 += 1
                 else:
-                    hap = 0
-                    h0 += 1
+                    name = chunkermod.get_read_name(
+                        rec, reader.header.ref_names[rec.ref_id])
+                    in1 = name in hap1_names
+                    in2 = name in hap2_names
+                    if in1 and not in2:
+                        hap = 1
+                        h1 += 1
+                    elif in2 and not in1:
+                        hap = 2
+                        h2 += 1
+                    else:
+                        hap = 0
+                        h0 += 1
                 writer.write_raw(bamio.set_hp_tag(rec.raw, rec, hap))
     return h1, h2, h0

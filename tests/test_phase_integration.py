@@ -121,3 +121,19 @@ def test_phase_vcf_chunked_cis_trans(tmp_path):
     assert h1 > 0 and h2 > 0
     assert h1 > h2 * 2 // 3 and h2 > h1 * 2 // 3  # marginTest.c:173-178
     assert not (names[1] & names[2])
+
+
+@pytest.mark.slow
+def test_phase_haplotag_hapdup_sync(tmp_path):
+    """hapDup params enable synchronizeSupplementaryAlignments: haplotype
+    per ORIGINAL read name by majority mapped length
+    (synchronizeReadHaplotags, htsIntegration.c:1219-1308). On this data
+    every name has one primary alignment, so counts match the plain run."""
+    out_base = str(tmp_path / "hd")
+    main(["phase", BAM, FASTA,
+          reference_path("params", "phase",
+                         "allParams.haplotag.ont-r94g507.hapDup.json"),
+          VCF, "-o", out_base, "--skipPhasedVCF"])
+    counts, names = _hp_counts(out_base + ".haplotagged.bam")
+    assert counts[1] == 145 and counts[2] == 137
+    assert not (names[1] & names[2])
