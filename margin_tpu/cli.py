@@ -54,6 +54,10 @@ def main(argv=None):
     ph.add_argument("vcf", help="VCF with variants to phase")
     ph.add_argument("--skipHaplotypeBAM", action="store_true")
     ph.add_argument("--skipPhasedVCF", action="store_true")
+    ph.add_argument("--shard", default=None, metavar="I/N|merge",
+                    help="multi-process scaling: 'I/N' phases every Nth "
+                         "chunk (offset I) into the shared checkpoint dir; "
+                         "'merge' combines all shards into final outputs")
 
     po = sub.add_parser("polish", help="polish an assembly")
     _add_common(po)
@@ -133,10 +137,22 @@ def main(argv=None):
 
     if args.command == "phase":
         from margin_tpu.phase.driver import run_phase
+        shard = None
+        if args.shard is not None:
+            if args.shard == "merge":
+                shard = ("merge",)
+            else:
+                try:
+                    i_s, n_s = args.shard.split("/")
+                    shard = (int(i_s), int(n_s))
+                except ValueError:
+                    top.error(f"Invalid --shard (want I/N or merge): "
+                              f"{args.shard}")
         run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
                   region=args.region, write_bam=not args.skipHaplotypeBAM,
                   write_vcf=not args.skipPhasedVCF, seed=args.seed,
-                  use_lut=args.lut_logadd, checkpoint=args.checkpoint)
+                  use_lut=args.lut_logadd, checkpoint=args.checkpoint,
+                  shard=shard)
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType

@@ -45,11 +45,27 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               write_bam: bool = True, write_vcf: bool = True,
               seed: int = 0, use_lut: bool = False,
               checkpoint: bool = False,
+              shard: Optional[tuple] = None,
               log=print) -> PhaseOutputs:
     """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
     per-chunk results are persisted under <output_base>.checkpoint/ and a
-    rerun resumes from the completed chunks."""
+    rerun resumes from the completed chunks.
+
+    shard=(i, n) runs only chunks with idx % n == i into the shared
+    checkpoint directory and exits without producing outputs — the
+    multi-host scaling mode: launch one process (or host) per shard
+    against the same output base, then run once without `shard` to merge.
+    Shard mode uses a per-chunk-seeded RNG so chunks are independent of
+    processing order (the sequential default keeps the reference-style
+    single stream)."""
     rng = random.Random(seed)
+    shard_idx = shard_n = None
+    if shard is not None:
+        checkpoint = True
+        if shard[0] != "merge":
+            shard_idx, shard_n = int(shard[0]), int(shard[1])
+            if not 0 <= shard_idx < shard_n:
+                raise ValueError(f"bad shard {shard}")
     t0 = time.time()
     out = PhaseOutputs()
 
@@ -90,33 +106,50 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     ckpt = ChunkCheckpointer(
         f"{output_base}.checkpoint", enabled=checkpoint,
         meta={"bam": os.path.abspath(bam_file), "vcf": os.path.abspath(vcf_file),
-              "region": region, "seed": seed, "n_chunks": len(chunkr.chunks)},
+              "region": region, "seed": seed, "n_chunks": len(chunkr.chunks),
+              "per_chunk_rng": shard is not None},
         log=log)
 
     results: List[ChunkPhaseResult] = []
     reader = bamio.BamReader(bam_file)
 
     for chunk in chunkr.chunks:
+        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
+            continue
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
             res = payload["res"]
             apply_vcf_snapshot(vcf_entries, chunk.ref_name, payload["vcf"])
-            rng.setstate(payload["rng_state"])
+            if payload.get("rng_state") is not None:
+                rng.setstate(payload["rng_state"])
         else:
+            chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
+                         if shard is not None else rng)
             res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
-                                  params, tables, rng, write_bam, use_lut, log)
+                                  params, tables, chunk_rng, write_bam,
+                                  use_lut, log)
+            # snapshot only the chunk INTERIOR: update_original_vcf_entries
+            # writes roots in [chunk_start, chunk_end) only, and snapshots
+            # of the wider overlap window would clobber a neighbor chunk's
+            # interior when replayed out of order (shard mode)
             ckpt.save(chunk.chunk_idx, {
                 "res": res,
                 "vcf": snapshot_vcf_entries(vcf_entries, chunk.ref_name,
-                                            chunk.chunk_overlap_start,
-                                            chunk.chunk_overlap_end),
-                "rng_state": rng.getstate()})
+                                            chunk.chunk_start,
+                                            chunk.chunk_end),
+                "rng_state": (None if shard is not None else rng.getstate())})
         results.append(res)
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
 
     reader.close()
+
+    if shard_idx is not None:
+        done = len(results)
+        log(f"> Shard {shard_idx}/{shard_n} complete: {done} chunks "
+            f"checkpointed; run once more without a shard index to merge")
+        return out
 
     # stitch (stitching.c:1558-1693)
     ids1, ids2, switched = stitch_phase_results(

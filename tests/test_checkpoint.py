@@ -135,3 +135,37 @@ def test_polish_checkpoint_resume(tmp_path, monkeypatch):
                                   log=lambda *a: None)
     assert (tmp_path / "ref.fa").read_text() == (tmp_path / "ck.fa").read_text()
     assert ref_out.sequences == out.sequences
+
+
+@pytest.mark.slow
+def test_phase_shard_and_merge(tmp_path):
+    """--shard I/N + merge: sharded runs into a shared checkpoint dir then
+    a merge run must produce EXACTLY what a single merge-mode run (same
+    per-chunk RNG scheme) produces."""
+    from margin_tpu.phase import driver as phasedriver
+
+    # ground truth: one merge-mode run computing everything itself
+    params = _phase_params(tmp_path)
+    ref = phasedriver.run_phase(BAM, FASTA, VCF, params,
+                                str(tmp_path / "solo"), shard=("merge",),
+                                log=lambda *a: None)
+
+    # two shards then merge
+    params2 = _phase_params(tmp_path)
+    out0 = phasedriver.run_phase(BAM, FASTA, VCF, params2,
+                                 str(tmp_path / "sh"), shard=(0, 2),
+                                 log=lambda *a: None)
+    assert out0.haplotagged_bam is None  # shard runs produce no outputs
+    params3 = _phase_params(tmp_path)
+    phasedriver.run_phase(BAM, FASTA, VCF, params3, str(tmp_path / "sh"),
+                          shard=(1, 2), log=lambda *a: None)
+    params4 = _phase_params(tmp_path)
+    logs = []
+    out = phasedriver.run_phase(BAM, FASTA, VCF, params4,
+                                str(tmp_path / "sh"), shard=("merge",),
+                                log=lambda *a: logs.append(" ".join(map(str, a))))
+    assert any("Resumed" in l for l in logs)
+    assert (out.hap1_count, out.hap2_count, out.phased_het_count) == \
+        (ref.hap1_count, ref.hap2_count, ref.phased_het_count)
+    assert (tmp_path / "solo.phased.vcf").read_text() == \
+        (tmp_path / "sh.phased.vcf").read_text()
