@@ -26,6 +26,10 @@ def _add_common(p):
     p.add_argument("--checkpoint", action="store_true",
                    help="persist per-chunk results under "
                         "<outputBase>.checkpoint/ and resume a killed run")
+    p.add_argument("--shard", default=None, metavar="I/N|merge",
+                   help="multi-process scaling: 'I/N' processes every Nth "
+                        "chunk (offset I) into the shared checkpoint dir; "
+                        "'merge' combines all shards into final outputs")
 
 
 def main(argv=None):
@@ -54,10 +58,6 @@ def main(argv=None):
     ph.add_argument("vcf", help="VCF with variants to phase")
     ph.add_argument("--skipHaplotypeBAM", action="store_true")
     ph.add_argument("--skipPhasedVCF", action="store_true")
-    ph.add_argument("--shard", default=None, metavar="I/N|merge",
-                    help="multi-process scaling: 'I/N' phases every Nth "
-                         "chunk (offset I) into the shared checkpoint dir; "
-                         "'merge' combines all shards into final outputs")
 
     po = sub.add_parser("polish", help="polish an assembly")
     _add_common(po)
@@ -135,19 +135,20 @@ def main(argv=None):
     if args.maxDepth >= 0:
         params.polish.maxDepth = args.maxDepth
 
+    shard = None
+    if args.shard is not None:
+        if args.shard == "merge":
+            shard = ("merge",)
+        else:
+            try:
+                i_s, n_s = args.shard.split("/")
+                shard = (int(i_s), int(n_s))
+            except ValueError:
+                top.error(f"Invalid --shard (want I/N or merge): "
+                          f"{args.shard}")
+
     if args.command == "phase":
         from margin_tpu.phase.driver import run_phase
-        shard = None
-        if args.shard is not None:
-            if args.shard == "merge":
-                shard = ("merge",)
-            else:
-                try:
-                    i_s, n_s = args.shard.split("/")
-                    shard = (int(i_s), int(n_s))
-                except ValueError:
-                    top.error(f"Invalid --shard (want I/N or merge): "
-                              f"{args.shard}")
         run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
                   region=args.region, write_bam=not args.skipHaplotypeBAM,
                   write_vcf=not args.skipPhasedVCF, seed=args.seed,
@@ -172,7 +173,7 @@ def main(argv=None):
                    vcf_file=args.vcf,
                    only_use_vcf_alleles=args.onlyVcfAlleles,
                    skip_output_fasta=args.skipOutputFasta,
-                   checkpoint=args.checkpoint)
+                   checkpoint=args.checkpoint, shard=shard)
     return 0
 
 

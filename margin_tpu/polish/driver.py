@@ -110,9 +110,12 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                only_use_vcf_alleles: bool = False,
                skip_output_fasta: bool = False,
                checkpoint: bool = False,
+               shard: Optional[tuple] = None,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
-    enables truth-sequence partitioning (polish.c:423-431)."""
+    enables truth-sequence partitioning (polish.c:423-431). shard=(i, n)
+    polishes every nth chunk (offset i) into the shared checkpoint dir;
+    shard=("merge",) combines (see run_phase)."""
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
                                   output_base, region=region, seed=seed,
@@ -127,8 +130,14 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   skip_output_fasta=skip_output_fasta,
                                   checkpoint=checkpoint,
                                   true_reference_bam=true_reference_bam,
+                                  shard=shard,
                                   log=log)
     rng = random.Random(seed)
+    shard_idx = shard_n = None
+    if shard is not None:
+        checkpoint = True
+        if shard[0] != "merge":
+            shard_idx, shard_n = int(shard[0]), int(shard[1])
     t0 = time.time()
     pp = params.polish
 
@@ -168,16 +177,22 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         f"{output_base}.checkpoint", enabled=checkpoint,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": False,
-              "n_chunks": len(chunkr.chunks)}, log=log)
+              "n_chunks": len(chunkr.chunks),
+              "per_chunk_rng": shard is not None}, log=log)
 
     reader = bamio.BamReader(bam_file)
     chunk_seqs = []
     for chunk in chunkr.chunks:
+        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
+            continue
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
             chunk_seqs.append(payload["seq"])
-            rng.setstate(payload["rng_state"])
+            if payload.get("rng_state") is not None:
+                rng.setstate(payload["rng_state"])
             continue
+        if shard is not None:
+            rng = random.Random(f"{seed}:{chunk.chunk_idx}")
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -213,14 +228,22 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                 output_poa_dot, output_poa_csv, output_repeat_counts)
         seq_rec = (chunk.ref_name, chunk.chunk_idx, poa.ref_string.expand())
         chunk_seqs.append(seq_rec)
-        ckpt.save(chunk.chunk_idx, {"seq": seq_rec,
-                                    "rng_state": rng.getstate()})
+        ckpt.save(chunk.chunk_idx, {
+            "seq": seq_rec,
+            "rng_state": (None if shard is not None else rng.getstate())})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads, "
             f"consensus {poa.ref_string.non_rle_length}bp")
     reader.close()
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
+    if shard_idx is not None:
+        log(f"> Shard {shard_idx}/{shard_n} complete: "
+            f"{len(chunk_seqs)} chunks checkpointed; run with --shard merge "
+            f"to produce outputs")
+        if helen_h5 is not None:
+            helen_h5.close()
+        return PolishOutputs()
     if helen_h5 is not None:
         helen_h5.close()
         log(f"> Wrote HELEN features to {helen_h5.filename}")
@@ -246,6 +269,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        skip_output_fasta: bool = False,
                        checkpoint: bool = False,
                        true_reference_bam: Optional[str] = None,
+                       shard: Optional[tuple] = None,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -258,6 +282,11 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     from margin_tpu.phase.driver import write_haplotagged_bam
 
     rng = random.Random(seed)
+    shard_idx = shard_n = None
+    if shard is not None:
+        checkpoint = True
+        if shard[0] != "merge":
+            shard_idx, shard_n = int(shard[0]), int(shard[1])
     t0 = time.time()
     pp = params.polish
     if not pp.skipHaploidPolishingIfDiploid:
@@ -291,17 +320,23 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         f"{output_base}.checkpoint", enabled=checkpoint,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": True, "vcf": vcf_file,
-              "n_chunks": len(chunkr.chunks)}, log=log)
+              "n_chunks": len(chunkr.chunks),
+              "per_chunk_rng": shard is not None}, log=log)
 
     reader = bamio.BamReader(bam_file)
     chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
     for chunk in chunkr.chunks:
+        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
+            continue
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
             chunk_results.append((payload["res"], payload["hap1_seq"],
                                   payload["hap2_seq"]))
-            rng.setstate(payload["rng_state"])
+            if payload.get("rng_state") is not None:
+                rng.setstate(payload["rng_state"])
             continue
+        if shard is not None:
+            rng = random.Random(f"{seed}:{chunk.chunk_idx}")
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -414,9 +449,9 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             elif r.read_name in hap2_names and r.read_name not in res.hap2_reads:
                 res.hap2_reads[r.read_name] = -1.0
         chunk_results.append((res, hap1_seq, hap2_seq))
-        ckpt.save(chunk.chunk_idx, {"res": res, "hap1_seq": hap1_seq,
-                                    "hap2_seq": hap2_seq,
-                                    "rng_state": rng.getstate()})
+        ckpt.save(chunk.chunk_idx, {
+            "res": res, "hap1_seq": hap1_seq, "hap2_seq": hap2_seq,
+            "rng_state": (None if shard is not None else rng.getstate())})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads -> "
             f"{len(res.hap1_reads)} hap1 / {len(res.hap2_reads)} hap2; "
             f"consensus {len(hap1_seq)}/{len(hap2_seq)}bp")
@@ -424,6 +459,11 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
+    if shard_idx is not None:
+        log(f"> Shard {shard_idx}/{shard_n} complete: "
+            f"{len(chunk_results)} chunks checkpointed; run with "
+            f"--shard merge to produce outputs")
+        return PolishOutputs()
 
     # phased stitch: vote + swap + trim both hap sequences
     # (mergeContigChunkz, stitching.c:1413-1499)

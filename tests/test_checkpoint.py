@@ -169,3 +169,30 @@ def test_phase_shard_and_merge(tmp_path):
         (ref.hap1_count, ref.hap2_count, ref.phased_het_count)
     assert (tmp_path / "solo.phased.vcf").read_text() == \
         (tmp_path / "sh.phased.vcf").read_text()
+
+
+@pytest.mark.slow
+def test_polish_shard_and_merge(tmp_path):
+    from margin_tpu.polish import driver as polishdriver
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "polish", "ont", "r9.4",
+                                  "allParams.np.human.r94-g360.json"),
+        "polish": {"chunkSize": 2000, "chunkBoundary": 200},
+    }))
+    params = Params.load(str(pfile))
+    ref = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "solo"),
+                                  region="chr20:1000-5000",
+                                  shard=("merge",), log=lambda *a: None)
+    for i in range(2):
+        out = polishdriver.run_polish(BAM, FASTA, params,
+                                      str(tmp_path / "sh"),
+                                      region="chr20:1000-5000", shard=(i, 2),
+                                      log=lambda *a: None)
+        assert out.fasta is None
+    out = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "sh"),
+                                  region="chr20:1000-5000",
+                                  shard=("merge",), log=lambda *a: None)
+    assert (tmp_path / "solo.fa").read_text() == \
+        (tmp_path / "sh.fa").read_text()
+    assert ref.sequences == out.sequences
