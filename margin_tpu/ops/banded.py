@@ -65,6 +65,17 @@ class BandGeometry:
         return BandGeometry(lx, ly, d_pad, w_pad, xmy_l, w, x_base, y_base)
 
 
+
+def _bucket_dpad(n: int) -> int:
+    """Pad diagonal counts to {2^k, 1.5*2^k} steps: bounded compile
+    variants with at most ~33% padding waste (pow2 alone wastes up to 2x,
+    which is real wall time in the scan-dominated FB)."""
+    n = max(n, 64)
+    p = 1 << (int(n - 1).bit_length())          # next pow2 >= n
+    half = (p >> 1) + (p >> 2)                  # 1.5 * previous pow2
+    return half if half >= n else p
+
+
 def _gather_shift(arr, shift):
     """arr: (3, W). Returns arr indexed at k+shift along axis 1 with LOG_ZERO
     padding out of range."""
@@ -333,7 +344,7 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     d_pad = geom.d_pad
     w_pad = geom.w_pad
     if pad_shapes:  # stabilize compiled shapes
-        d_pad = max(64, 1 << int(np.ceil(np.log2(d_pad))))
+        d_pad = _bucket_dpad(d_pad)
         w_pad = int(np.ceil(w_pad / 8)) * 8
         geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad,
                                   dynamic=dynamic)
@@ -387,7 +398,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             continue
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
                                   dynamic=dynamic)
-        d_pad = max(64, 1 << int(np.ceil(np.log2(geom.d_pad))))
+        d_pad = _bucket_dpad(geom.d_pad)
         w_pad = int(np.ceil(geom.w_pad / 8)) * 8
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
         key = (d_pad, w_pad, int(it["strand"]), use_rle)
@@ -459,7 +470,7 @@ def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
     geom = BandGeometry.build(anchors, lx, ly, expansion)
     d_pad, w_pad = geom.d_pad, geom.w_pad
     if pad_shapes:
-        d_pad = max(64, 1 << int(np.ceil(np.log2(d_pad))))
+        d_pad = _bucket_dpad(d_pad)
         w_pad = int(np.ceil(w_pad / 8)) * 8
         geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad)
     xs = np.full(d_pad, 4, dtype=np.int32)
