@@ -111,6 +111,12 @@ def main(argv=None):
         if args.onlyVcfAlleles and not args.skipOutputFasta:
             top.error("The --onlyVcfAlleles parameter must be used with "
                       "the --skipOutputFasta option")
+        if args.skipOutputFasta and (args.outputPoaCsv
+                                     or args.outputRepeatCounts
+                                     or args.outputPoaDot):
+            # polish.c:313-314
+            top.error("Cannot --outputPoaCsv, --outputRepeatCounts, or "
+                      "--outputPoaDot with --skipOutputFasta")
         # polish.c:216-219, 301-307: validate feature flags up front
         if args.splitRleWeightMaxRL < 0:
             top.error(f"Invalid splitRleWeightMaxRL: {args.splitRleWeightMaxRL}")

@@ -248,6 +248,11 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         helen_h5.close()
         log(f"> Wrote HELEN features to {helen_h5.filename}")
 
+    if skip_output_fasta:
+        # polish.c --skipOutputFasta: features/supplementary files only
+        ckpt.finalize()
+        log(f"> Finished (skipped FASTA output) in {time.time() - t0:.1f}s")
+        return PolishOutputs()
     sequences = stitcher.stitch_sequences(chunk_seqs, params)
     out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
     write_fasta(out.fasta, sequences)
