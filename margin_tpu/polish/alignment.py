@@ -148,9 +148,32 @@ class MsaView:
                     self.inserts[x].append((r, prev_y + 1, y - prev_y - 1))
                 self.aligned[x, r] = y
                 prev_x, prev_y = x, y
+            # trailing read bases after the last aligned pair are an insert
+            # preceding the next reference position (viewTest.c:66-81)
+            if prev_x >= 0 and len(read_syms[r]) - 1 > prev_y:
+                self.inserts[prev_x + 1].append(
+                    (r, prev_y + 1, len(read_syms[r]) - 1 - prev_y))
 
     def coverage(self, ref_pos: int) -> int:
         return int((self.aligned[ref_pos] >= 0).sum())
+
+    def seq_coordinate(self, ref_pos: int, read: int) -> int:
+        """msaView_getSeqCoordinate: aligned read coordinate or -1."""
+        return int(self.aligned[ref_pos, read])
+
+    def preceding_insert_length(self, ref_pos: int, read: int) -> int:
+        """msaView_getPrecedingInsertLength."""
+        for r, _s, ln in self.inserts[ref_pos]:
+            if r == read:
+                return ln
+        return 0
+
+    def preceding_insert_start(self, ref_pos: int, read: int) -> int:
+        """msaView_getPrecedingInsertStart: read coordinate or -1."""
+        for r, s, _ln in self.inserts[ref_pos]:
+            if r == read:
+                return s
+        return -1
 
     def max_precursor_insert_length(self, ref_pos: int) -> int:
         return max((ln for _, _, ln in self.inserts[ref_pos]), default=0)

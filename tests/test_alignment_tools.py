@@ -87,3 +87,48 @@ def test_run_length_matrix_tool(tmp_path):
     # diagonal should dominate: observed run lengths mostly match reference
     diag = sum(counts[i, i] for i in range(min(counts.shape)))
     assert diag > 0.5 * counts.sum()
+
+
+def test_msa_view_truth_table():
+    """test_view (viewTest.c:25-99): the GATTACA 3-read example's aligned
+    coordinates, preceding inserts, and max insert lengths."""
+    ref = seq_to_symbols("GATTACA")
+    seqs = [seq_to_symbols(s) for s in ("TT", "GATCCACAA", "GTTACA")]
+
+    def aln(pairs):
+        return np.array([[1, x, y] for x, y in pairs], dtype=np.int64)
+
+    alignments = [
+        aln([(2, 0), (3, 1)]),
+        aln([(0, 0), (1, 1), (2, 2), (4, 5), (5, 6), (6, 7)]),
+        aln([(2, 1), (3, 2), (4, 3), (5, 4), (6, 5)]),
+    ]
+    view = MsaView(ref, seqs, alignments)
+
+    coord_truth = [
+        [-1, -1, 0, 1, -1, -1, -1],
+        [0, 1, 2, -1, 5, 6, 7],
+        [-1, -1, 1, 2, 3, 4, 5],
+    ]
+    for j in range(3):
+        for i in range(7):
+            assert view.seq_coordinate(i, j) == coord_truth[j][i]
+
+    ins_len_truth = [
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 2, 0, 0, 1],
+        [0, 0, 1, 0, 0, 0, 0, 0],
+    ]
+    ins_start_truth = [
+        [-1, -1, -1, -1, -1, -1, -1, -1],
+        [-1, -1, -1, -1, 3, -1, -1, 8],
+        [-1, -1, 0, -1, -1, -1, -1, -1],
+    ]
+    for j in range(3):
+        for i in range(8):
+            assert view.preceding_insert_length(i, j) == ins_len_truth[j][i]
+            assert view.preceding_insert_start(i, j) == ins_start_truth[j][i]
+
+    max_indels = [0, 0, 1, 0, 2, 0, 0, 1]
+    for i in range(8):
+        assert view.max_precursor_insert_length(i) == max_indels[i]
