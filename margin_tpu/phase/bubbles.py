@@ -178,7 +178,9 @@ def build_bubble_graph(reads: List[ReadVcfSubstrings], vcf_entries: List[VcfEntr
 
     # score all pending pairs in padded batches
     _score_pending(bubbles, pending_pairs, pending_strands, pending_reps,
-                   pending_slots, tables, use_rle, batch_max, use_lut)
+                   pending_slots, tables, use_rle, batch_max, use_lut,
+                   sv_limit=params.phase.referenceExpansionForStructuralVariants,
+                   expansion=params.polish.p.diagonalExpansion)
 
     # propagate cached duplicates
     for b in bubbles:
@@ -192,9 +194,36 @@ def build_bubble_graph(reads: List[ReadVcfSubstrings], vcf_entries: List[VcfEntr
 
 
 def _score_pending(bubbles, pairs, strands, reps, slots, tables, use_rle,
-                   batch_max, use_lut):
+                   batch_max, use_lut, sv_limit: int = 0, expansion: int = 20):
     if not pairs:
         return
+    # SV-length alleles/read substrings are scored with the kmer-anchored
+    # banded kernel instead of the dense batch (bubbleGraph.c:1447-1453)
+    if sv_limit > 0:
+        from margin_tpu.ops import banded
+        from margin_tpu.polish.kmers import get_kmer_alignment_anchors
+        sv_idx = [i for i in range(len(pairs))
+                  if len(pairs[i][0]) > sv_limit or len(pairs[i][1]) > sv_limit]
+        if sv_idx:
+            for i in sv_idx:
+                x_sym, y_sym = pairs[i]
+                anchors = get_kmer_alignment_anchors(x_sym, y_sym, expansion)
+                rep_kwargs = {}
+                if use_rle:
+                    rep_kwargs = dict(rep_x=reps[i][0], rep_y=reps[i][1])
+                _pairs, total = banded.banded_posteriors(
+                    tables, x_sym, y_sym, anchors, expansion, strands[i],
+                    threshold=2.0, use_lut=use_lut, **rep_kwargs)
+                bidx, j, k = slots[i]
+                bubbles[bidx].allele_read_supports[j, k] = total
+            keep = [i for i in range(len(pairs)) if i not in set(sv_idx)]
+            pairs = [pairs[i] for i in keep]
+            strands = [strands[i] for i in keep]
+            if use_rle:
+                reps = [reps[i] for i in keep]
+            slots = [slots[i] for i in keep]
+            if not pairs:
+                return
     # bucket by padded size to limit wasted lanes: sort by (len_x, len_y)
     order = sorted(range(len(pairs)),
                    key=lambda i: (len(pairs[i][0]), len(pairs[i][1])))

@@ -209,3 +209,38 @@ def test_split_keeps_linked_hets_together():
     hmms = get_rp_hmms([a, b], ref, params)
     frags = split_where_phasing_is_uncertain(hmms[0])
     assert len(frags) == 1
+
+
+def test_score_pending_sv_banded_path():
+    """SV-length pairs go through the kmer-anchored banded kernel
+    (bubbleGraph.c:1447-1453) and must closely match the dense forward."""
+    import numpy as np
+    from margin_tpu.alphabet import seq_to_symbols
+    from margin_tpu.ops import pairhmm
+    from margin_tpu.params import StateMachineParams
+    from margin_tpu.phase.bubbles import Bubble, _score_pending
+
+    rng = np.random.default_rng(13)
+    sm = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(sm)
+    seq = "".join("ACGT"[v] for v in rng.integers(0, 4, 700))
+    x = seq_to_symbols(seq)
+    y = list(seq)
+    for j in range(0, len(y), 37):
+        y[j] = "ACGT"[rng.integers(0, 4)]
+    y = seq_to_symbols("".join(y))
+
+    def run(sv_limit):
+        b = Bubble(0, 1, 0, None, None, [None], [None, None],
+                   np.zeros((2, 1), dtype=np.float32))
+        _score_pending([b], [(x, y), (x, x)], [0, 0], [], 
+                       [(0, 0, 0), (0, 1, 0)], tables, False, 1024, False,
+                       sv_limit=sv_limit, expansion=20)
+        return b.allele_read_supports.copy()
+
+    dense = run(sv_limit=0)          # SV routing off -> dense kernel
+    banded_sv = run(sv_limit=512)    # 700 > 512 -> kmer-anchored banded
+    # anchored band covers the (near-diagonal) mass: totals agree closely
+    assert np.allclose(dense, banded_sv, atol=0.5)
+    # and the relative ordering of allele supports is preserved
+    assert (dense[0, 0] < dense[1, 0]) == (banded_sv[0, 0] < banded_sv[1, 0])
