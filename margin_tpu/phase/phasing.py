@@ -139,6 +139,32 @@ def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
                     reps.append((a_rep[j], yr))
                 owners.append((g, k, j))
         dups.append(dup)
+    # SV-length pairs take the kmer-anchored banded kernel
+    # (bubbleGraph.c:1447-1453) so they don't inflate the dense batches
+    sv_limit = params.phase.referenceExpansionForStructuralVariants
+    if pairs and sv_limit > 0:
+        from margin_tpu.ops import banded
+        from margin_tpu.polish.kmers import get_kmer_alignment_anchors
+        expansion = params.polish.p.diagonalExpansion
+        sv_set = {i for i in range(len(pairs))
+                  if len(pairs[i][0]) > sv_limit or len(pairs[i][1]) > sv_limit}
+        for i in sv_set:
+            x_sym, y_sym = pairs[i]
+            anchors = get_kmer_alignment_anchors(x_sym, y_sym, expansion)
+            rep_kwargs = (dict(rep_x=reps[i][0], rep_y=reps[i][1])
+                          if use_rle else {})
+            _p, total = banded.banded_posteriors(
+                tables, x_sym, y_sym, anchors, expansion, strands[i],
+                threshold=2.0, use_lut=use_lut, **rep_kwargs)
+            g, k, j = owners[i]
+            outs[g][k, j] = total
+        if sv_set:
+            keep = [i for i in range(len(pairs)) if i not in sv_set]
+            pairs = [pairs[i] for i in keep]
+            strands = [strands[i] for i in keep]
+            if use_rle:
+                reps = [reps[i] for i in keep]
+            owners = [owners[i] for i in keep]
     if pairs:
         order = sorted(range(len(pairs)),
                        key=lambda i: (len(pairs[i][0]) + len(pairs[i][1])))
