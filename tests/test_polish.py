@@ -110,3 +110,24 @@ def test_polish_examples_improve_identity(polish_params, norle_params, rle):
     # polisherTest.c:672-686, only logs metrics; improvement is the invariant)
     assert total_cons > total_start, (total_cons / n_ex, total_start / n_ex)
     assert total_cons / n_ex > 0.92, total_cons / n_ex
+
+
+@pytest.mark.slow
+def test_polish_with_hifi_params(tmp_path):
+    """BASELINE.json config 3: the PacBio-HiFi parameter set runs through
+    the polish path (here on ONT reads — model mismatch, so the bar is
+    identity, not improvement)."""
+    from margin_tpu.io.fasta import FastaIndex
+    from margin_tpu.polish.driver import run_polish
+    params = Params.load(reference_path("params", "polish", "pacbio", "hifi",
+                                        "allParams.hifi.json"))
+    out = run_polish(
+        reference_path("tests", "data", "realData",
+                       "HG002.r94g360.chr20_59M_100k.bam"),
+        reference_path("tests", "data", "realData", "hg38.chr20_59M_100k.fa"),
+        params, str(tmp_path / "hifi"), region="chr20:1000-3000",
+        log=lambda *a: None)
+    truth = FastaIndex(reference_path(
+        "tests", "data", "realData",
+        "hg38.chr20_59M_100k.fa")).fetch("chr20", 1000, 3000).upper()
+    assert _identity(out.sequences[0][1], truth) > 0.95
