@@ -324,6 +324,90 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
     return post, total
 
 
+def get_split_points(anchors, lx: int, ly: int, split_bigger_than: int,
+                     ragged_left: bool, ragged_right: bool):
+    """getSplitPoints (pairwiseAligner.c:913-966): split the DP into
+    sub-rectangles around anchor gaps whose area exceeds
+    splitMatrixBiggerThanThis. Returns [(x1, y1, x2, y2)]."""
+    import math
+    out = []
+    state = [0, 0]  # current region origin (x1, y1)
+
+    def split_p(x2, y2, x3, y3, skip_block):
+        lx2, ly2 = x3 - x2, y3 - y2
+        if lx2 * ly2 > split_bigger_than:
+            max_len = int(math.sqrt(split_bigger_than))
+            hx = max_len if lx2 // 2 > max_len else lx2 // 2
+            hy = max_len if ly2 // 2 > max_len else ly2 // 2
+            if not skip_block:
+                out.append((state[0], state[1], x2 + hx, y2 + hy))
+            state[0] = x3 - hx
+            state[1] = y3 - hy
+            return True
+        return False
+
+    x2 = y2 = 0
+    for i, a in enumerate(anchors):
+        x3, y3 = int(a[0]), int(a[1])
+        split_p(x2, y2, x3, y3, ragged_left and i == 0)
+        x2, y2 = x3 + 1, y3 + 1
+    if (not split_p(x2, y2, lx, ly, ragged_left and len(anchors) == 0)
+            or not ragged_right):
+        out.append((state[0], state[1], lx, ly))
+    return out
+
+
+def banded_posteriors_split(tables: PairHmmTables, x_sym, y_sym, anchors,
+                            expansion: int, strand: int,
+                            split_bigger_than: int,
+                            ragged_left=False, ragged_right=False,
+                            threshold: float = 0.01, use_lut: bool = False,
+                            dynamic: bool = False, rep_x=None, rep_y=None):
+    """getPosteriorProbsWithBandingSplittingAlignmentsByLargeGaps
+    (pairwiseAligner.c:984-1040): run banded_posteriors per sub-rectangle
+    and merge pair lists with coordinate correction. Returns the same
+    ((matches, gapx, gapy), total-sum) shape as banded_posteriors."""
+    lx, ly = len(x_sym), len(y_sym)
+    anchors = [] if anchors is None else [tuple(int(v) for v in a)
+                                          for a in anchors]
+    splits = get_split_points(anchors, lx, ly, split_bigger_than,
+                              bool(ragged_left), bool(ragged_right))
+    if len(splits) == 1 and splits[0] == (0, 0, lx, ly):
+        return banded_posteriors(tables, x_sym, y_sym, anchors, expansion,
+                                 strand, ragged_left, ragged_right,
+                                 threshold, use_lut, dynamic=dynamic,
+                                 rep_x=rep_x, rep_y=rep_y)
+    out_m, out_gx, out_gy = [], [], []
+    total = 0.0
+    j = 0
+    for i, (x1, y1, x2, y2) in enumerate(splits):
+        sub_anchors = []
+        while j < len(anchors):
+            x, y = anchors[j][0], anchors[j][1]
+            if x + y >= x2 + y2:
+                break
+            sub_anchors.append((x - x1, y - y1) + tuple(anchors[j][2:]))
+            j += 1
+        (m, gx, gy), t = banded_posteriors(
+            tables, x_sym[x1:x2], y_sym[y1:y2], sub_anchors, expansion,
+            strand,
+            ragged_left=(ragged_left or i > 0),
+            ragged_right=(ragged_right or i < len(splits) - 1),
+            threshold=threshold, use_lut=use_lut, dynamic=dynamic,
+            rep_x=rep_x[x1:x2] if rep_x is not None else None,
+            rep_y=rep_y[y1:y2] if rep_y is not None else None)
+        for arr, acc in ((m, out_m), (gx, out_gx), (gy, out_gy)):
+            if len(arr):
+                arr = arr.copy()
+                arr[:, 1] += x1
+                arr[:, 2] += y1
+            acc.append(arr)
+        total += t
+    empty = np.zeros((0, 3), dtype=np.int64)
+    cat = lambda lst: np.concatenate(lst) if lst else empty
+    return (cat(out_m), cat(out_gx), cat(out_gy)), total
+
+
 def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarray,
                       anchors, expansion: int, strand: int,
                       ragged_left=False, ragged_right=False,

@@ -465,9 +465,10 @@ def get_aligned_pairs_cropping_reference(reference: RleString, read: PoaRead,
     Returns (matches, inserts, deletes) weighted-pair arrays in reference
     coordinates."""
     item, first_ref = _crop_item(reference, read, anchors, params)
-    (m, gx, gy), _total = banded.banded_posteriors(
+    (m, gx, gy), _total = banded.banded_posteriors_split(
         tables, item["x_sym"], item["y_sym"], item["anchors"],
         params.p.diagonalExpansion, item["strand"],
+        params.p.splitMatrixBiggerThanThis,
         threshold=params.p.threshold, use_lut=use_lut,
         dynamic=params.p.dynamicAnchorExpansion,
         rep_x=item.get("rep_x"), rep_y=item.get("rep_y"))
@@ -539,10 +540,25 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
     if batched:
         items = []
         firsts = []
+        split_results = {}  # idx -> result for reads with large-gap splits
         for i, read in enumerate(reads):
             anchors = (anchor_alignments[i]
                        if anchor_alignments is not None else [])
             item, first_ref = _crop_item(reference, read, anchors, params)
+            splits = banded.get_split_points(
+                item["anchors"], len(item["x_sym"]), len(item["y_sym"]),
+                params.p.splitMatrixBiggerThanThis, False, False)
+            if len(splits) > 1:
+                # rare large-gap reads go through the splitting path alone
+                split_results[i] = banded.banded_posteriors_split(
+                    tables, item["x_sym"], item["y_sym"], item["anchors"],
+                    params.p.diagonalExpansion, item["strand"],
+                    params.p.splitMatrixBiggerThanThis,
+                    threshold=params.p.threshold, use_lut=use_lut,
+                    dynamic=params.p.dynamicAnchorExpansion,
+                    rep_x=item.get("rep_x"), rep_y=item.get("rep_y"))
+                item = {"x_sym": item["x_sym"][:0], "y_sym": item["y_sym"][:0],
+                        "anchors": [], "strand": item["strand"]}
             items.append(item)
             firsts.append(first_ref)
         results = banded.banded_posteriors_many(
@@ -550,7 +566,7 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
             threshold=params.p.threshold, use_lut=use_lut,
             dynamic=params.p.dynamicAnchorExpansion)
         for i, read in enumerate(reads):
-            (m, gx, gy), _total = results[i]
+            (m, gx, gy), _total = split_results.get(i, results[i])
             for arr in (m, gx, gy):
                 if len(arr):
                     arr[:, 1] += firsts[i]

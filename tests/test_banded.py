@@ -108,3 +108,44 @@ def test_banded_posteriors_many_matches_single():
         assert np.array_equal(m, m1)
         assert np.array_equal(gx, gx1)
         assert np.array_equal(gy, gy1)
+
+
+def test_split_points_and_split_posteriors():
+    """getSplitPoints (pairwiseAligner.c:913-966) + the splitting aligner:
+    huge anchor gaps split the DP; pairs in the anchored regions survive."""
+    import numpy as np
+    from margin_tpu.alphabet import seq_to_symbols
+    from margin_tpu.ops import banded, pairhmm
+    from margin_tpu.params import StateMachineParams
+
+    # split-point geometry truth: no anchors, 5000x5000, threshold 1M
+    pts = banded.get_split_points([], 5000, 5000, 1_000_000, False, False)
+    # maxSequenceLength = 1000: [0,0,1000,1000] then [4000,4000,5000,5000]
+    assert pts == [(0, 0, 1000, 1000), (4000, 4000, 5000, 5000)]
+    # ragged right drops the trailing region after a split
+    pts = banded.get_split_points([], 5000, 5000, 1_000_000, False, True)
+    assert pts == [(0, 0, 1000, 1000)]
+    # no split when under threshold
+    pts = banded.get_split_points([], 100, 100, 1_000_000, False, False)
+    assert pts == [(0, 0, 100, 100)]
+
+    rng = np.random.default_rng(17)
+    seq = "".join("ACGT"[v] for v in rng.integers(0, 4, 4000))
+    x = seq_to_symbols(seq)
+    sm = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(sm)
+    anchors = [(100, 100, 20), (3900, 3900, 20)]
+    (m_full, _, _), _t = banded.banded_posteriors(
+        tables, x, x, anchors, 20, 0, threshold=0.5)
+    (m_split, _, _), _t2 = banded.banded_posteriors_split(
+        tables, x, x, anchors, 20, 0, split_bigger_than=1_000_000,
+        threshold=0.5)
+    full_pairs = {(int(a), int(b)) for _, a, b in m_full}
+    split_pairs = {(int(a), int(b)) for _, a, b in m_split}
+    # the anchored head and tail regions keep their diagonal matches
+    for lo, hi in ((1, 500), (3600, 3999)):
+        want = {(i, i) for i in range(lo, hi)}
+        assert want <= full_pairs
+        assert want <= split_pairs
+    # the unanchored middle is dropped by the split (the point of it)
+    assert not any(1500 < a < 2500 for a, _ in split_pairs)
