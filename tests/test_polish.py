@@ -131,3 +131,25 @@ def test_polish_with_hifi_params(tmp_path):
         "tests", "data", "realData",
         "hg38.chr20_59M_100k.fa")).fetch("chr20", 1000, 3000).upper()
     assert _identity(out.sequences[0][1], truth) > 0.95
+
+
+def test_polish_long_run_length_edge_case(tmp_path):
+    """tests/data/edgeCases/longRunLength: reads with homopolymer runs far
+    beyond maximumRepeatLength (51) must polish without error, with the run
+    clamped to the matrix maximum (repeatSubMatrix_getMinAndMaxRepeat-
+    CountObservations cutoff)."""
+    import shutil
+    from margin_tpu.polish.driver import run_polish
+    src = reference_path("tests", "data", "edgeCases")
+    shutil.copy(f"{src}/longRunLength.bam", tmp_path / "lrl.bam")
+    shutil.copy(f"{src}/longRunLength.bam.bai", tmp_path / "lrl.bam.bai")
+    shutil.copy(f"{src}/longRunLength.ref.fa", tmp_path / "ref.fa")
+    params = Params.load(reference_path("params", "polish", "ont", "r9.4",
+                                        "allParams.np.human.r94-g360.json"))
+    out = run_polish(str(tmp_path / "lrl.bam"), str(tmp_path / "ref.fa"),
+                     params, str(tmp_path / "out"), log=lambda *a: None)
+    seq = out.sequences[0][1]
+    assert seq.startswith("ACGTACGT")
+    # the A-run is reported at the clamp (50), not the reads' ~68
+    run = len(seq[8:]) - len(seq[8:].lstrip("A"))
+    assert 45 <= run <= 50
