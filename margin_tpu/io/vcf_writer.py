@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional
 
-from margin_tpu.io.bgzf import BgzfReader, is_bgzf
 from margin_tpu.io.vcf import VcfEntry, parse_region, _open_text
 from margin_tpu.params import Params
 

@@ -6,7 +6,6 @@ Parity: impl/genomeFragment.c, impl/emissions.c:246-343.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Set
 

@@ -11,7 +11,7 @@ updateOriginalVcfEntriesWithBubbleData (vcf.c:511-592).
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 import numpy as np
 

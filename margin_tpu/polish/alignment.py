@@ -13,7 +13,7 @@ from typing import List, Tuple
 import numpy as np
 
 from margin_tpu.params import Params
-from margin_tpu.polish.poa import (PAIR1, Poa, PoaRead,
+from margin_tpu.polish.poa import (Poa, PoaRead,
                                    get_aligned_pairs_cropping_reference)
 
 

@@ -9,11 +9,10 @@ getPaddedHaplotypeString (misc.c:100-111), bubbleGraph_getNewPoa
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import List, Optional, Set
 
 import numpy as np
 
-from margin_tpu.ops import pairhmm
 from margin_tpu.params import Params
 from margin_tpu.phase import phasing as phase_engine
 from margin_tpu.phase.bubbles import BubbleGraph

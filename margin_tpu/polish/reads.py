@@ -8,7 +8,7 @@ borders, optionally RLE the read and re-encode the alignment.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

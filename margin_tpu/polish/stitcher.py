@@ -8,9 +8,7 @@ machine, ragged ends), cut at the max-weight aligned pair.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
-
-import numpy as np
+from typing import List, Tuple
 
 from margin_tpu.alphabet import seq_to_symbols
 from margin_tpu.ops import banded, pairhmm

@@ -11,7 +11,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from margin_tpu.alphabet import seq_to_symbols, symbols_to_seq
+from margin_tpu.alphabet import seq_to_symbols
 
 
 @dataclass
