@@ -520,18 +520,15 @@ def poa_realign_only_anchor_alignments(reads: List[PoaRead], anchor_alignments,
 
 def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
                 params: PolishParams, tables: pairhmm.PairHmmTables,
-                use_lut: bool = False, batched: bool = None) -> Poa:
+                use_lut: bool = False, batched: bool = True) -> Poa:
     """poa_realign (poa.c:668-716).
 
-    On accelerator backends the per-read banded alignments are grouped by
-    padded shape and run as vmapped kernel batches (cutting launches from
-    one per read to a handful); augmentation stays strictly in read order
-    so float accumulation matches the reference's sequential loop. On the
-    CPU backend the per-item path is faster (batch padding is wasted
-    serial work), so batching is off unless forced."""
-    import jax
-    if batched is None:
-        batched = jax.default_backend() != "cpu"
+    The per-read banded alignments are grouped by padded shape and run as
+    vmapped kernel batches — one launch per (shape, strand) group instead
+    of one per read, which amortizes scan-step overhead (the bands are
+    narrow, so the sequential scan is latency-bound) and tunnel round
+    trips on accelerators. Augmentation stays strictly in read order so
+    float accumulation matches the reference's sequential loop."""
     max_rc = 2
     if params.useRunLengthEncoding:
         max_rc = (params.repeat_sub_matrix.max_repeat
