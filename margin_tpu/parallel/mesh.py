@@ -52,30 +52,26 @@ def shard_batch(batch: pairhmm.PairBatch, mesh: Mesh) -> pairhmm.PairBatch:
         put(batch.rep_x), put(batch.rep_y))
 
 
-def phase_step_sharded(mesh: Mesh):
+def phase_step_sharded(mesh: Mesh, n_slots: int):
     """Returns a jitted multi-chip phase step:
 
-    (tables, batch, hap_choice) ->
-        (per-pair allele scores, global (cis, trans) vote)
+    (tables, batch, slot_idx) ->
+        (per-pair allele-support scores, global per-slot support sums)
 
-    The batch's pair axis is sharded over the full mesh; the vote is the
-    cross-chip stitching collective (psum over dp+sp).
+    The batch's pair axis is sharded over the full mesh. `slot_idx` labels
+    each pair with its (bubble, allele) accumulation slot; the per-slot
+    sums are reduced across chips with `psum` — the production collective:
+    when a bubble's (read x allele) pairs are scattered over shards, its
+    total allele supports (the inputs to the read-partition HMM emissions)
+    are assembled on every chip without a host gather.
     """
     from jax.experimental.shard_map import shard_map
 
-    def step(tables, batch, hap_choice):
-        # hap_choice: (B,) int32 in {0,1}: which haplotype each pair's read
-        # currently sits in; used for the seam vote.
+    def step(tables, batch, slot_idx):
         scores = pairhmm.forward_total(tables, batch)
-        # toy vote: a pair supports "cis" when its score is better than the
-        # shard median for its current hap. Stands in for the read-name set
-        # intersection (stitching.c:345-403) whose counts are the psum'd
-        # payload in the production stitcher.
-        med = jnp.median(scores)
-        cis_local = jnp.sum(jnp.where(hap_choice == 0, scores > med, scores <= med))
-        trans_local = jnp.sum(jnp.where(hap_choice == 1, scores > med, scores <= med))
-        vote = jax.lax.psum(jnp.stack([cis_local, trans_local]), ("dp", "sp"))
-        return scores, vote
+        local = jax.ops.segment_sum(scores, slot_idx, num_segments=n_slots)
+        slot_sums = jax.lax.psum(local, ("dp", "sp"))
+        return scores, slot_sums
 
     sharded = shard_map(
         step, mesh=mesh,

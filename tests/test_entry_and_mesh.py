@@ -38,9 +38,13 @@ def test_sharded_scores_match_single_device():
 
     mesh = meshmod.make_mesh(8)
     sharded_batch = meshmod.shard_batch(batch, mesh)
-    hap = jax.device_put(jnp.zeros(64, jnp.int32),
-                         NamedSharding(mesh, P(("dp", "sp"))))
-    step = meshmod.phase_step_sharded(mesh)
-    scores, vote = step(tables, sharded_batch, hap)
+    slot_idx = jax.device_put(jnp.arange(64, dtype=jnp.int32) % 4,
+                              NamedSharding(mesh, P(("dp", "sp"))))
+    step = meshmod.phase_step_sharded(mesh, 4)
+    scores, slot_sums = step(tables, sharded_batch, slot_idx)
     np.testing.assert_allclose(np.asarray(scores), expected, rtol=0, atol=1e-5)
-    assert int(vote.sum()) == 64
+    # global per-slot reduction equals the host-side segment sums
+    host = np.zeros(4)
+    for i, s in enumerate(expected):
+        host[i % 4] += s
+    np.testing.assert_allclose(np.asarray(slot_sums), host, rtol=1e-6)
