@@ -30,6 +30,9 @@ def _add_common(p):
                    help="multi-process scaling: 'I/N' processes every Nth "
                         "chunk (offset I) into the shared checkpoint dir; "
                         "'merge' combines all shards into final outputs")
+    p.add_argument("--logLevel", default="INFO",
+                   choices=["CRITICAL", "INFO", "DEBUG"],
+                   help="logging verbosity [default: INFO]")
 
 
 def main(argv=None):
@@ -153,13 +156,17 @@ def main(argv=None):
                 top.error(f"Invalid --shard (want I/N or merge): "
                           f"{args.shard}")
 
+    # CRITICAL silences per-chunk progress lines (the reference's
+    # --logLevel); DEBUG and INFO both print them here
+    log = (lambda *a: None) if args.logLevel == "CRITICAL" else print
+
     if args.command == "phase":
         from margin_tpu.phase.driver import run_phase
         run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
                   region=args.region, write_bam=not args.skipHaplotypeBAM,
                   write_vcf=not args.skipPhasedVCF, seed=args.seed,
                   use_lut=args.lut_logadd, checkpoint=args.checkpoint,
-                  shard=shard)
+                  shard=shard, log=log)
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType
@@ -179,7 +186,7 @@ def main(argv=None):
                    vcf_file=args.vcf,
                    only_use_vcf_alleles=args.onlyVcfAlleles,
                    skip_output_fasta=args.skipOutputFasta,
-                   checkpoint=args.checkpoint, shard=shard)
+                   checkpoint=args.checkpoint, shard=shard, log=log)
     return 0
 
 
