@@ -98,12 +98,33 @@ class Poa:
         read_syms = read.symbols()
         compare_rc = params.poaConstructCompareRepeatCounts
 
-        for w, xi, yi in matches:
-            node = self.nodes[xi + 1]
-            node.base_weights[read_syms[yi]] += w
-            rc = min(int(read.counts[yi]), self.max_repeat_count - 1)
-            node.repeat_count_weights[rc] += w
-            node.observations.append((read_no, int(yi), float(w)))
+        # vectorized match accumulation (the per-match loop dominates host
+        # time on production-size chunks); matches arrive (x, y)-sorted so
+        # per-node observation order matches the reference's sweep
+        if len(matches):
+            marr = np.asarray(matches)
+            ws = marr[:, 0].astype(np.float64)
+            xs = marr[:, 1].astype(np.int64)
+            ys = marr[:, 2].astype(np.int64)
+            syms = read_syms[ys]
+            rcs = np.minimum(read.counts[ys].astype(np.int64),
+                             self.max_repeat_count - 1)
+            n_nodes = len(self.nodes)
+            bw = np.zeros((n_nodes, 5))
+            np.add.at(bw, (xs + 1, syms), ws)
+            rw = np.zeros((n_nodes, self.max_repeat_count))
+            np.add.at(rw, (xs + 1, rcs), ws)
+            for i in np.unique(xs):
+                node = self.nodes[int(i) + 1]
+                node.base_weights += bw[i + 1]
+                node.repeat_count_weights += rw[i + 1]
+            ys_l = ys.tolist()
+            ws_l = ws.tolist()
+            starts = np.flatnonzero(np.diff(xs, prepend=xs[0] - 1))
+            bounds = np.append(starts, len(xs))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                self.nodes[int(xs[s]) + 1].observations.extend(
+                    (read_no, ys_l[k], ws_l[k]) for k in range(s, e))
 
         match_set = {(int(x), int(y)) for _, x, y in matches}
 
