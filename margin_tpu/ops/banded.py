@@ -408,6 +408,67 @@ def banded_posteriors_split(tables: PairHmmTables, x_sym, y_sym, anchors,
     return (cat(out_m), cat(out_gx), cat(out_gy)), total
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def _device_extract(post, x_base, y_base, threshold, K: int):
+    """Device-side addPosteriorProb thresholding: compact the (D, 3, W)
+    posterior grid into per-state (prob, x-1, y-1) candidate arrays of
+    static size K (valid-count returned; overflow detected by count > K).
+    Avoids transferring the full grid to the host."""
+    W = post.shape[-1]
+    k_iota = jnp.arange(W)[None, :]
+    x_pos = x_base[:, None] + 1 + k_iota      # (D, W) cell coordinates
+    y_pos = y_base[:, None] + 1 - k_iota
+    vals, xs, ys, counts = [], [], [], []
+    for state, need_x, need_y in ((MATCH, True, True), (GAPX, True, False),
+                                  (GAPY, False, True)):
+        grid = post[:, state, :]
+        sel = grid >= threshold
+        if need_x:
+            sel = sel & (x_pos > 0)
+        if need_y:
+            sel = sel & (y_pos > 0)
+        counts.append(jnp.sum(sel))
+        d_i, k_i = jnp.nonzero(sel, size=K, fill_value=0)
+        # int32 is enough for PAIR_ALIGNMENT_PROB_1-scaled probs and
+        # avoids the x64-disabled truncation warning
+        probs = jnp.floor(jnp.minimum(grid[d_i, k_i], 1.0)
+                          * 10_000_000).astype(jnp.int32)
+        valid = jnp.arange(K) < counts[-1]
+        vals.append(jnp.where(valid, probs, 0))
+        xs.append(jnp.where(valid, x_pos[d_i, k_i] - 1, 0))
+        ys.append(jnp.where(valid, y_pos[d_i, k_i] - 1, 0))
+    return (jnp.stack(vals), jnp.stack(xs), jnp.stack(ys),
+            jnp.stack(counts))
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _device_extract_many(post, x_base, y_base, threshold, K: int):
+    """vmapped _device_extract over a batch: post (B, D, 3, W)."""
+    return jax.vmap(lambda p, xb, yb: _device_extract(p, xb, yb, threshold,
+                                                      K))(post, x_base, y_base)
+
+
+def _pairs_from_compact(vals, xs, ys, counts, K: int, post, geom, threshold):
+    """Assemble per-state pair arrays from the compacted device extraction;
+    falls back to the full-grid host path if a state overflowed K."""
+    if int(counts.max()) > K:
+        return extract_pairs_from_grid(np.asarray(post), geom, threshold)
+    out = []
+    for s in range(3):
+        c = int(counts[s])
+        pairs = np.stack([vals[s, :c], xs[s, :c], ys[s, :c]],
+                         axis=1).astype(np.int64)
+        order = np.lexsort((pairs[:, 2], pairs[:, 1]))
+        out.append(pairs[order])
+    return tuple(out)
+
+
+def _extract_cap(d_pad: int) -> int:
+    # pairs >= 1% threshold cluster near the alignment path: a handful per
+    # diagonal at most; 2*D is a generous static cap with overflow fallback
+    return 2 * d_pad
+
+
 def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarray,
                       anchors, expansion: int, strand: int,
                       ragged_left=False, ragged_right=False,
@@ -449,19 +510,23 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
         rep_kwargs = dict(rep_table=tables.repeat[strand],
                           rep_x=jnp.asarray(rx), rep_y=jnp.asarray(ry))
 
+    xb = jnp.asarray(geom.x_base)
+    yb = jnp.asarray(geom.y_base)
     post, total = _banded_fb(
         tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
         tables.trans[strand],
         jnp.asarray(xs), jnp.asarray(ys), lx, ly,
         jnp.asarray(geom.xmy_l), jnp.asarray(geom.widths),
-        jnp.asarray(geom.x_base), jnp.asarray(geom.y_base),
+        xb, yb,
         bool(ragged_left), bool(ragged_right),
         d_pad=d_pad, w_pad=w_pad, use_lut=use_lut, use_rle=use_rle,
         **rep_kwargs)
-    post = np.asarray(post)
-    total = float(total)
-
-    return extract_pairs_from_grid(post, geom, threshold), total
+    K = _extract_cap(d_pad)
+    vals, pxs, pys, counts = _device_extract(post, xb, yb, threshold, K)
+    pairs = _pairs_from_compact(np.asarray(vals), np.asarray(pxs),
+                                np.asarray(pys), np.asarray(counts), K,
+                                post, geom, threshold)
+    return pairs, float(total)
 
 
 def banded_posteriors_many(tables: PairHmmTables, items,
@@ -524,20 +589,29 @@ def banded_posteriors_many(tables: PairHmmTables, items,
         if use_rle:
             rep_kwargs = dict(rep_table=tables.repeat[strand],
                               rep_x=jnp.asarray(rx), rep_y=jnp.asarray(ry))
+        xbj = jnp.asarray(x_base)
+        ybj = jnp.asarray(y_base)
         post, totals = _banded_fb_many(
             tables.match[strand], tables.gap_x[strand], tables.gap_y[strand],
             tables.trans[strand],
             jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lxs),
             jnp.asarray(lys), jnp.asarray(xmy_l), jnp.asarray(widths),
-            jnp.asarray(x_base), jnp.asarray(y_base),
+            xbj, ybj,
             False, False, d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
             use_rle=use_rle, **rep_kwargs)
-        post = np.asarray(post)
+        K = _extract_cap(d_pad)
+        vals, pxs, pys, counts = _device_extract_many(post, xbj, ybj,
+                                                      threshold, K)
+        vals = np.asarray(vals)
+        pxs = np.asarray(pxs)
+        pys = np.asarray(pys)
+        counts = np.asarray(counts)
         totals = np.asarray(totals)
         for k, idx in enumerate(idxs):
-            results[idx] = (extract_pairs_from_grid(post[k], geoms[k],
-                                                    threshold),
-                            float(totals[k]))
+            results[idx] = (
+                _pairs_from_compact(vals[k], pxs[k], pys[k], counts[k], K,
+                                    post[k], geoms[k], threshold),
+                float(totals[k]))
     return results
 
 
