@@ -112,10 +112,13 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
 
     results: List[ChunkPhaseResult] = []
     reader = bamio.BamReader(bam_file)
+    t_setup = time.time() - t0
+    t_chunks = 0.0
 
     for chunk in chunkr.chunks:
         if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
             continue
+        t_c = time.time()
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
             res = payload["res"]
@@ -139,6 +142,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                                             chunk.chunk_end),
                 "rng_state": (None if shard is not None else rng.getstate())})
         results.append(res)
+        t_chunks += time.time() - t_c
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
@@ -193,7 +197,11 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                 f"max:{lengths[-1]}, N50:{n50}")
 
     ckpt.finalize()
-    log(f"> Finished phasing in {time.time() - t0:.1f}s")
+    total_t = time.time() - t0
+    t_output = total_t - t_setup - t_chunks
+    log(f"> Finished phasing in {total_t:.1f}s "
+        f"(setup {t_setup:.1f}s, chunks {t_chunks:.1f}s, "
+        f"outputs {t_output:.1f}s)")
     return out
 
 
