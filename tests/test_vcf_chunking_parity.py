@@ -265,3 +265,80 @@ def test_softclip_alignment_match_counts(include_softclip):
         assert [len(a) for a in alignments] == CLIP_MATCH_COUNTS
     reader.close()
     assert found
+
+
+def test_read_substrings_from_vcf():
+    """test_readSubstringsFromVcf (chunkingTest.c:981-1140): per-read
+    variant-window substring truth table on the MVVP data (reads ending
+    at/into/past variant context boundaries, with and without soft clips)."""
+    MVVP_BAM = reference_path("tests", "data", "chunkingTest",
+                              "chunkingTestMVVP.bam")
+    MVVP_VCF = reference_path("tests", "data", "chunkingTest",
+                              "chunkingTestMVVP.vcf")
+    MVVP_REF = reference_path("tests", "data", "chunkingTest",
+                              "chunkingTestMVVPReference.fa")
+    from margin_tpu.io.fasta import FastaIndex
+    from margin_tpu.phase.readextract import extract_read_substrings_sv_aware
+
+    params = Params.load(reference_path("params", "polish", "misc",
+                                        "allParams.no_rle.json"))
+    params.polish.columnAnchorTrim = 4
+    params.phase.referenceExpansionForSmallVariants = 4
+    params.phase.useVariantSelectionAdaptiveSampling = False
+    params.phase.minSnpVariantQuality = 0
+    params.phase.minIndelVariantQuality = 0
+
+    chunkr = chunkermod.construct_chunker(MVVP_BAM, "contig_1:0-100000",
+                                          None, params.polish,
+                                          record_filtered_reads=True)
+    assert len(chunkr.chunks) == 1
+    chunk = chunkr.chunks[0]
+    vcf_map = parse_vcf(MVVP_VCF, None, use_rle=False)
+    primary, _f = variants.get_vcf_entries_for_region(
+        vcf_map, chunk.ref_name, chunk.chunk_overlap_start,
+        chunk.chunk_overlap_end, params, random.Random(0))
+    chunk_ref = FastaIndex(MVVP_REF).fetch(chunk.ref_name,
+                                           chunk.chunk_overlap_start,
+                                           chunk.chunk_overlap_end)
+    variants.update_vcf_entries_with_substrings(primary, chunk_ref, params)
+
+    reader = bamio.BamReader(MVVP_BAM)
+    reads, _filtered = extract_read_substrings_sv_aware(chunk, primary,
+                                                        reader, params)
+    reader.close()
+
+    # truth: read name -> [(refPos, substring)], [] = no usable windows
+    truth = {
+        "read_1_extendsPastVariantBoundaries": [(17, "AAACCCGGG"), (32, "ACCCCGGGG")],
+        "read_1_extendsToVariantBoundaries": [(17, "AAACCCGGG"), (32, "ACCCCGGGG")],
+        "read_1_extendsPastVariantBoundariesSC": [(17, "AAACCCGGG"), (32, "ACCCCGGGG")],
+        "read_1_extendsToVariantBoundariesSC": [(17, "AAACCCGGG"), (32, "ACCCCGGGG")],
+        "read_1_extendsIntoVariantBoundaries": [(17, "CCCGGG"), (32, "ACCCCG")],
+        "read_1_extendsIntoVariantBoundariesSC": [(17, "CCCGGG"), (32, "ACCCCG")],
+        "read_1_alignsToVariantPos": [(17, "CCGGG"), (32, "ACCCC")],
+        "read_1_alignsToVariantPosSC": [(17, "CCGGG"), (32, "ACCCC")],
+        "read_1_onlySpanVariantBoundaries": [],
+        "read_1_onlySpanVariantBoundariesSC": [],
+        "read_2_extendsPastVariantBoundaries": [(49, "ACCCCCGGG"), (51, "CCCCGGGGG")],
+        "read_2_extendsToVariantBoundaries": [(49, "ACCCCCGGG"), (51, "CCCCGGGGG")],
+        "read_2_extendsIntoVariantBoundaries": [(49, "CCCCCGGG"), (51, "CCCCGGGG")],
+        "read_2_alignsToVariantPos": [(49, "CCG"), (51, "CCG")],
+        "read_2_onlySpanVariantBoundaries": [],
+    }
+    by_name = {r.read_name: r for r in reads}
+    checked = 0
+    for name, want in truth.items():
+        if name not in by_name:
+            assert want == [], f"{name} missing but expected substrings"
+            continue
+        r = by_name[name]
+        got = sorted((e.ref_pos, s) for e, s in zip(r.vcf_entries, r.substrings))
+        assert got == sorted(want), f"{name}: {got} != {want}"
+        checked += 1
+        # reads reaching the full window must match the reference allele
+        # substring exactly (chunkingTest.c:1016-1022)
+        if "extendsPastVariantBoundaries" in name or \
+                "extendsToVariantBoundaries" in name:
+            for e, s in zip(r.vcf_entries, r.substrings):
+                assert s == e.allele_substrings[0].expand()
+    assert checked >= 8
