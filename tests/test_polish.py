@@ -153,3 +153,34 @@ def test_polish_long_run_length_edge_case(tmp_path):
     # the A-run is reported at the clamp (50), not the reads' ~68
     run = len(seq[8:]) - len(seq[8:].lstrip("A"))
     assert 45 <= run <= 50
+
+
+@pytest.mark.slow
+def test_polish_large_gap_deletion(tmp_path):
+    """tests/data/largeGapTest: 10 reads with 2000M3000D2000M CIGARs must
+    polish the 3000bp deletion out of the reference."""
+    import shutil
+    from margin_tpu.io.bam import BamReader
+    from margin_tpu.polish.driver import run_polish
+    src = reference_path("tests", "data", "largeGapTest")
+    shutil.copy(f"{src}/largeGapTest.bam", tmp_path / "lg.bam")
+    shutil.copy(f"{src}/largeGapTest.bam.bai", tmp_path / "lg.bam.bai")
+    with BamReader(str(tmp_path / "lg.bam")) as r:
+        rec = next(iter(r))
+        seq = "".join("=ACMGRSVTWYHKDBN"[c]
+                      for c in rec.seq_nibbles()[:rec.l_seq])
+        name = r.header.ref_names[0]
+    ref = "A" * 10000 + seq[:2000] + "T" * 3000 + seq[2000:] + "A" * 100
+    with open(tmp_path / "ref.fa", "w") as fh:
+        fh.write(f">{name}\n")
+        for i in range(0, len(ref), 60):
+            fh.write(ref[i:i + 60] + "\n")
+    params = Params.load(reference_path("params", "polish", "ont", "r9.4",
+                                        "allParams.np.human.r94-g360.json"))
+    out = run_polish(str(tmp_path / "lg.bam"), str(tmp_path / "ref.fa"),
+                     params, str(tmp_path / "out"),
+                     region=f"{name}:10000-17000", log=lambda *a: None)
+    cons = out.sequences[0][1]
+    # the 3000bp T-run deletion is gone: consensus near the 4000bp read span
+    assert 3800 <= len(cons) <= 4300
+    assert "T" * 500 not in cons
