@@ -65,7 +65,13 @@ def phase_step_sharded(mesh: Mesh, n_slots: int):
     total allele supports (the inputs to the read-partition HMM emissions)
     are assembled on every chip without a host gather.
     """
-    from jax.experimental.shard_map import shard_map
+    import warnings
+    with warnings.catch_warnings():
+        # the jax>=0.8 jax.shard_map API additionally requires pvary
+        # annotations on scan carries inside the sharded region; the
+        # deprecated entry point still applies the legacy typing rules
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
 
     def step(tables, batch, slot_idx):
         scores = pairhmm.forward_total(tables, batch)
