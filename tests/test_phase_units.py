@@ -244,3 +244,54 @@ def test_score_pending_sv_banded_path():
     assert np.allclose(dense, banded_sv, atol=0.5)
     # and the relative ordering of allele supports is preserved
     assert (dense[0, 0] < dense[1, 0]) == (banded_sv[0, 0] < banded_sv[1, 0])
+
+
+def test_rphmm_matches_bruteforce_partition_enumeration():
+    """stRPHmmTest-style equivalence: with pruning disabled and all reads
+    spanning all sites, the HMM's max-forward probability and traceback
+    must equal brute-force enumeration of all 2^n read bipartitions."""
+    rng = np.random.default_rng(23)
+    for trial in range(25):
+        n_reads = int(rng.integers(2, 7))
+        n_sites = int(rng.integers(2, 6))
+        ref = _ref_with_sites(n_sites)
+        params = PhaseParams(maxNotSumTransitions=True,
+                             minPartitionsInAColumn=1 << n_reads,
+                             maxPartitionsInAColumn=1 << n_reads,
+                             minPosteriorProbabilityForPartition=0.0,
+                             includeInvertedPartitions=True)
+        pseqs = [
+            _pseq(ref, f"r{i}", 0,
+                  [[int(v) for v in rng.integers(0, 61, 2)]
+                   for _ in range(n_sites)])
+            for i in range(n_reads)
+        ]
+        hmms = get_rp_hmms(pseqs, ref, params)
+        assert len(hmms) == 1
+        hmm = hmms[0]
+        hmm.forward_backward(include_ancestor=True)
+
+        # brute force: emission of every bipartition (reads in hap1 by bit)
+        col = hmm.columns[0]
+        order = {ps_id: k for k, ps_id in
+                 enumerate(id(ps) for ps in col.seqs)}
+        probs = np.stack([np.array(ps.probs, dtype=np.int64).reshape(
+            n_sites, 2) for ps in col.seqs])  # (reads, sites, alleles)
+        best = -np.inf
+        for part in range(1 << n_reads):
+            total = 0
+            for s in range(n_sites):
+                in1 = [(part >> k) & 1 for k in range(n_reads)]
+                h1 = sum(probs[k, s] for k in range(n_reads) if in1[k])
+                h2 = sum(probs[k, s] for k in range(n_reads) if not in1[k])
+                h1 = h1 if np.ndim(h1) else np.zeros(2, dtype=np.int64)
+                h2 = h2 if np.ndim(h2) else np.zeros(2, dtype=np.int64)
+                total += int(min(h1[a1] + h2[a2]
+                                 for a1 in range(2) for a2 in range(2)))
+            best = max(best, -float(total))
+        assert hmm.forward_log_prob == pytest.approx(best, abs=1e-9), \
+            (trial, n_reads, n_sites)
+        # the traceback's partition achieves the optimum
+        path = hmm.forward_traceback()
+        emission_at_path = float(col.emission[col.partitions.index(path[0])])
+        assert emission_at_path == pytest.approx(best, abs=1e-9)
