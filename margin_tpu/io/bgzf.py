@@ -126,6 +126,13 @@ class BgzfWriter:
             self._flush_block(self._buf[:self.MAX_BLOCK])
             del self._buf[:self.MAX_BLOCK]
 
+    def tell_virtual(self) -> int:
+        """Virtual offset of the next byte written (htslib bgzf_tell):
+        coffset<<16 | uoffset. write() flushes eagerly, so the pending
+        buffer always fits inside the block starting at the current file
+        position."""
+        return (self._fh.tell() << 16) | len(self._buf)
+
     def _flush_block(self, data: bytes):
         co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
         comp = co.compress(bytes(data)) + co.flush()

@@ -144,3 +144,54 @@ def test_unknown_key_rejected(tmp_path):
     f.write_text('{"polish": {"noSuchKey": 1}}')
     with pytest.raises(ValueError):
         Params.load(str(f))
+
+
+def test_rle_fuzz_roundtrip_and_maps():
+    """Randomized RleString invariants: encode/expand roundtrip, coordinate
+    maps are inverse-consistent, substrings compose."""
+    import numpy as np
+    from margin_tpu.rle import RleString
+    rng = np.random.default_rng(31)
+    for _ in range(300):
+        n = int(rng.integers(1, 120))
+        raw = "".join(rng.choice(list("ACGT"), p=[0.4, 0.1, 0.1, 0.4])
+                      for _ in range(n))
+        r = RleString.encode(raw)
+        assert r.expand() == raw
+        assert int(r.counts.sum()) == n
+        m = r.non_rle_to_rle_map()
+        back = r.rle_to_non_rle_map()
+        assert len(m) == n and len(back) == r.length
+        for i in range(n):
+            j = int(m[i])
+            assert int(back[j]) <= i < int(back[j]) + int(r.counts[j])
+            assert raw[i] == r.bases[j]
+        if r.length >= 2:
+            s = int(rng.integers(0, r.length - 1))
+            ln = int(rng.integers(1, r.length - s + 1))
+            sub = r.substring(s, ln)
+            assert sub.bases == r.bases[s:s + ln]
+            assert np.array_equal(sub.counts, r.counts[s:s + ln])
+
+
+def test_bgzf_virtual_offset_fuzz(tmp_path):
+    """Random seeks by virtual offset return the bytes written there."""
+    import numpy as np
+    from margin_tpu.io.bgzf import BgzfReader, BgzfWriter
+    rng = np.random.default_rng(37)
+    blob = bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))
+    path = str(tmp_path / "f.bgzf")
+    offsets = []
+    with BgzfWriter(path) as w:
+        pos = 0
+        while pos < len(blob):
+            step = int(rng.integers(1, 40_000))
+            offsets.append((w.tell_virtual(), pos))
+            w.write(blob[pos:pos + step])
+            pos += step
+    with BgzfReader(path) as r:
+        rng.shuffle(offsets)
+        for voff, pos in offsets[:40]:
+            r.seek_virtual(voff)
+            want = blob[pos:pos + 97]
+            assert r.read(len(want)) == want
