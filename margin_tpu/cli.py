@@ -30,9 +30,16 @@ def _add_common(p):
                    help="multi-process scaling: 'I/N' processes every Nth "
                         "chunk (offset I) into the shared checkpoint dir; "
                         "'merge' combines all shards into final outputs")
-    p.add_argument("--logLevel", default="INFO",
+    p.add_argument("-a", "--logLevel", default="INFO",
                    choices=["CRITICAL", "INFO", "DEBUG"],
                    help="logging verbosity [default: INFO]")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="compatibility flag (phase.c/polish.c -t): accepted "
+                        "but unused — device batching replaces host "
+                        "threading; use --shard I/N for multi-process scale")
+    p.add_argument("-k", "--tempFilesToDisk", action="store_true",
+                   help="compatibility flag (polish.c -k): maps to "
+                        "--checkpoint (per-chunk results go to disk)")
 
 
 def main(argv=None):
@@ -59,20 +66,28 @@ def main(argv=None):
     ph = sub.add_parser("phase", help="haplotag reads / phase a VCF")
     _add_common(ph)
     ph.add_argument("vcf", help="VCF with variants to phase")
-    ph.add_argument("--skipHaplotypeBAM", action="store_true")
-    ph.add_argument("--skipPhasedVCF", action="store_true")
+    ph.add_argument("-M", "--skipHaplotypeBAM", action="store_true")
+    ph.add_argument("-V", "--skipPhasedVCF", action="store_true")
 
     po = sub.add_parser("polish", help="polish an assembly")
     _add_common(po)
-    po.add_argument("--diploid", action="store_true")
+    po.add_argument("-2", "--diploid", action="store_true")
     po.add_argument("-v", "--vcf", default=None,
                     help="VCF with variants for diploid phasing")
-    po.add_argument("--onlyVcfAlleles", action="store_true",
+    po.add_argument("-A", "--onlyVcfAlleles", action="store_true",
                     help="only consider alleles from the VCF (requires "
                          "non-RLE params and --skipOutputFasta)")
-    po.add_argument("--skipOutputFasta", action="store_true",
+    po.add_argument("-T", "--skipOutputFasta", action="store_true",
                     help="skip consensus FASTA output (diploid: only the "
                          "haplotagged BAM and ancillary files are written)")
+    po.add_argument("-S", "--skipFilteredReads", action="store_true",
+                    help="do NOT haplotype filtered reads (--diploid only; "
+                         "polish.c:51)")
+    po.add_argument("-R", "--skipRealignment", action="store_true",
+                    help="fill the POA from CIGAR likelihoods only, no DP "
+                         "realignment (--diploid haplotyping; polish.c:52)")
+    po.add_argument("-M", "--skipHaplotypeBAM", action="store_true",
+                    help="do not write the haplotagged BAM (--diploid only)")
     # HELEN feature export (polish.c:148-151, 195-219)
     po.add_argument("-f", "--produceFeatures", action="store_true",
                     help="output HELEN features (default type splitRleWeight)")
@@ -86,20 +101,29 @@ def main(argv=None):
     po.add_argument("--fullFeatureOutput", action="store_true",
                     help="also write per-chunk consensus FASTAs")
     # supplementary outputs (polish.c:77-80, 154-161)
+    po.add_argument("-c", "--supplementaryChunks", action="store_true",
+                    help="compatibility flag (polish.c -c): per-chunk "
+                         "supplementary files are written whenever any of "
+                         "-d/-i/-j/-n/-s is set (the reference additionally "
+                         "requires -c; here it is accepted and implied)")
+    po.add_argument("-C", "--supplementaryChunksOnly", action="store_true",
+                    help=argparse.SUPPRESS)  # vestigial in polish.c (no case)
     po.add_argument("-i", "--outputRepeatCounts", action="store_true",
                     help="write per-chunk repeat count observations as CSV")
     po.add_argument("-j", "--outputPoaCsv", action="store_true",
                     help="write per-chunk POA as CSV")
-    po.add_argument("--outputPoaDot", action="store_true",
+    po.add_argument("-d", "--outputPoaDot", action="store_true",
                     help="write per-chunk POA as DOT")
     po.add_argument("-n", "--outputHaplotypeReads", action="store_true",
                     help="write phased reads and likelihoods as CSV "
                          "(--diploid only)")
-    po.add_argument("--outputPhasingState", action="store_true",
+    po.add_argument("-s", "--outputPhasingState", action="store_true",
                     help="write phasing likelihoods as JSON (--diploid only)")
 
     args = top.parse_args(argv)
 
+    if args.tempFilesToDisk:
+        args.checkpoint = True
     if (args.command == "phase" and args.skipHaplotypeBAM
             and args.skipPhasedVCF):
         top.error("With --skipHaplotypeBAM and --skipPhasedVCF there "
@@ -137,6 +161,15 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/margin_tpu_jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            jax.devices()
+        except RuntimeError as e:
+            # an unreachable accelerator backend would otherwise surface as
+            # a cryptic error at the first device op, minutes into the run
+            print(f"margin_tpu: accelerator backend unavailable ({e}); "
+                  "falling back to CPU", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
     except Exception:
         pass
     from margin_tpu.params import Params
@@ -186,6 +219,9 @@ def main(argv=None):
                    vcf_file=args.vcf,
                    only_use_vcf_alleles=args.onlyVcfAlleles,
                    skip_output_fasta=args.skipOutputFasta,
+                   skip_filtered_reads=args.skipFilteredReads,
+                   skip_realignment=args.skipRealignment,
+                   skip_haplotype_bam=args.skipHaplotypeBAM,
                    checkpoint=args.checkpoint, shard=shard, log=log)
     return 0
 

@@ -205,7 +205,8 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                   ref_name: str = "ref", use_lut: bool = False,
                   collect: dict = None, only_vcf_alleles: bool = False,
                   output_fasta: bool = True, alignments=None, chunk=None,
-                  rng=None):
+                  rng=None, skip_filtered: bool = False,
+                  skip_realignment: bool = False):
     """One chunk of the diploid polish path. Returns
     (hap1_consensus, hap2_consensus, hap1_names, hap2_names, gf).
     If `collect` is a dict, internal state needed for supplementary
@@ -236,15 +237,19 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                 poa_hap2, reads, pp.repeat_sub_matrix, hap2_ids, pp)
 
     # unassigned primary reads join the filtered pool, keeping their
-    # alignments as realignment anchors (polish.c:762-770)
+    # alignments as realignment anchors (polish.c:762-770); with
+    # --skipFilteredReads only truth reads (already in filtered_reads via
+    # the driver) remain to be partitioned (polish.c:760)
     all_filtered = list(filtered_reads)
     all_alns = (list(filtered_alignments)
                 if filtered_alignments is not None
                 else [None] * len(all_filtered))
-    for i, r in enumerate(reads):
-        if id(r) not in hap1_ids and id(r) not in hap2_ids:
-            all_filtered.append(r)
-            all_alns.append(alignments[i] if alignments is not None else None)
+    if not skip_filtered:
+        for i, r in enumerate(reads):
+            if id(r) not in hap1_ids and id(r) not in hap2_ids:
+                all_filtered.append(r)
+                all_alns.append(alignments[i] if alignments is not None
+                                else None)
 
     if chunk is not None and all_filtered:
         # removeReadsOnlyInChunkBoundary (misc.c:171-194)
@@ -278,8 +283,14 @@ def diploid_chunk(poa: Poa, reads: List[PoaRead],
                 all_filtered, all_alns = kept_r, kept_a
 
     if all_filtered:
-        filtered_poa = poa_realign(all_filtered, all_alns, rle_reference, pp,
-                                   tables, use_lut=use_lut)
+        if skip_realignment:
+            # polish.c:815-817
+            from margin_tpu.polish.poa import poa_realign_only_anchor_alignments
+            filtered_poa = poa_realign_only_anchor_alignments(
+                all_filtered, all_alns, rle_reference, pp)
+        else:
+            filtered_poa = poa_realign(all_filtered, all_alns, rle_reference,
+                                       pp, tables, use_lut=use_lut)
         partition_filtered_reads_poa(filtered_poa, all_filtered, gf, bg,
                                      hap1_ids, hap2_ids, params, tables, use_lut)
 

@@ -111,6 +111,9 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                skip_output_fasta: bool = False,
                checkpoint: bool = False,
                shard: Optional[tuple] = None,
+               skip_filtered_reads: bool = False,
+               skip_realignment: bool = False,
+               skip_haplotype_bam: bool = False,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
     enables truth-sequence partitioning (polish.c:423-431). shard=(i, n)
@@ -131,6 +134,9 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   checkpoint=checkpoint,
                                   true_reference_bam=true_reference_bam,
                                   shard=shard,
+                                  skip_filtered_reads=skip_filtered_reads,
+                                  skip_realignment=skip_realignment,
+                                  skip_haplotype_bam=skip_haplotype_bam,
                                   log=log)
     rng = random.Random(seed)
     shard_idx = shard_n = None
@@ -275,6 +281,9 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        checkpoint: bool = False,
                        true_reference_bam: Optional[str] = None,
                        shard: Optional[tuple] = None,
+                       skip_filtered_reads: bool = False,
+                       skip_realignment: bool = False,
+                       skip_haplotype_bam: bool = False,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -294,9 +303,12 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             shard_idx, shard_n = int(shard[0]), int(shard[1])
     t0 = time.time()
     pp = params.polish
-    if not pp.skipHaploidPolishingIfDiploid:
-        raise ValueError("skipHaploidPolishingIfDiploid must be TRUE "
-                         "(polish.c:361-363)")
+    if not skip_filtered_reads and not pp.skipHaploidPolishingIfDiploid:
+        # polish.c:361-363: only the filtered-read partition path requires
+        # the non-mutating POA; with --skipFilteredReads the reference runs
+        # the refining poa_realignAll instead
+        raise ValueError("Parameter polish->skipHaploidPolishingIfDiploid "
+                         "must be TRUE unless skipFilteredReads is set")
     if only_use_vcf_alleles:
         if pp.useRunLengthEncoding:
             raise ValueError("The --onlyVcfAlleles parameter can only be "
@@ -311,8 +323,11 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         vcf_entries_map = parse_vcf(vcf_file, region,
                                     use_rle=pp.useRunLengthEncoding)
 
-    chunkr = chunkermod.construct_chunker(bam_file, region, None, pp,
-                                          record_filtered_reads=True)
+    # polish.c:400: filtered reads are only recorded when they will be
+    # partitioned afterwards
+    chunkr = chunkermod.construct_chunker(
+        bam_file, region, None, pp,
+        record_filtered_reads=not skip_filtered_reads)
     log(f"> Built {len(chunkr.chunks)} chunks (diploid)")
     _write_chunks_csv(output_base, chunkr)
     fasta = FastaIndex(reference_fasta)
@@ -380,11 +395,24 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                     if rng.random() < p:
                         kept_r.append(r)
                         kept_a.append(a)
-                    else:
+                    elif not skip_filtered_reads:
+                        # polish.c:530: downsampled-out reads only join the
+                        # filtered pool when it will be partitioned
                         f_reads.append(r)
                         f_alns.append(a)
                 reads, alignments = kept_r, kept_a
-        poa = poa_realign(reads, alignments, rle_ref, pp, tables, use_lut=use_lut)
+        if skip_realignment:
+            # polish.c:591-594: CIGAR-string likelihoods only, POA unmutated
+            from margin_tpu.polish.poa import poa_realign_only_anchor_alignments
+            poa = poa_realign_only_anchor_alignments(reads, alignments,
+                                                     rle_ref, pp)
+        elif pp.skipHaploidPolishingIfDiploid:
+            poa = poa_realign(reads, alignments, rle_ref, pp, tables,
+                              use_lut=use_lut)
+        else:
+            # polish.c:599-601 (reachable only with --skipFilteredReads)
+            poa = poa_realign_all(reads, alignments, rle_ref, params, tables,
+                                  use_lut)
         chunk_vcf_entries = None
         if vcf_entries_map is not None:
             # polish.c:630-642
@@ -405,7 +433,8 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             tables, ref_name=chunk.ref_name, use_lut=use_lut, collect=collect,
             only_vcf_alleles=only_use_vcf_alleles,
             output_fasta=not skip_output_fasta, alignments=alignments,
-            chunk=chunk, rng=rng)
+            chunk=chunk, rng=rng, skip_filtered=skip_filtered_reads,
+            skip_realignment=skip_realignment)
         if want_supplemental:
             from margin_tpu.polish import outputs
             # poa_writeSupplementalChunkInformationDiploid
@@ -513,10 +542,15 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         out.hap2_fasta = f"{output_base}.hap2.fa"
         write_fasta(out.hap1_fasta, hap1_records)
         write_fasta(out.hap2_fasta, hap2_records)
-    out.haplotagged_bam = f"{output_base}.haplotagged.bam"
-    h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
-                                       set(ids1), set(ids2), params)
-    out.hap1_count, out.hap2_count = h1, h2
+    if skip_haplotype_bam:
+        # polish.c -M/--skipHaplotypeBAM
+        out.hap1_count, out.hap2_count = len(set(ids1)), len(set(ids2))
+    else:
+        out.haplotagged_bam = f"{output_base}.haplotagged.bam"
+        h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam,
+                                           region, set(ids1), set(ids2),
+                                           params)
+        out.hap1_count, out.hap2_count = h1, h2
     if true_reference_bam is not None:
         # chunkTruthHaplotypes_print (misc.c:382-440)
         path = f"{output_base}.truthHaplotypesPartition.tsv"
@@ -540,7 +574,9 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                                  f"{c.chunk_overlap_end}\t{hap_no}\t{nm}\n")
         log(f"> Wrote truth haplotype partitioning to {path}")
     ckpt.finalize()
+    bam_note = ("BAM skipped" if skip_haplotype_bam
+                else f"BAM H1 {h1} H2 {h2} H0 {h0}")
     log(f"> Diploid polish done in {time.time() - t0:.1f}s: "
         f"hap lengths {sum(len(s) for _, s in hap1_records)}/"
-        f"{sum(len(s) for _, s in hap2_records)}, BAM H1 {h1} H2 {h2} H0 {h0}")
+        f"{sum(len(s) for _, s in hap2_records)}, {bam_note}")
     return out

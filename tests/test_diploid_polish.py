@@ -123,3 +123,32 @@ def test_diploid_only_vcf_alleles(tmp_path):
     assert out.hap1_count > 5 and out.hap2_count > 5
     import os
     assert os.path.exists(out.haplotagged_bam)
+
+
+@pytest.mark.slow
+def test_diploid_skip_flags(tmp_path):
+    """-S/--skipFilteredReads, -R/--skipRealignment, -M/--skipHaplotypeBAM
+    (polish.c:51-52, 81, 260-263, 591-601, 815-817)."""
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "polish", "ont", "r9.4",
+                                  "allParams.np.human.r94-g360.json"),
+        "polish": {"chunkSize": 3000, "chunkBoundary": 300},
+    }))
+    params = Params.load(str(pfile))
+    out = run_polish(BAM, FASTA, params, str(tmp_path / "sk"),
+                     region="chr20:2000-5000", diploid=True,
+                     skip_filtered_reads=True, skip_realignment=True,
+                     skip_haplotype_bam=True, log=lambda *a: None)
+    # no BAM written, but both haplotype FASTAs exist and hap counts are real
+    assert out.haplotagged_bam is None
+    assert out.hap1_count > 0 and out.hap2_count > 0
+    from test_polish import _read_fasta, _identity
+    from margin_tpu.io.fasta import FastaIndex
+    _, h1 = _read_fasta(out.hap1_fasta)
+    _, h2 = _read_fasta(out.hap2_fasta)
+    truth = FastaIndex(FASTA).fetch("chr20", 2000, 5000).upper()
+    # CIGAR-only likelihoods are cruder than DP realignment but the
+    # consensus should still track the reference closely
+    assert _identity(h1[0], truth) > 0.9
+    assert _identity(h2[0], truth) > 0.9
