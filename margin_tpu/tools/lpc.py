@@ -202,15 +202,21 @@ def _phasing_correctness_internal(qs, ts, decay, by_seq_dist, cross_block,
     return total, partition_total
 
 
-def _switch_correctness(qs, ts, by_seq_dist, cross_block):
+def _switch_correctness(qs, ts, by_seq_dist, cross_block,
+                        variant_correctness: Optional[list] = None):
     """switchCorrectness (localPhasingCorrectness.c:543-684): the decay->0
-    limit (adjacent-pair switch correctness)."""
+    limit (adjacent-pair switch correctness). If `variant_correctness` is a
+    list, per-variant [ref_pos, correctness, max_correctness] triples are
+    appended (tools -p/--per-variant)."""
     prev_q_ps = prev_t_ps = None
     prev_in_phase = False
     prev_pos = -1
     min_dist = float("inf")
     n_correct = 0
     n_possible = 0
+    min_counted = 0
+    prev_counted = prev_correct = False
+    counted = correct = False
     i = j = 0
     while i < len(qs) and j < len(ts):
         q, t = qs[i], ts[j]
@@ -224,13 +230,17 @@ def _switch_correctness(qs, ts, by_seq_dist, cross_block):
             j += 1
             if m11 is None:
                 continue
+            counted = correct = False
             if prev_q_ps is not None and prev_t_ps is not None:
                 dist = q.ref_pos - prev_pos
                 ps_match = (q.phase_set == prev_q_ps and t.phase_set == prev_t_ps)
                 if dist < min_dist and by_seq_dist and (ps_match or cross_block):
                     n_possible = 0
                     n_correct = 0
+                    prev_counted = False
                     min_dist = dist
+                    if variant_correctness is not None:
+                        min_counted = len(variant_correctness)
                 if dist == min_dist or not by_seq_dist:
                     counted = ps_match or cross_block
                     correct = ((ps_match and m11 == prev_in_phase)
@@ -239,30 +249,57 @@ def _switch_correctness(qs, ts, by_seq_dist, cross_block):
                         n_possible += 1
                     if correct:
                         n_correct += 1
+            if variant_correctness is not None:
+                variant_correctness.append([q.ref_pos, 0.0, 0.0])
+                if len(variant_correctness) > 1:
+                    pvc = variant_correctness[-2]
+                    pvc[1] = (int(prev_correct and prev_counted)
+                              + int(correct and counted))
+                    pvc[2] = int(prev_counted) + int(counted)
             prev_in_phase = m11
             prev_q_ps = q.phase_set
             prev_t_ps = t.phase_set
             prev_pos = q.ref_pos
+            prev_correct = correct
+            prev_counted = counted
+    if variant_correctness:
+        variant_correctness[-1][1] = float(correct and counted)
+        variant_correctness[-1][2] = float(counted)
+        # reset any variants counted before the min distance was found
+        for k in range(min_counted):
+            variant_correctness[k][1] = 0.0
+            variant_correctness[k][2] = 0.0
     return (n_correct / n_possible if n_possible else float("nan")), n_possible
 
 
 def phasing_correctness(query: List[PhasedVariant], truth: List[PhasedVariant],
                         decay: float, by_seq_dist: bool = False,
-                        cross_block_correct: bool = False) -> Tuple[float, float]:
+                        cross_block_correct: bool = False,
+                        variant_correctness: Optional[list] = None
+                        ) -> Tuple[float, float]:
     """phasingCorrectness (localPhasingCorrectness.c:686-751). Returns
-    (correctness, effective_pair_count)."""
+    (correctness, effective_pair_count). If `variant_correctness` is a list,
+    per-variant [ref_pos, correctness, max_correctness] triples are appended
+    (forward + mirrored reverse contributions summed, c:725-734)."""
     if not 0.0 <= decay <= 1.0:
         raise ValueError("decay must be in [0, 1]")
     if decay == 0.0:
-        return _switch_correctness(query, truth, by_seq_dist, cross_block_correct)
+        return _switch_correctness(query, truth, by_seq_dist,
+                                   cross_block_correct, variant_correctness)
     q_int = _phase_set_intervals(query)
     t_int = _phase_set_intervals(truth)
+    rev_vc = None if variant_correctness is None else []
     f_tot, f_part = _phasing_correctness_internal(
         query, truth, decay, by_seq_dist, cross_block_correct, q_int, t_int,
-        True, None)
+        True, variant_correctness)
     r_tot, r_part = _phasing_correctness_internal(
         query, truth, decay, by_seq_dist, cross_block_correct, q_int, t_int,
-        False, None)
+        False, rev_vc)
+    if variant_correctness is not None:
+        for k, fvc in enumerate(variant_correctness):
+            rvc = rev_vc[len(rev_vc) - k - 1]
+            fvc[1] += rvc[1]
+            fvc[2] += rvc[2]
     denom = f_part + r_part
     return ((f_tot + r_tot) / denom if denom else float("nan")), denom
 
@@ -280,24 +317,72 @@ def main(argv=None):
     p.add_argument("-d", "--by-seq-dist", action="store_true")
     p.add_argument("-c", "--cross-block-correct", action="store_true")
     p.add_argument("-s", "--report-eff-size", action="store_true")
+    p.add_argument("-p", "--per-variant", action="store_true",
+                   help="report values for variants instead of contigs")
+    p.add_argument("-q", "--quiet", action="store_true",
+                   help="do not log progress to stderr")
     args = p.parse_args(argv)
+    progress = ((lambda *a: None) if args.quiet
+                else (lambda msg: print(msg, file=sys.stderr)))
 
     n = args.grid_num
     if n < 4:
         p.error("Must have a grid of at least 4 values")
+    if args.grid_min >= args.grid_max:
+        p.error("Minimum grid value must be less than maximum grid value")
+    if args.grid_min <= 0.0:
+        p.error("Minimum grid value must be > 0")
+    if args.per_variant and args.report_eff_size:
+        p.error("Cannot report effective size for variants, only for contigs")
     step = (math.log(args.grid_max) - math.log(args.grid_min)) / (n - 3)
     length_scales = [0.0] + [math.exp(math.log(args.grid_min) + (i - 1) * step)
                              for i in range(1, n - 1)] + [float("inf")]
     decays = [0.0] + [math.exp(-math.log(2.0) / ls) for ls in length_scales[1:-1]] + [1.0]
 
+    progress(f"Reading VCF {args.truth_vcf}...")
     truth = get_phased_variants(args.truth_vcf)
+    progress(f"Reading VCF {args.query_vcf}...")
     query = get_phased_variants(args.query_vcf)
     shared = sorted(set(truth) & set(query))
+    progress(f"Found {len(shared)} shared contigs (truth {len(truth)}, "
+             f"query {len(query)})")
     var_dist = mean_variant_dist(truth, query, shared)
 
     header = ["decay"]
     header.append(("approx_" if args.by_seq_dist else "") + "length_scale_num_vars")
     header.append(("" if args.by_seq_dist else "approx_") + "length_scale_bps")
+
+    if args.per_variant:
+        # tools/calcLocalPhasingCorrectness.c:324-357: one column per shared
+        # variant named <contig>_<refPos>, values correctness/maxCorrectness
+        per_var_rows = []
+        for k, (ls, decay) in enumerate(zip(length_scales, decays)):
+            per_contig = []
+            for contig in shared:
+                vc = []
+                phasing_correctness(truth[contig], query[contig], decay,
+                                    args.by_seq_dist,
+                                    args.cross_block_correct,
+                                    variant_correctness=vc)
+                per_contig.append(vc)
+            per_var_rows.append(per_contig)
+            if (k + 1) % max(1, n // 5) == 0:
+                progress(f"Finished computing correctness for {k + 1} of "
+                         f"{n} length scales")
+        for contig, vc in zip(shared, per_var_rows[0]):
+            header.extend(f"{contig}_{v[0]}" for v in vc)
+        print("\t".join(header))
+        for (ls, decay), per_contig in zip(zip(length_scales, decays),
+                                           per_var_rows):
+            row = [f"{decay:.17g}",
+                   f"{(ls / var_dist if args.by_seq_dist else ls):.17g}",
+                   f"{(ls if args.by_seq_dist else ls * var_dist):.17g}"]
+            for vc in per_contig:
+                row.extend(f"{(v[1] / v[2] if v[2] != 0.0 else float('nan')):.17g}"
+                           for v in vc)
+            print("\t".join(row))
+        return 0
+
     for contig in shared:
         if args.report_eff_size:
             header.append(f"{contig}_eff_size")
@@ -307,7 +392,7 @@ def main(argv=None):
     header.append("weighted_mean")
     print("\t".join(header))
 
-    for ls, decay in zip(length_scales, decays):
+    for k, (ls, decay) in enumerate(zip(length_scales, decays)):
         row = [f"{decay:.17g}",
                f"{(ls / var_dist if args.by_seq_dist else ls):.17g}",
                f"{(ls if args.by_seq_dist else ls * var_dist):.17g}"]
@@ -325,6 +410,9 @@ def main(argv=None):
             row.append(f"{wden:.17g}")
         row.append(f"{(wnum / wden if wden else float('nan')):.17g}")
         print("\t".join(row))
+        if (k + 1) % max(1, n // 5) == 0:
+            progress(f"Finished computing correctness for {k + 1} of "
+                     f"{n} length scales")
     return 0
 
 

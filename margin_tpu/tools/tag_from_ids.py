@@ -35,10 +35,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tagFromIds")
     p.add_argument("bam")
     p.add_argument("tag_info_file")
+    # tagFromIds.c:27: OUT_BAM_FILE and THREAD_COUNT are positional
+    p.add_argument("out_bam", nargs="?", default=None)
+    p.add_argument("threads", nargs="?", type=int, default=1,
+                   help="accepted for compatibility; unused")
     p.add_argument("-o", "--outputBase", default="output")
     args = p.parse_args(argv)
     tags = parse_tag_file(args.tag_info_file)
-    out_path = f"{args.outputBase}.haplotagged.bam"
+    out_path = args.out_bam or f"{args.outputBase}.haplotagged.bam"
     counts = {0: 0, 1: 0, 2: 0}
     with bamio.BamReader(args.bam) as reader:
         with bamio.BamWriter(out_path, reader.header) as writer:

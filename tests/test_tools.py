@@ -127,3 +127,36 @@ def test_tag_from_ids_roundtrip(tmp_path):
                         got[rec.name] = struct.unpack("<i", blob[s + 3:s + 7])[0]
     assert got[names[0]] == 1
     assert got[names[1]] == 2
+
+
+def test_lpc_per_variant_perfect_and_flipped():
+    """-p/--per-variant (calcLocalPhasingCorrectness.c:33, 324-357 +
+    localPhasingCorrectness.c variantCorrectness plumbing)."""
+    rng = random.Random(7)
+    qs, ts = _make_variants(rng, 12, 1, 0.0)
+    for decay in (0.0, 0.5, 1.0):
+        vc = []
+        c, _ = phasing_correctness(qs, ts, decay, False, False,
+                                   variant_correctness=vc)
+        assert len(vc) == len(qs)
+        assert [v[0] for v in vc] == [q.ref_pos for q in qs]
+        # perfect phasing: every variant fully correct (or unpaired -> 0/0)
+        for v in vc:
+            if v[2] != 0.0:
+                assert abs(v[1] / v[2] - 1.0) < 1e-9, (decay, v)
+    # flip one genotype mid-list: its column (and only the columns near it
+    # at small decay) drop below 1
+    flip = 6
+    qs[flip].gt1, qs[flip].gt2 = qs[flip].gt2, qs[flip].gt1
+    vc = []
+    c, _ = phasing_correctness(qs, ts, 0.5, False, False,
+                               variant_correctness=vc)
+    assert c < 1.0
+    ratios = [v[1] / v[2] if v[2] else float("nan") for v in vc]
+    assert ratios[flip] < 1.0
+    assert ratios[0] > ratios[flip]  # far-away variant barely affected
+    # per-variant decomposition is consistent with the aggregate:
+    # sum(correctness)/sum(max) uses post-increment values so it is an
+    # upper bound on the aggregate, and both move together
+    agg = sum(v[1] for v in vc) / sum(v[2] for v in vc)
+    assert agg >= c - 1e-9
