@@ -233,11 +233,14 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
         cur = jnp.stack([new_m, new_gx, new_gy])
         cur = jnp.where(valid_mask(d)[None, :], cur, neg)
         cur = jnp.maximum(cur, neg)
-        return (cur, prev1), cur
+        # store flattened (3*W,) — a (D, 3, W) stack invites XLA (TPU) to
+        # lay the size-3 state axis on the 128-wide lane dim, padding the
+        # buffer 42x and OOMing HBM for long pairs
+        return (cur, prev1), cur.reshape(3 * W)
 
     (fl1, fl2), fwd = jax.lax.scan(fwd_step, (diag0, jnp.full((3, W), neg)),
                                    jnp.arange(1, D))
-    fwd = jnp.concatenate([diag0[None], fwd])  # (D, 3, W)
+    fwd = jnp.concatenate([diag0.reshape(1, 3 * W), fwd])  # (D, 3*W)
 
     # total probability at the final corner (lx, ly): diag lx+ly, k where
     # xmy == lx-ly -> k = (lx-ly-xmyL)/2
@@ -248,7 +251,8 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
     d_final = lx + ly
     k_final = (lx - ly - xmy_l[d_final]) // 2
     f_final = jax.lax.dynamic_index_in_dim(
-        jax.lax.dynamic_index_in_dim(fwd, d_final, 0, keepdims=False),
+        jax.lax.dynamic_index_in_dim(fwd, d_final, 0,
+                                     keepdims=False).reshape(3, W),
         k_final, axis=-1, keepdims=False)  # (3,)
     tot_terms = f_final + end_w
     total = log_add(log_add(tot_terms[0], tot_terms[1]), tot_terms[2])
@@ -297,7 +301,8 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
             jnp.where(valid_mask(d)[None, :], jnp.stack([b_m, b_gx, b_gy]),
                       neg), neg)
         cur = jnp.where(d == d_final, bwd_final, computed)
-        f_d = jax.lax.dynamic_index_in_dim(fwd, d, 0, keepdims=False)
+        f_d = jax.lax.dynamic_index_in_dim(
+            fwd, d, 0, keepdims=False).reshape(3, W)
         post = jnp.exp(jnp.minimum(f_d + cur - total, 0.0))
         post = jnp.where(valid_mask(d)[None, :], post, 0.0)
 
@@ -311,14 +316,15 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
             contrib = jnp.where(valid_mask(d)[None, None, :], contrib, 0.0)
             exp_acc = exp_acc + contrib.sum(axis=-1)
 
-        return (cur, next1, exp_acc), post
+        return (cur, next1, exp_acc), post.reshape(3 * W)
 
     (_, _, exp_acc), post = jax.lax.scan(
         bwd_step,
         (jnp.full((3, W), neg), jnp.full((3, W), neg),
          jnp.zeros((3, 3), dtype)),
         jnp.arange(D - 1, -1, -1))
-    post = jnp.flip(post, axis=0)  # back to ascending diagonal order
+    # ascending diagonal order, (D, 3, W)
+    post = jnp.flip(post, axis=0).reshape(D, 3, W)
     if compute_expectations:
         return post, total, exp_acc
     return post, total
