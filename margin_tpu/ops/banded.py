@@ -86,32 +86,50 @@ def _gather_shift(arr, shift):
     return jnp.where(valid[None, :], vals, LOG_ZERO)
 
 
+def _precompute_policy(b: int, d_pad: int, w_pad: int) -> bool:
+    """Whether _banded_fb_core should hoist per-diagonal emissions out of
+    the scans. On accelerators the in-loop gathers dominate scan step cost;
+    hoisting costs ~10 (B, D, W) f32 buffers transiently, so gate on size.
+    On the CPU backend the per-step gathers are cheap and the extra memory
+    traffic is a net loss, so keep the in-scan path there."""
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    return b * d_pad * w_pad * 4 * 10 <= 4e9
+
+
 @functools.partial(jax.jit,
                    static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
-                                    "compute_expectations"))
+                                    "compute_expectations",
+                                    "precompute_emissions"))
 def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                x_sym, y_sym, lx, ly,
                xmy_l, widths, x_base, y_base,
                ragged_left, ragged_right,
                d_pad: int, w_pad: int, use_lut: bool,
                use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None,
-               compute_expectations: bool = False):
+               compute_expectations: bool = False,
+               precompute_emissions: bool = False):
     return _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                            x_sym, y_sym, lx, ly, xmy_l, widths, x_base,
                            y_base, ragged_left, ragged_right, d_pad, w_pad,
                            use_lut, use_rle, rep_table, rep_x, rep_y,
-                           compute_expectations)
+                           compute_expectations, precompute_emissions)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle"))
+                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
+                                    "precompute_emissions"))
 def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
                     x_sym, y_sym, lx, ly,
                     xmy_l, widths, x_base, y_base,
                     ragged_left, ragged_right,
                     d_pad: int, w_pad: int, use_lut: bool,
                     use_rle: bool = False, rep_table=None,
-                    rep_x=None, rep_y=None):
+                    rep_x=None, rep_y=None,
+                    precompute_emissions: bool = False):
     """vmapped _banded_fb over a batch of same-padded-shape problems.
     Batched args: x_sym/y_sym (B, Lp), lx/ly (B,), geometry (B, D).
     Returns (post (B, D, 3, W), total (B,))."""
@@ -121,7 +139,8 @@ def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
                 tables_match, tables_gapx, tables_gapy, trans,
                 xs, ys, lx1, ly1, xl, wd, xb, yb,
                 ragged_left, ragged_right, d_pad, w_pad, use_lut,
-                use_rle=True, rep_table=rep_table, rep_x=rx, rep_y=ry)
+                use_rle=True, rep_table=rep_table, rep_x=rx, rep_y=ry,
+                precompute_emissions=precompute_emissions)
         return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
                              x_base, y_base, rep_x, rep_y)
 
@@ -129,9 +148,26 @@ def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
         return _banded_fb_core(
             tables_match, tables_gapx, tables_gapy, trans,
             xs, ys, lx1, ly1, xl, wd, xb, yb,
-            ragged_left, ragged_right, d_pad, w_pad, use_lut)
+            ragged_left, ragged_right, d_pad, w_pad, use_lut,
+            precompute_emissions=precompute_emissions)
     return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
                          x_base, y_base)
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the anti-diagonal scans. On accelerators the
+    per-step work (a few (B, 3, W) elementwise ops) is far below the fixed
+    per-iteration cost of lax.scan (~1 ms/step measured on v5e via the dev
+    tunnel, ~60 s for one 32k-diagonal FB), so fusing steps is a direct
+    win. On the CPU backend unrolling measurably regressed (larger code,
+    no per-step overhead to amortize), so keep it sequential there."""
+    try:
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            return 1
+    except Exception:
+        return 1
+    return 8
 
 
 def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
@@ -140,7 +176,8 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                     ragged_left, ragged_right,
                     d_pad: int, w_pad: int, use_lut: bool,
                     use_rle: bool = False, rep_table=None, rep_x=None,
-                    rep_y=None, compute_expectations: bool = False):
+                    rep_y=None, compute_expectations: bool = False,
+                    precompute_emissions: bool = False):
     """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob) —
     plus, with compute_expectations, a (3, 3) [from, to] transition
     expectation matrix (updateExpectations, pairwiseAligner.c:349-366).
@@ -210,12 +247,31 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
         jnp.array([0.0, LOG_ZERO, LOG_ZERO], dtype))
     diag0 = jnp.full((3, W), neg).at[:, 0].set(init_cell)
 
-    def fwd_step(carry, d):
-        prev1, prev2 = carry
-        cx, cy, cx_idx, cy_idx = consumed_syms(d)
+    def _emissions_all(xb_off, yb_off):
+        """Vectorized consumed-symbol emissions for every diagonal at once:
+        (D, W) e_m/e_gx/e_gy via a few large gathers. On TPU the per-step
+        in-scan gathers dominate the scan's step cost (~0.7 ms/step
+        measured); hoisting them out of the loop leaves only shifts and
+        log-adds in the body."""
+        cx_idx = (x_base + xb_off)[:, None] + k_iota[None, :]
+        cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                       jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)),
+                       4)
+        cy_idx = (y_base + yb_off)[:, None] - k_iota[None, :]
+        cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                       jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)),
+                       4)
         e_m = _match_emission(cx, cy, cx_idx, cy_idx)
-        e_gx = jnp.take(tables_gapx, cx)
-        e_gy = jnp.take(tables_gapy, cy)
+        return e_m, jnp.take(tables_gapx, cx), jnp.take(tables_gapy, cy)
+
+    def _valid_mask_all():
+        x_pos = x_base[:, None] + 1 + k_iota[None, :]
+        y_pos = y_base[:, None] + 1 - k_iota[None, :]
+        return ((k_iota[None, :] < widths[:, None]) & (x_pos >= 0)
+                & (x_pos <= lx) & (y_pos >= 0) & (y_pos <= ly)
+                & (jnp.arange(D)[:, None] <= lx + ly))
+
+    def _fwd_body(prev1, prev2, d, e_m, e_gx, e_gy, vm):
         s1 = (xmy_l[d] - 1 - xmy_l[d - 1]) // 2
         s2 = (xmy_l[d] - xmy_l[d - 2]) // 2
         low = _gather_shift(prev1, s1)        # (x-1, y)
@@ -231,15 +287,37 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                                   up[GAPY] + trc[T_EXT_Y],
                                   up[GAPX] + trc[T_SW_Y], log_add)
         cur = jnp.stack([new_m, new_gx, new_gy])
-        cur = jnp.where(valid_mask(d)[None, :], cur, neg)
-        cur = jnp.maximum(cur, neg)
+        cur = jnp.where(vm[None, :], cur, neg)
+        return jnp.maximum(cur, neg)
+
+    def fwd_step(carry, d):
+        prev1, prev2 = carry
+        cx, cy, cx_idx, cy_idx = consumed_syms(d)
+        e_m = _match_emission(cx, cy, cx_idx, cy_idx)
+        e_gx = jnp.take(tables_gapx, cx)
+        e_gy = jnp.take(tables_gapy, cy)
+        cur = _fwd_body(prev1, prev2, d, e_m, e_gx, e_gy, valid_mask(d))
         # store flattened (3*W,) — a (D, 3, W) stack invites XLA (TPU) to
         # lay the size-3 state axis on the 128-wide lane dim, padding the
         # buffer 42x and OOMing HBM for long pairs
         return (cur, prev1), cur.reshape(3 * W)
 
-    (fl1, fl2), fwd = jax.lax.scan(fwd_step, (diag0, jnp.full((3, W), neg)),
-                                   jnp.arange(1, D))
+    def fwd_step_pre(carry, xs):
+        d, e_m, e_gx, e_gy, vm = xs
+        prev1, prev2 = carry
+        cur = _fwd_body(prev1, prev2, d, e_m, e_gx, e_gy, vm)
+        return (cur, prev1), cur.reshape(3 * W)
+
+    if precompute_emissions:
+        e_mF, e_gxF, e_gyF = _emissions_all(0, 0)
+        vm_all = _valid_mask_all()
+        (fl1, fl2), fwd = jax.lax.scan(
+            fwd_step_pre, (diag0, jnp.full((3, W), neg)),
+            (jnp.arange(1, D), e_mF[1:], e_gxF[1:], e_gyF[1:], vm_all[1:]))
+    else:
+        (fl1, fl2), fwd = jax.lax.scan(
+            fwd_step, (diag0, jnp.full((3, W), neg)),
+            jnp.arange(1, D), unroll=_scan_unroll())
     fwd = jnp.concatenate([diag0.reshape(1, 3 * W), fwd])  # (D, 3*W)
 
     # total probability at the final corner (lx, ly): diag lx+ly, k where
@@ -267,22 +345,7 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
         jnp.stack([trc[T_M_FROM_GY], trc[T_SW_X], trc[T_EXT_Y]]),
     ])
 
-    def bwd_step(carry, d):
-        next1, next2, exp_acc = carry  # bwd at diagonals d+1, d+2
-
-        # symbols consumed LEAVING cell k of diag d:
-        # to gapX consumes X[x], to match consumes X[x], Y[y]
-        xb = x_base[d] + 1
-        yb = y_base[d]
-        cx_idx = xb + k_iota
-        cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
-                       jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)), 4)
-        cy_idx = yb + 1 - k_iota
-        cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
-                       jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)), 4)
-        e_m = _match_emission(cx, cy, cx_idx, cy_idx)
-        e_gx = jnp.take(tables_gapx, cx)
-        e_gy = jnp.take(tables_gapy, cy)
+    def _bwd_body(next1, next2, exp_acc, d, e_m, e_gx, e_gy, vm):
         t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
         t2 = (xmy_l[d] - xmy_l[d + 2]) // 2
         gx_n = _gather_shift(next1, t1)[GAPX]       # (x+1, y)
@@ -298,13 +361,13 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                          m_n + e_m + trc[T_M_FROM_GY],
                          gy_n + e_gy + trc[T_EXT_Y], log_add)
         computed = jnp.maximum(
-            jnp.where(valid_mask(d)[None, :], jnp.stack([b_m, b_gx, b_gy]),
+            jnp.where(vm[None, :], jnp.stack([b_m, b_gx, b_gy]),
                       neg), neg)
         cur = jnp.where(d == d_final, bwd_final, computed)
         f_d = jax.lax.dynamic_index_in_dim(
             fwd, d, 0, keepdims=False).reshape(3, W)
         post = jnp.exp(jnp.minimum(f_d + cur - total, 0.0))
-        post = jnp.where(valid_mask(d)[None, :], post, 0.0)
+        post = jnp.where(vm[None, :], post, 0.0)
 
         if compute_expectations:
             # updateExpectations (pairwiseAligner.c:349-366): posterior of
@@ -313,16 +376,48 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
             to_terms = jnp.stack([m_n + e_m, gx_n + e_gx, gy_n + e_gy])
             contrib = jnp.exp(f_d[:, None, :] + to_terms[None, :, :]
                               + tmat[:, :, None] - total)
-            contrib = jnp.where(valid_mask(d)[None, None, :], contrib, 0.0)
+            contrib = jnp.where(vm[None, None, :], contrib, 0.0)
             exp_acc = exp_acc + contrib.sum(axis=-1)
 
         return (cur, next1, exp_acc), post.reshape(3 * W)
 
-    (_, _, exp_acc), post = jax.lax.scan(
-        bwd_step,
-        (jnp.full((3, W), neg), jnp.full((3, W), neg),
-         jnp.zeros((3, 3), dtype)),
-        jnp.arange(D - 1, -1, -1))
+    def bwd_step(carry, d):
+        next1, next2, exp_acc = carry  # bwd at diagonals d+1, d+2
+        # symbols consumed LEAVING cell k of diag d:
+        # to gapX consumes X[x], to match consumes X[x], Y[y]
+        xb = x_base[d] + 1
+        yb = y_base[d]
+        cx_idx = xb + k_iota
+        cx = jnp.where((cx_idx >= 0) & (cx_idx < lx),
+                       jnp.take(xpad, jnp.clip(cx_idx, 0, xpad.shape[0] - 1)),
+                       4)
+        cy_idx = yb + 1 - k_iota
+        cy = jnp.where((cy_idx >= 0) & (cy_idx < ly),
+                       jnp.take(ypad, jnp.clip(cy_idx, 0, ypad.shape[0] - 1)),
+                       4)
+        e_m = _match_emission(cx, cy, cx_idx, cy_idx)
+        e_gx = jnp.take(tables_gapx, cx)
+        e_gy = jnp.take(tables_gapy, cy)
+        return _bwd_body(next1, next2, exp_acc, d, e_m, e_gx, e_gy,
+                         valid_mask(d))
+
+    def bwd_step_pre(carry, xs):
+        d, e_m, e_gx, e_gy, vm = xs
+        next1, next2, exp_acc = carry
+        return _bwd_body(next1, next2, exp_acc, d, e_m, e_gx, e_gy, vm)
+
+    bwd_init = (jnp.full((3, W), neg), jnp.full((3, W), neg),
+                jnp.zeros((3, 3), dtype))
+    if precompute_emissions:
+        e_mB, e_gxB, e_gyB = _emissions_all(1, 1)
+        (_, _, exp_acc), post = jax.lax.scan(
+            bwd_step_pre, bwd_init,
+            (jnp.arange(D - 1, -1, -1), jnp.flip(e_mB, 0),
+             jnp.flip(e_gxB, 0), jnp.flip(e_gyB, 0), jnp.flip(vm_all, 0)))
+    else:
+        (_, _, exp_acc), post = jax.lax.scan(
+            bwd_step, bwd_init,
+            jnp.arange(D - 1, -1, -1), unroll=_scan_unroll())
     # ascending diagonal order, (D, 3, W)
     post = jnp.flip(post, axis=0).reshape(D, 3, W)
     if compute_expectations:
@@ -526,6 +621,7 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
         xb, yb,
         bool(ragged_left), bool(ragged_right),
         d_pad=d_pad, w_pad=w_pad, use_lut=use_lut, use_rle=use_rle,
+        precompute_emissions=_precompute_policy(1, d_pad, w_pad),
         **rep_kwargs)
     K = _extract_cap(d_pad)
     vals, pxs, pys, counts = _device_extract(post, xb, yb, threshold, K)
@@ -604,7 +700,10 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             jnp.asarray(lys), jnp.asarray(xmy_l), jnp.asarray(widths),
             xbj, ybj,
             False, False, d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
-            use_rle=use_rle, **rep_kwargs)
+            use_rle=use_rle,
+            precompute_emissions=_precompute_policy(len(padded_idxs), d_pad,
+                                                    w_pad),
+            **rep_kwargs)
         K = _extract_cap(d_pad)
         vals, pxs, pys, counts = _device_extract_many(post, xbj, ybj,
                                                       threshold, K)
@@ -649,7 +748,8 @@ def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
         jnp.asarray(geom.x_base), jnp.asarray(geom.y_base),
         bool(ragged_left), bool(ragged_right),
         d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
-        compute_expectations=True)
+        compute_expectations=True,
+        precompute_emissions=_precompute_policy(1, d_pad, w_pad))
     return np.asarray(exp_acc, dtype=np.float64), float(total)
 
 
