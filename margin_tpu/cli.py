@@ -40,6 +40,12 @@ def _add_common(p):
     p.add_argument("-k", "--tempFilesToDisk", action="store_true",
                    help="compatibility flag (polish.c -k): maps to "
                         "--checkpoint (per-chunk results go to disk)")
+    p.add_argument("--profile", action="store_true",
+                   help="write structured per-chunk/per-stage timing to "
+                        "<outputBase>.profile.json")
+    p.add_argument("--jaxTrace", default=None, metavar="DIR",
+                   help="wrap the run in a JAX profiler trace written to "
+                        "DIR (view with xprof/tensorboard)")
 
 
 def main(argv=None):
@@ -158,6 +164,11 @@ def main(argv=None):
     # late imports keep CLI startup fast
     try:
         import jax
+        # the sandbox's sitecustomize pins JAX_PLATFORMS at interpreter
+        # startup; MARGIN_TPU_PLATFORM=cpu|axon|tpu overrides it here
+        plat = os.environ.get("MARGIN_TPU_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/margin_tpu_jax"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -193,19 +204,27 @@ def main(argv=None):
     # --logLevel); DEBUG and INFO both print them here
     log = (lambda *a: None) if args.logLevel == "CRITICAL" else print
 
+    from margin_tpu.utils import profiling
+    profiler = profiling.Profiler(enabled=args.profile)
+    trace_ctx = profiling.maybe_jax_trace(args.jaxTrace)
+
     if args.command == "phase":
         from margin_tpu.phase.driver import run_phase
-        run_phase(args.bam, args.reference, args.vcf, params, args.outputBase,
-                  region=args.region, write_bam=not args.skipHaplotypeBAM,
-                  write_vcf=not args.skipPhasedVCF, seed=args.seed,
-                  use_lut=args.lut_logadd, checkpoint=args.checkpoint,
-                  shard=shard, log=log)
+        with trace_ctx:
+            run_phase(args.bam, args.reference, args.vcf, params,
+                      args.outputBase,
+                      region=args.region, write_bam=not args.skipHaplotypeBAM,
+                      write_vcf=not args.skipPhasedVCF, seed=args.seed,
+                      use_lut=args.lut_logadd, checkpoint=args.checkpoint,
+                      shard=shard, profiler=profiler, log=log)
+        profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType
         if feature_type is None and args.produceFeatures:
             feature_type = "splitRleWeight"  # polish.c:333-335
-        run_polish(args.bam, args.reference, params, args.outputBase,
+        with trace_ctx:
+            run_polish(args.bam, args.reference, params, args.outputBase,
                    region=args.region, diploid=args.diploid, seed=args.seed,
                    feature_type=feature_type,
                    feature_max_rl=args.splitRleWeightMaxRL,
@@ -222,7 +241,10 @@ def main(argv=None):
                    skip_filtered_reads=args.skipFilteredReads,
                    skip_realignment=args.skipRealignment,
                    skip_haplotype_bam=args.skipHaplotypeBAM,
-                   checkpoint=args.checkpoint, shard=shard, log=log)
+                   checkpoint=args.checkpoint, shard=shard,
+                   profiler=profiler, log=log)
+        profiler.write(f"{args.outputBase}.profile.json")
+        profiler.log_summary(log)
     return 0
 
 

@@ -26,6 +26,7 @@ from margin_tpu.phase import phasing, variants
 from margin_tpu.phase.downsample import downsample_reads_by_vcf_spans
 from margin_tpu.phase.readextract import extract_read_substrings_sv_aware
 from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_phase_results
+from margin_tpu.utils import profiling
 
 
 @dataclass
@@ -46,6 +47,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               seed: int = 0, use_lut: bool = False,
               checkpoint: bool = False,
               shard: Optional[tuple] = None,
+              profiler: profiling.Profiler = profiling.NULL,
               log=print) -> PhaseOutputs:
     """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
     per-chunk results are persisted under <output_base>.checkpoint/ and a
@@ -70,19 +72,22 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     out = PhaseOutputs()
 
     # parse VCF (vcf.c:89-228)
-    vcf_entries = parse_vcf(vcf_file, region,
-                            use_rle=params.polish.useRunLengthEncoding,
-                            only_pass=params.phase.onlyUsePassVCFEntries,
-                            include_homozygous=params.phase.includeHomozygousVCFEntries)
+    with profiler.stage("vcf_parse"):
+        vcf_entries = parse_vcf(
+            vcf_file, region,
+            use_rle=params.polish.useRunLengthEncoding,
+            only_pass=params.phase.onlyUsePassVCFEntries,
+            include_homozygous=params.phase.includeHomozygousVCFEntries)
     mark_svs(vcf_entries, params.phase.indelSizeForSVHandling)
     log(f"> Parsed VCF: {sum(len(v) for v in vcf_entries.values())} kept entries "
         f"on {len(vcf_entries)} contigs")
 
     # chunker (htsIntegration.c:203-396)
-    chunkr = chunkermod.construct_chunker(bam_file, region,
-                                          set(vcf_entries.keys()),
-                                          params.polish,
-                                          record_filtered_reads=True)
+    with profiler.stage("chunker"):
+        chunkr = chunkermod.construct_chunker(bam_file, region,
+                                              set(vcf_entries.keys()),
+                                              params.polish,
+                                              record_filtered_reads=True)
     log(f"> Built {len(chunkr.chunks)} chunks (size {params.polish.chunkSize}, "
         f"boundary {params.polish.chunkBoundary})")
     if not chunkr.chunks:
@@ -130,7 +135,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                          if shard is not None else rng)
             res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
                                   params, tables, chunk_rng, write_bam,
-                                  use_lut, log)
+                                  use_lut, log, profiler=profiler)
             # snapshot only the chunk INTERIOR: update_original_vcf_entries
             # writes roots in [chunk_start, chunk_end) only, and snapshots
             # of the wider overlap window would clobber a neighbor chunk's
@@ -156,16 +161,19 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         return out
 
     # stitch (stitching.c:1558-1693)
-    ids1, ids2, switched = stitch_phase_results(
-        results, primary_only=params.phase.stitchWithPrimaryReadsOnly)
+    with profiler.stage("stitch"):
+        ids1, ids2, switched = stitch_phase_results(
+            results, primary_only=params.phase.stitchWithPrimaryReadsOnly)
     log(f"> Stitched {len(results)} chunks: {len(ids1)} hap1 reads, "
         f"{len(ids2)} hap2 reads, {sum(switched)} chunk switches")
 
     # haplotagged BAM (htsIntegration.c:1310-1503)
     if write_bam:
         out.haplotagged_bam = f"{output_base}.haplotagged.bam"
-        h1, h2, h0 = write_haplotagged_bam(bam_file, out.haplotagged_bam, region,
-                                           set(ids1), set(ids2), params)
+        with profiler.stage("write_bam"):
+            h1, h2, h0 = write_haplotagged_bam(
+                bam_file, out.haplotagged_bam, region,
+                set(ids1), set(ids2), params)
         out.hap1_count, out.hap2_count, out.untagged_count = h1, h2, h0
         log(f"> Wrote haplotagged BAM: H1 {h1}, H2 {h2}, H0 {h0}")
 
@@ -173,9 +181,11 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     if write_vcf:
         out.phased_vcf = f"{output_base}.phased.vcf"
         out.phaseset_bed = f"{output_base}.phaseset.bed"
-        update_haplotype_switching(chunkr.chunks, switched, vcf_entries)
-        ps_lengths = write_phased_vcf(vcf_file, region, out.phased_vcf,
-                                      out.phaseset_bed, vcf_entries, params)
+        with profiler.stage("write_vcf"):
+            update_haplotype_switching(chunkr.chunks, switched, vcf_entries)
+            ps_lengths = write_phased_vcf(vcf_file, region, out.phased_vcf,
+                                          out.phaseset_bed, vcf_entries,
+                                          params)
         with open(out.phased_vcf) as fh:
             out.phased_het_count = sum(
                 1 for line in fh
@@ -202,32 +212,40 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     log(f"> Finished phasing in {total_t:.1f}s "
         f"(setup {t_setup:.1f}s, chunks {t_chunks:.1f}s, "
         f"outputs {t_output:.1f}s)")
+    profiler.log_summary(log)
     return out
 
 
 def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
-                    rng, write_bam, use_lut, log) -> ChunkPhaseResult:
+                    rng, write_bam, use_lut, log,
+                    profiler: profiling.Profiler = profiling.NULL
+                    ) -> ChunkPhaseResult:
     """One iteration of the phase.c:279-473 chunk loop."""
     res = ChunkPhaseResult(chunk.chunk_idx, chunk.ref_name)
+    ci = chunk.chunk_idx
 
     chunk_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                             chunk.chunk_overlap_end)
 
-    primary, filtered_entries = variants.get_vcf_entries_for_region(
-        vcf_entries, chunk.ref_name, chunk.chunk_overlap_start,
-        chunk.chunk_overlap_end, params, rng)
+    with profiler.chunk_stage(ci, "variants"):
+        primary, filtered_entries = variants.get_vcf_entries_for_region(
+            vcf_entries, chunk.ref_name, chunk.chunk_overlap_start,
+            chunk.chunk_overlap_end, params, rng)
 
-    variants.update_vcf_entries_with_substrings(primary, chunk_ref, params)
-    if not params.phase.phasePrimaryVariantsOnly:
-        variants.update_vcf_entries_with_substrings(filtered_entries, chunk_ref, params)
+        variants.update_vcf_entries_with_substrings(primary, chunk_ref,
+                                                    params)
+        if not params.phase.phasePrimaryVariantsOnly:
+            variants.update_vcf_entries_with_substrings(filtered_entries,
+                                                        chunk_ref, params)
 
-    reads, filtered_reads = extract_read_substrings_sv_aware(
-        chunk, primary, reader, params)
-    if not params.phase.phasePrimaryVariantsOnly:
-        reads_for_filtered, _ = extract_read_substrings_sv_aware(
-            chunk, filtered_entries, reader, params)
-    else:
-        reads_for_filtered = []
+    with profiler.chunk_stage(ci, "readextract"):
+        reads, filtered_reads = extract_read_substrings_sv_aware(
+            chunk, primary, reader, params)
+        if not params.phase.phasePrimaryVariantsOnly:
+            reads_for_filtered, _ = extract_read_substrings_sv_aware(
+                chunk, filtered_entries, reader, params)
+        else:
+            reads_for_filtered = []
 
     # downsample (phase.c:360-382)
     if params.polish.maxDepth > 0:
@@ -237,11 +255,14 @@ def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
             filtered_reads.extend(discarded)
 
     # bubble graph + phasing
-    bg, entries_to_bubbles = phasing.build_bubble_graph(
-        reads, primary, params, tables, use_lut=use_lut)
-    ref = phasing.get_reference(bg, chunk.ref_name, params)
-    gf, pseqs = phasing.phase_bubble_graph(bg, ref, reads, params)
-    hap1_ids, hap2_ids, phreds = phasing.phase_bam_chunk_reads(gf, pseqs, reads, params)
+    with profiler.chunk_stage(ci, "bubble_scoring"):
+        bg, entries_to_bubbles = phasing.build_bubble_graph(
+            reads, primary, params, tables, use_lut=use_lut)
+    with profiler.chunk_stage(ci, "rphmm"):
+        ref = phasing.get_reference(bg, chunk.ref_name, params)
+        gf, pseqs = phasing.phase_bubble_graph(bg, ref, reads, params)
+        hap1_ids, hap2_ids, phreds = phasing.phase_bam_chunk_reads(
+            gf, pseqs, reads, params)
 
     log(f"  chunk {chunk.chunk_idx}: {len(primary)} primary vars, "
         f"{len(reads)} reads -> {len(hap1_ids)} hap1 / {len(hap2_ids)} hap2 "
@@ -251,9 +272,10 @@ def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
     hap1_names = {r.read_name for r in reads if id(r) in hap1_ids}
     hap2_names = {r.read_name for r in reads if id(r) in hap2_ids}
     if not params.phase.phasePrimaryVariantsOnly:
-        phasing.phase_filtered_vcf_entries(reads_for_filtered, filtered_entries,
-                                           hap1_names, hap2_names, chunk,
-                                           chunkr.read_enumerator, params, tables)
+        with profiler.chunk_stage(ci, "filtered_variants"):
+            phasing.phase_filtered_vcf_entries(
+                reads_for_filtered, filtered_entries, hap1_names, hap2_names,
+                chunk, chunkr.read_enumerator, params, tables)
 
     # unassigned primary reads join the filtered pool (phase.c:419-425)
     for r in reads:
@@ -264,9 +286,10 @@ def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
     if write_bam:
         filt_h1: set = set()
         filt_h2: set = set()
-        phasing.partition_filtered_reads(filtered_reads, gf, bg,
-                                         entries_to_bubbles, filt_h1, filt_h2,
-                                         params, tables)
+        with profiler.chunk_stage(ci, "partition_filtered"):
+            phasing.partition_filtered_reads(filtered_reads, gf, bg,
+                                             entries_to_bubbles, filt_h1,
+                                             filt_h2, params, tables)
     else:
         filt_h1, filt_h2 = set(), set()
 

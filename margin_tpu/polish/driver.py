@@ -114,6 +114,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                skip_filtered_reads: bool = False,
                skip_realignment: bool = False,
                skip_haplotype_bam: bool = False,
+               profiler=None,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
     enables truth-sequence partitioning (polish.c:423-431). shard=(i, n)
@@ -138,6 +139,8 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   skip_realignment=skip_realignment,
                                   skip_haplotype_bam=skip_haplotype_bam,
                                   log=log)
+    from margin_tpu.utils import profiling
+    profiler = profiler or profiling.NULL
     rng = random.Random(seed)
     shard_idx = shard_n = None
     if shard is not None:
@@ -203,8 +206,9 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
                    else RleString.identity(raw_ref))
-        reads, alignments, _fr, _fa = convert_to_reads_and_alignments(
-            chunk, rle_ref, reader, pp, keep_filtered=False)
+        with profiler.chunk_stage(chunk.chunk_idx, "readextract"):
+            reads, alignments, _fr, _fa = convert_to_reads_and_alignments(
+                chunk, rle_ref, reader, pp, keep_filtered=False)
         # downsample (polish.c:536-576, haploid uses downsampleViaReadLikelihood)
         if pp.maxDepth > 0 and reads:
             total_nt = sum(r.rle_read.length for r in reads)
@@ -218,9 +222,13 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                         kept_r.append(r)
                         kept_a.append(a)
                 reads, alignments = kept_r, kept_a
-        poa = poa_realign_all(reads, alignments, rle_ref, params, tables, use_lut)
+        with profiler.chunk_stage(chunk.chunk_idx, "poa_realign"):
+            poa = poa_realign_all(reads, alignments, rle_ref, params, tables,
+                                  use_lut)
         if pp.useRunLengthEncoding:
-            repeats.estimate_repeat_counts(poa, reads, pp.repeat_sub_matrix)
+            with profiler.chunk_stage(chunk.chunk_idx, "repeat_counts"):
+                repeats.estimate_repeat_counts(poa, reads,
+                                               pp.repeat_sub_matrix)
         if helen_h5 is not None:
             from margin_tpu.polish import helen
             helen.handle_helen_features(

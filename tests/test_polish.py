@@ -77,14 +77,25 @@ def test_poa_reference_graph(polish_params):
 @pytest.mark.parametrize("rle", [True, False])
 def test_polish_examples_improve_identity(polish_params, norle_params, rle):
     """Aggregate consensus identity vs truth must beat the starting draft
-    (polisherTest.c test_poa_realign_examples)."""
+    (polisherTest.c test_poa_realign_examples). Fast subset (2 windows);
+    the slow marker runs the fuller 6-window sweep."""
+    _polish_examples_improve_identity(polish_params, norle_params, rle, 2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rle", [True, False])
+def test_polish_examples_improve_identity_full(polish_params, norle_params,
+                                               rle):
+    _polish_examples_improve_identity(polish_params, norle_params, rle, 6)
+
+
+def _polish_examples_improve_identity(polish_params, norle_params, rle, n_ex):
     params = polish_params if rle else norle_params
     pp = params.polish
     tables = pairhmm.PairHmmTables.from_params(
         pp.sm_forward, pp.sm_reverse,
         repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
     total_start = total_cons = 0.0
-    n_ex = 6
     for ex in range(n_ex):
         _, seqs = _read_fasta(f"{EXAMPLES}/{ex}.fasta")
         names, _ = _read_fasta(f"{EXAMPLES}/{ex}.fasta")
