@@ -3,8 +3,12 @@
 Parity: writePhasedVcf (vcf.c:679-1079), updateHaplotypeSwitchingInVcfEntries
 (vcf.c:595-650). The original VCF is re-streamed; GT is rewritten
 (phased `a|b` or unphased) and a PS FORMAT field appended for phased hets —
-matching htslib's bcf_update_genotypes/bcf_update_format_int32 output
-for the updateAllOutputVCFFormatFields=false path (the shipped configs).
+matching htslib's bcf_update_genotypes/bcf_update_format_int32 output.
+With updateAllOutputVCFFormatFields=true the margin-derived GQ/DP/HQ/HD/
+HCPV/HDPV FORMAT fields are also written (vcf.c:725-731, 957-1008).
+Multi-sample inputs: records are taken for the first sample only (logged,
+vcf.c:718-721); other samples keep their subfields and get "." for any
+newly added FORMAT keys.
 """
 
 from __future__ import annotations
@@ -54,28 +58,50 @@ def update_haplotype_switching(chunks, switched: List[bool],
             idx += 1
 
 
-def _set_gt(parts: List[str], gt_value: str, add_ps: Optional[int]):
-    """Rewrite the GT subfield of the first sample; optionally append PS."""
+def _set_gt(parts: List[str], gt_value: str, add_ps: Optional[int],
+            extra: Optional[Dict[str, str]] = None):
+    """Rewrite the GT subfield of the first sample; optionally append PS and
+    further FORMAT fields (`extra`, insertion-ordered). Additional samples
+    keep their existing subfields and get "." for newly added keys (the
+    reference only takes records for the first sample, vcf.c:718-721)."""
     if len(parts) < 10:
         return parts
     fmt = parts[8].split(":")
-    sample = parts[9].split(":")
-    while len(sample) < len(fmt):
-        sample.append(".")
-    if "GT" in fmt:
-        sample[fmt.index("GT")] = gt_value
-    else:
-        fmt.insert(0, "GT")
-        sample.insert(0, gt_value)
-    if add_ps is not None:
-        if "PS" in fmt:
-            sample[fmt.index("PS")] = str(add_ps)
+    samples = [parts[i].split(":") for i in range(9, len(parts))]
+    for sample in samples:
+        while len(sample) < len(fmt):
+            sample.append(".")
+
+    def set_field(key: str, value: str, insert_front: bool = False):
+        if key in fmt:
+            samples[0][fmt.index(key)] = value
+        elif insert_front:
+            fmt.insert(0, key)
+            samples[0].insert(0, value)
+            for s in samples[1:]:
+                s.insert(0, ".")
         else:
-            fmt.append("PS")
-            sample.append(str(add_ps))
+            fmt.append(key)
+            samples[0].append(value)
+            for s in samples[1:]:
+                s.append(".")
+
+    set_field("GT", gt_value, insert_front=True)
+    for key, value in (extra or {}).items():
+        set_field(key, value)
+    if add_ps is not None:
+        set_field("PS", str(add_ps))
     parts[8] = ":".join(fmt)
-    parts[9] = ":".join(sample)
+    for i, sample in enumerate(samples):
+        parts[9 + i] = ":".join(sample)
     return parts
+
+
+def _to_phred(prob: float) -> int:
+    """toPhred (misc.c:139-141): phred of the probability itself, clamped
+    to [1e-6, 0.999999] with everything <= 0.1 treated as 1e-6."""
+    p = 0.000001 if prob <= 0.1 else (0.999999 if prob >= 0.999999 else prob)
+    return int(-10.0 * math.log10(p))
 
 
 def _unphased_gt(gt1: int, gt2: int) -> str:
@@ -87,9 +113,12 @@ def _unphased_gt(gt1: int, gt2: int) -> str:
 def write_phased_vcf(input_vcf: str, region: Optional[str], output_vcf: str,
                      phaseset_bed: Optional[str],
                      vcf_entry_map: Dict[str, List[VcfEntry]], params: Params):
-    """writePhasedVcf (vcf.c:679-1079), updateAllOutputVCFFormatFields=false
-    path."""
+    """writePhasedVcf (vcf.c:679-1079): both the
+    updateAllOutputVCFFormatFields=false path (GT+PS only, original
+    genotype trusted) and the =true path (GT/GQ/DP/HQ/HD/HCPV/HDPV
+    clobbered from the margin analysis, vcf.c:957-1008)."""
     pp = params.phase
+    update_all = pp.updateAllOutputVCFFormatFields
     region_contig, region_start, region_end = parse_region(region)
 
     out = open(output_vcf, "w")
@@ -117,9 +146,21 @@ def write_phased_vcf(input_vcf: str, region: Optional[str], output_vcf: str,
             header_lines.append(line)
             continue
         if line.startswith("#"):
-            # append FORMAT headers (vcf.c:723-724) then the column line
+            # append FORMAT headers (vcf.c:723-733) then the column line
             header_lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
             header_lines.append('##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase Set Identifier">')
+            if update_all:
+                header_lines.append('##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype Quality">')
+                header_lines.append('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read Depth">')
+                header_lines.append('##FORMAT=<ID=HQ,Number=2,Type=Integer,Description="Haplotype Quality">')
+                header_lines.append('##FORMAT=<ID=HD,Number=2,Type=Integer,Description="Haplotype Depth">')
+                header_lines.append('##FORMAT=<ID=HCPV,Number=2,Type=Integer,Description="Haplotype Concordance with Previous Variant">')
+                header_lines.append('##FORMAT=<ID=HDPV,Number=2,Type=Integer,Description="Haplotype Discordance with Previous Variant">')
+            n_samples = len(line.rstrip("\n").split("\t")) - 9
+            if n_samples > 1:
+                import sys
+                print(f"> Got {n_samples} samples reading {input_vcf}, will "
+                      "only take VCF records for the first", file=sys.stderr)
             seen = set()
             for hl in header_lines:
                 key = hl.split(",")[0] if hl.startswith("##FORMAT") else hl
@@ -232,14 +273,44 @@ def write_phased_vcf(input_vcf: str, region: Optional[str], output_vcf: str,
             phase_set = pos
 
         write_ps = gt1 != gt2
-        # only trust phasing matching the original call (vcf.c:989-1008)
-        if not ((gt1 == orig_gt1 and gt2 == orig_gt2)
-                or (gt1 == orig_gt2 and gt2 == orig_gt1)):
-            write_ps = False
-        if write_ps:
-            parts = _set_gt(parts, f"{gt1}|{gt2}", phase_set)
+        if update_all:
+            # vcf.c:957-985: clobber GT and all margin-derived fields
+            if gt1 < 0:
+                gt_str = "./."
+            elif write_ps:
+                gt_str = f"{gt1}|{gt2}"
+            else:
+                gt_str = f"{gt1}/{gt2}"
+            depth = 0
+            hap1_depth = hap2_depth = -1
+            for i, read_ids in enumerate(cur_entry.allele_idx_to_read_ids):
+                hp_depth = len(read_ids)
+                depth += hp_depth
+                if i == gt1:
+                    hap1_depth = hp_depth
+                if i == gt2:
+                    hap2_depth = hp_depth
+            extra = {
+                "GQ": str(_to_phred(cur_entry.genotype_prob)),
+                "HQ": f"{_to_phred(cur_entry.haplotype1_prob)},"
+                      f"{_to_phred(cur_entry.haplotype2_prob)}",
+                "DP": str(depth),
+                "HD": f"{hap1_depth},{hap2_depth}",
+            }
+            if gt1 != gt2:
+                extra["HCPV"] = f"{hcpv1},{hcpv2}"
+                extra["HDPV"] = f"{hdpv1},{hdpv2}"
+            parts = _set_gt(parts, gt_str, phase_set if write_ps else None,
+                            extra)
         else:
-            parts = _set_gt(parts, _unphased_gt(orig_gt1, orig_gt2), None)
+            # only trust phasing matching the original call (vcf.c:989-1008)
+            if not ((gt1 == orig_gt1 and gt2 == orig_gt2)
+                    or (gt1 == orig_gt2 and gt2 == orig_gt1)):
+                write_ps = False
+            if write_ps:
+                parts = _set_gt(parts, f"{gt1}|{gt2}", phase_set)
+            else:
+                parts = _set_gt(parts, _unphased_gt(orig_gt1, orig_gt2), None)
         out.write("\t".join(parts) + "\n")
 
     record_phase_set("ContigEnd\t")

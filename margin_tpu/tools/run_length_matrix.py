@@ -34,10 +34,22 @@ def main(argv=None):
     p.add_argument("-o", "--outputBase", default="output")
     p.add_argument("-r", "--region", default=None)
     p.add_argument("-l", "--maxRunLength", type=int, default=50)
+    p.add_argument("-p", "--depth", type=int, default=-1,
+                   help="override the downsampling depth set in PARAMS "
+                        "(runLengthMatrix.c:45)")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="compatibility flag (runLengthMatrix.c:40): "
+                        "accepted but unused")
+    p.add_argument("-a", "--logLevel", default="INFO",
+                   help="compatibility flag (runLengthMatrix.c:37)")
     args = p.parse_args(argv)
 
     params = Params.load(args.params)
     pp = params.polish
+    if args.depth >= 0:
+        pp.maxDepth = args.depth
+    import random
+    rng = random.Random(0)
     if not pp.useRunLengthEncoding:
         p.error("runLengthMatrix requires RLE params")
     max_rl = args.maxRunLength + 1  # exclusive bound like the reference
@@ -54,6 +66,18 @@ def main(argv=None):
         rle_ref = RleString.encode(raw_ref)
         reads, alignments, _f, _fa = convert_to_reads_and_alignments(
             chunk, rle_ref, reader, pp, keep_filtered=False)
+        # downsampleViaReadLikelihood (runLengthMatrix.c:352-359): keep each
+        # read with p = maxDepth / avgDepth
+        if pp.maxDepth > 0 and reads:
+            total_nt = sum(r.rle_read.length for r in reads)
+            span = chunk.chunk_overlap_end - chunk.chunk_overlap_start
+            avg = total_nt / span
+            if avg >= pp.maxDepth:
+                ratio = pp.maxDepth / avg
+                kept = [(r, a) for r, a in zip(reads, alignments)
+                        if rng.random() < ratio]
+                reads = [r for r, _ in kept]
+                alignments = [a for _, a in kept]
         poa = poa_realign_only_anchor_alignments(reads, alignments, rle_ref, pp)
         for pos in range(1, len(poa.nodes)):
             node = poa.nodes[pos]
