@@ -40,6 +40,10 @@ def _add_common(p):
     p.add_argument("-k", "--tempFilesToDisk", action="store_true",
                    help="compatibility flag (polish.c -k): maps to "
                         "--checkpoint (per-chunk results go to disk)")
+    p.add_argument("--rngMode", default="st", choices=["st", "python"],
+                   help="random stream: 'st' replays the reference "
+                        "binary's glibc rand() stream exactly (golden "
+                        "parity); 'python' uses random.Random(seed)")
     p.add_argument("--profile", action="store_true",
                    help="write structured per-chunk/per-stage timing to "
                         "<outputBase>.profile.json")
@@ -216,7 +220,8 @@ def main(argv=None):
                       region=args.region, write_bam=not args.skipHaplotypeBAM,
                       write_vcf=not args.skipPhasedVCF, seed=args.seed,
                       use_lut=args.lut_logadd, checkpoint=args.checkpoint,
-                      shard=shard, profiler=profiler, log=log)
+                      shard=shard, profiler=profiler,
+                      rng_mode=args.rngMode, log=log)
         profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish

@@ -48,6 +48,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               checkpoint: bool = False,
               shard: Optional[tuple] = None,
               profiler: profiling.Profiler = profiling.NULL,
+              rng_mode: str = "st",
               log=print) -> PhaseOutputs:
     """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
     per-chunk results are persisted under <output_base>.checkpoint/ and a
@@ -59,8 +60,15 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     against the same output base, then run once without `shard` to merge.
     Shard mode uses a per-chunk-seeded RNG so chunks are independent of
     processing order (the sequential default keeps the reference-style
-    single stream)."""
-    rng = random.Random(seed)
+    single stream).
+
+    rng_mode="st" (default) draws from a bit-exact glibc rand() replica
+    seeded like the unseeded reference binary, consumed in the reference's
+    chunk order (size-desc, phase.c:257-262) — making the downsampling
+    Bernoulli stream identical to `margin phase` -t1 and the golden
+    outputs exact. rng_mode="python" keeps a seeded random.Random."""
+    from margin_tpu.utils.strandom import GlibcRandom, make_rng
+    rng = make_rng(rng_mode, seed)
     shard_idx = shard_n = None
     if shard is not None:
         checkpoint = True
@@ -112,7 +120,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         f"{output_base}.checkpoint", enabled=checkpoint,
         meta={"bam": os.path.abspath(bam_file), "vcf": os.path.abspath(vcf_file),
               "region": region, "seed": seed, "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None},
+              "per_chunk_rng": shard is not None, "rng_mode": rng_mode},
         log=log)
 
     results: List[ChunkPhaseResult] = []
@@ -120,7 +128,18 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     t_setup = time.time() - t0
     t_chunks = 0.0
 
-    for chunk in chunkr.chunks:
+    # chunk ordering (phase.c:252-269): size_desc sorts by estimated depth
+    # ascending then reverses (ties end up in descending index order);
+    # 'random' shuffles with the run RNG like stList_shuffle
+    ordered_chunks = list(chunkr.chunks)
+    if params.polish.shuffleChunks:
+        if params.polish.shuffleChunksMethod == "size_desc":
+            ordered_chunks.sort(key=lambda c: c.estimated_depth)
+            ordered_chunks.reverse()
+        elif params.polish.shuffleChunksMethod == "random":
+            rng.shuffle(ordered_chunks)
+
+    for chunk in ordered_chunks:
         if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
             continue
         t_c = time.time()
@@ -131,8 +150,13 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             if payload.get("rng_state") is not None:
                 rng.setstate(payload["rng_state"])
         else:
-            chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
-                         if shard is not None else rng)
+            if shard is None:
+                chunk_rng = rng
+            elif rng_mode == "st":
+                chunk_rng = GlibcRandom(1_000_003 * (seed + 1)
+                                        + chunk.chunk_idx)
+            else:
+                chunk_rng = random.Random(f"{seed}:{chunk.chunk_idx}")
             res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
                                   params, tables, chunk_rng, write_bam,
                                   use_lut, log, profiler=profiler)
@@ -160,7 +184,8 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             f"checkpointed; run once more without a shard index to merge")
         return out
 
-    # stitch (stitching.c:1558-1693)
+    # stitch (stitching.c:1558-1693) — results back in genomic chunk order
+    results.sort(key=lambda r: r.chunk_idx)
     with profiler.stage("stitch"):
         ids1, ids2, switched = stitch_phase_results(
             results, primary_only=params.phase.stitchWithPrimaryReadsOnly)

@@ -72,8 +72,17 @@ def test_phase_vcf_golden(tmp_path):
             gt = parts[9].split(":")[0]
             if gt in ("1|0", "0|1"):
                 phased += 1
-    # reference documents 105; tolerate +-3 (RNG in knapsack Bernoulli)
-    assert 102 <= phased <= 108, phased
+    # Deterministic under the default rngMode=st (bit-exact glibc rand()
+    # replica). The README documents "expect 105" (README.md:188-196), but
+    # replaying the reference's exact stream — validated by compiling the
+    # VENDORED lp_solve with computeReadProbsByLengthAndSecondMetric
+    # (htsIntegration.c:957-1011) on this chunk's 314 (spanned, length)
+    # pairs and drawing glibc rand() from the unseeded default — keeps the
+    # single fractional-probability read (p=0.72093, draw=0.34712,
+    # stream position 252), which yields 106. lp_solve consumes no rand()
+    # draws for this LP, so the stream offset is exact; the README count
+    # is not reproducible from the documented configuration.
+    assert phased == 106, phased
     # phaseset bed exists and has at least one set
     with open(out + ".phaseset.bed") as fh:
         lines = fh.readlines()
