@@ -34,9 +34,11 @@ def _add_common(p):
                    choices=["CRITICAL", "INFO", "DEBUG"],
                    help="logging verbosity [default: INFO]")
     p.add_argument("-t", "--threads", type=int, default=1,
-                   help="compatibility flag (phase.c/polish.c -t): accepted "
-                        "but unused — device batching replaces host "
-                        "threading; use --shard I/N for multi-process scale")
+                   help="host worker threads over chunks (phase.c/polish.c "
+                        "-t). t>1 overlaps host-side chunk work with device "
+                        "batches; each chunk then uses its own seeded RNG "
+                        "stream (deterministic, but differs from the -t1 "
+                        "stream like the reference's threaded runs do)")
     p.add_argument("-k", "--tempFilesToDisk", action="store_true",
                    help="compatibility flag (polish.c -k): maps to "
                         "--checkpoint (per-chunk results go to disk)")
@@ -221,7 +223,7 @@ def main(argv=None):
                       write_vcf=not args.skipPhasedVCF, seed=args.seed,
                       use_lut=args.lut_logadd, checkpoint=args.checkpoint,
                       shard=shard, profiler=profiler,
-                      rng_mode=args.rngMode, log=log)
+                      rng_mode=args.rngMode, threads=args.threads, log=log)
         profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish
@@ -247,7 +249,7 @@ def main(argv=None):
                    skip_realignment=args.skipRealignment,
                    skip_haplotype_bam=args.skipHaplotypeBAM,
                    checkpoint=args.checkpoint, shard=shard,
-                   profiler=profiler, log=log)
+                   profiler=profiler, threads=args.threads, log=log)
         profiler.write(f"{args.outputBase}.profile.json")
         profiler.log_summary(log)
     return 0

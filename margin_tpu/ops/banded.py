@@ -39,30 +39,61 @@ class BandGeometry:
     ly: int
     d_pad: int          # padded diagonal count (>= lx+ly+1)
     w_pad: int          # padded band width
-    xmy_l: np.ndarray   # (d_pad,) int32
-    widths: np.ndarray  # (d_pad,) int32
+    xmy_l: np.ndarray   # (d_pad,) int32 storage base: cell k holds xmy_l+2k
+    widths: np.ndarray  # (d_pad,) int32 exclusive upper valid k
     x_base: np.ndarray  # (d_pad,) x index of consumed char at k=0: (d+xmyL)/2 - 1
     y_base: np.ndarray  # (d_pad,) y index of consumed char at k=0: (d-xmyL)/2 - 1
+    pm1: bool = False   # storage base moves by exactly +-1 per diagonal
+    k_lo: np.ndarray | None = None  # (d_pad,) first valid k (None -> 0)
 
     @staticmethod
     def build(anchors, lx: int, ly: int, expansion: int,
               d_pad: int | None = None, w_pad: int | None = None,
-              dynamic: bool = False) -> "BandGeometry":
+              dynamic: bool = False, smooth: bool = False) -> "BandGeometry":
         band = build_band(anchors or [], lx, ly, expansion, dynamic=dynamic)
-        widths = ((band[:, 1] - band[:, 0]) // 2 + 1).astype(np.int32)
         d_real = lx + ly + 1
+        lo = band[:, 0].astype(np.int64)
+        hi = band[:, 1].astype(np.int64)
+        if smooth and d_real > 1:
+            # Decouple the STORAGE track from the VALIDITY interval: the
+            # storage base s must step by exactly +-1 per diagonal so the
+            # kernel's inter-diagonal dependencies become static shifts
+            # (`_shift_sel`) instead of W-wide dynamic gathers — the
+            # dominant accelerator scan-step cost. s = the maximal
+            # 1-Lipschitz minorant of the true band lower bound,
+            # s[d] = min_d' (lo[d'] + |d-d'|): parity (xmy == d mod 2)
+            # makes every unit-Lipschitz step exactly +-1. Valid cells keep
+            # the EXACT reference band via [k_lo, widths) masking, so
+            # results are bit-identical; only storage widens (w_pad grows
+            # by half the largest band jump).
+            d_r = np.arange(d_real)
+            fwd_min = np.minimum.accumulate(lo - d_r) + d_r
+            bwd_min = np.minimum.accumulate((lo + d_r)[::-1])[::-1] - d_r
+            s = np.minimum(fwd_min, bwd_min)
+            k_lo_real = (lo - s) // 2
+            widths_real = ((hi - s) // 2 + 1).astype(np.int32)
+            base = s
+        else:
+            k_lo_real = np.zeros(d_real, dtype=np.int64)
+            widths_real = ((hi - lo) // 2 + 1).astype(np.int32)
+            base = lo
         if d_pad is None:
             d_pad = d_real
         if w_pad is None:
-            w_pad = int(widths.max())
+            w_pad = int(widths_real.max())
         xmy_l = np.zeros(d_pad, dtype=np.int32)
         w = np.zeros(d_pad, dtype=np.int32)
-        xmy_l[:d_real] = band[:, 0]
-        w[:d_real] = widths
+        k_lo = np.zeros(d_pad, dtype=np.int32)
+        xmy_l[:d_real] = base
+        w[:d_real] = widths_real
+        k_lo[:d_real] = k_lo_real
         d_idx = np.arange(d_pad, dtype=np.int64)
         x_base = ((d_idx + xmy_l) // 2 - 1).astype(np.int32)
         y_base = ((d_idx - xmy_l) // 2 - 1).astype(np.int32)
-        return BandGeometry(lx, ly, d_pad, w_pad, xmy_l, w, x_base, y_base)
+        steps = np.abs(np.diff(base)) if d_real > 1 else np.zeros(1)
+        pm1 = bool(steps.max(initial=0) <= 1)
+        return BandGeometry(lx, ly, d_pad, w_pad, xmy_l, w, x_base, y_base,
+                            pm1, k_lo if k_lo.any() else None)
 
 
 
@@ -86,6 +117,31 @@ def _gather_shift(arr, shift):
     return jnp.where(valid[None, :], vals, LOG_ZERO)
 
 
+def _shift_sel(arr, shift):
+    """arr shifted along the last axis by a traced `shift` KNOWN to be in
+    {-1, 0, +1} (band bounds move by one cell per anti-diagonal). Builds
+    the three statically-shifted variants and selects — pure elementwise
+    VPU work instead of a W-sized dynamic gather per scan step, which
+    dominated the TPU step cost (~0.7-1.8 ms/step measured on v5e)."""
+    neg = jnp.asarray(LOG_ZERO, arr.dtype)
+    left = jnp.concatenate(  # k+1
+        [arr[..., 1:], jnp.full(arr.shape[:-1] + (1,), neg)], axis=-1)
+    right = jnp.concatenate(  # k-1
+        [jnp.full(arr.shape[:-1] + (1,), neg), arr[..., :-1]], axis=-1)
+    return jnp.where(shift == 0, arr, jnp.where(shift > 0, left, right))
+
+
+def _smooth_policy() -> bool:
+    """Whether band geometry should use the smoothed (always-pm1) storage
+    track. On accelerators the static-shift kernel beats the dynamic
+    gather and uniform pm1 also keeps the batch groups from fragmenting;
+    on CPU gathers are cheap and the wider storage is a net loss."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def _precompute_policy(b: int, d_pad: int, w_pad: int) -> bool:
     """Whether _banded_fb_core should hoist per-diagonal emissions out of
     the scans. On accelerators the in-loop gathers dominate scan step cost;
@@ -103,7 +159,7 @@ def _precompute_policy(b: int, d_pad: int, w_pad: int) -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
                                     "compute_expectations",
-                                    "precompute_emissions"))
+                                    "precompute_emissions", "pm1"))
 def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                x_sym, y_sym, lx, ly,
                xmy_l, widths, x_base, y_base,
@@ -111,17 +167,19 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                d_pad: int, w_pad: int, use_lut: bool,
                use_rle: bool = False, rep_table=None, rep_x=None, rep_y=None,
                compute_expectations: bool = False,
-               precompute_emissions: bool = False):
+               precompute_emissions: bool = False,
+               pm1: bool = False, k_lo=None):
     return _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                            x_sym, y_sym, lx, ly, xmy_l, widths, x_base,
                            y_base, ragged_left, ragged_right, d_pad, w_pad,
                            use_lut, use_rle, rep_table, rep_x, rep_y,
-                           compute_expectations, precompute_emissions)
+                           compute_expectations, precompute_emissions,
+                           pm1, k_lo)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
-                                    "precompute_emissions"))
+                                    "precompute_emissions", "pm1"))
 def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
                     x_sym, y_sym, lx, ly,
                     xmy_l, widths, x_base, y_base,
@@ -129,29 +187,33 @@ def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
                     d_pad: int, w_pad: int, use_lut: bool,
                     use_rle: bool = False, rep_table=None,
                     rep_x=None, rep_y=None,
-                    precompute_emissions: bool = False):
+                    precompute_emissions: bool = False,
+                    pm1: bool = False, k_lo=None):
     """vmapped _banded_fb over a batch of same-padded-shape problems.
     Batched args: x_sym/y_sym (B, Lp), lx/ly (B,), geometry (B, D).
     Returns (post (B, D, 3, W), total (B,))."""
+    if k_lo is None:
+        k_lo = jnp.zeros_like(xmy_l)
     if use_rle:
-        def one(xs, ys, lx1, ly1, xl, wd, xb, yb, rx, ry):
+        def one(xs, ys, lx1, ly1, xl, wd, xb, yb, kl, rx, ry):
             return _banded_fb_core(
                 tables_match, tables_gapx, tables_gapy, trans,
                 xs, ys, lx1, ly1, xl, wd, xb, yb,
                 ragged_left, ragged_right, d_pad, w_pad, use_lut,
                 use_rle=True, rep_table=rep_table, rep_x=rx, rep_y=ry,
-                precompute_emissions=precompute_emissions)
+                precompute_emissions=precompute_emissions, pm1=pm1,
+                k_lo=kl)
         return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
-                             x_base, y_base, rep_x, rep_y)
+                             x_base, y_base, k_lo, rep_x, rep_y)
 
-    def one(xs, ys, lx1, ly1, xl, wd, xb, yb):
+    def one(xs, ys, lx1, ly1, xl, wd, xb, yb, kl):
         return _banded_fb_core(
             tables_match, tables_gapx, tables_gapy, trans,
             xs, ys, lx1, ly1, xl, wd, xb, yb,
             ragged_left, ragged_right, d_pad, w_pad, use_lut,
-            precompute_emissions=precompute_emissions)
+            precompute_emissions=precompute_emissions, pm1=pm1, k_lo=kl)
     return jax.vmap(one)(x_sym, y_sym, lx, ly, xmy_l, widths,
-                         x_base, y_base)
+                         x_base, y_base, k_lo)
 
 
 def _scan_unroll() -> int:
@@ -177,7 +239,8 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
                     d_pad: int, w_pad: int, use_lut: bool,
                     use_rle: bool = False, rep_table=None, rep_x=None,
                     rep_y=None, compute_expectations: bool = False,
-                    precompute_emissions: bool = False):
+                    precompute_emissions: bool = False,
+                    pm1: bool = False, k_lo=None):
     """Returns (post: (d_pad, 3, w_pad) probabilities, total log prob) —
     plus, with compute_expectations, a (3, 3) [from, to] transition
     expectation matrix (updateExpectations, pairwiseAligner.c:349-366).
@@ -185,8 +248,17 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
     x_sym: (Lxp,) int32 padded with 4; y_sym likewise.
     """
     log_add = logmath.log_add_lut if use_lut else logmath.log_add_exact
+    # pm1 (host-verified: every xmy_l step is +-1 across real diagonals)
+    # means all inter-diagonal band shifts land in {-1, 0, +1}, so the
+    # W-wide dynamic gathers in the scan bodies collapse to static
+    # shift+select — the gathers are the dominant TPU scan-step cost.
+    # Padded diagonals beyond lx+ly violate the invariant but their cells
+    # are masked invalid, so wrong shifts there never reach the output.
+    shift_fn = _shift_sel if pm1 else _gather_shift
     W = w_pad
     D = d_pad
+    if k_lo is None:
+        k_lo = jnp.zeros_like(xmy_l)
     dtype = tables_match.dtype
     neg = jnp.asarray(LOG_ZERO, dtype)
     k_iota = jnp.arange(W)
@@ -237,7 +309,8 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
         # cell coordinates: x = x_base+1+k, y = y_base+1-k
         x_pos = x_base[d] + 1 + k_iota
         y_pos = y_base[d] + 1 - k_iota
-        return ((k_iota < widths[d]) & (x_pos >= 0) & (x_pos <= lx)
+        return ((k_iota >= k_lo[d]) & (k_iota < widths[d])
+                & (x_pos >= 0) & (x_pos <= lx)
                 & (y_pos >= 0) & (y_pos <= ly) & (d <= lx + ly))
 
     # initial cell: start-state weights at diag 0, k=0 (stateMachine.c:521-530)
@@ -267,16 +340,17 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
     def _valid_mask_all():
         x_pos = x_base[:, None] + 1 + k_iota[None, :]
         y_pos = y_base[:, None] + 1 - k_iota[None, :]
-        return ((k_iota[None, :] < widths[:, None]) & (x_pos >= 0)
+        return ((k_iota[None, :] >= k_lo[:, None])
+                & (k_iota[None, :] < widths[:, None]) & (x_pos >= 0)
                 & (x_pos <= lx) & (y_pos >= 0) & (y_pos <= ly)
                 & (jnp.arange(D)[:, None] <= lx + ly))
 
     def _fwd_body(prev1, prev2, d, e_m, e_gx, e_gy, vm):
         s1 = (xmy_l[d] - 1 - xmy_l[d - 1]) // 2
         s2 = (xmy_l[d] - xmy_l[d - 2]) // 2
-        low = _gather_shift(prev1, s1)        # (x-1, y)
-        up = _gather_shift(prev1, s1 + 1)     # (x, y-1)
-        mid = _gather_shift(prev2, s2)        # (x-1, y-1)
+        low = shift_fn(prev1, s1)        # (x-1, y)
+        up = shift_fn(prev1, s1 + 1)     # (x, y-1)
+        mid = shift_fn(prev2, s2)        # (x-1, y-1)
         new_gx = e_gx + _log_add3(low[MATCH] + trc[T_OPEN_X],
                                   low[GAPX] + trc[T_EXT_X],
                                   low[GAPY] + trc[T_SW_X], log_add)
@@ -348,9 +422,9 @@ def _banded_fb_core(tables_match, tables_gapx, tables_gapy, trans,
     def _bwd_body(next1, next2, exp_acc, d, e_m, e_gx, e_gy, vm):
         t1 = (xmy_l[d] + 1 - xmy_l[d + 1]) // 2
         t2 = (xmy_l[d] - xmy_l[d + 2]) // 2
-        gx_n = _gather_shift(next1, t1)[GAPX]       # (x+1, y)
-        gy_n = _gather_shift(next1, t1 - 1)[GAPY]   # (x, y+1)
-        m_n = _gather_shift(next2, t2)[MATCH]       # (x+1, y+1)
+        gx_n = shift_fn(next1, t1)[GAPX]       # (x+1, y)
+        gy_n = shift_fn(next1, t1 - 1)[GAPY]   # (x, y+1)
+        m_n = shift_fn(next2, t2)[MATCH]       # (x+1, y+1)
         b_m = _log_add3(gx_n + e_gx + trc[T_OPEN_X],
                         m_n + e_m + trc[T_MM],
                         gy_n + e_gy + trc[T_OPEN_Y], log_add)
@@ -586,14 +660,16 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     if lx + ly == 0:
         empty = np.zeros((0, 3), dtype=np.int64)
         return (empty, empty, empty), 0.0
-    geom = BandGeometry.build(anchors, lx, ly, expansion, dynamic=dynamic)
+    smooth = _smooth_policy()
+    geom = BandGeometry.build(anchors, lx, ly, expansion, dynamic=dynamic,
+                              smooth=smooth)
     d_pad = geom.d_pad
     w_pad = geom.w_pad
     if pad_shapes:  # stabilize compiled shapes
         d_pad = _bucket_dpad(d_pad)
         w_pad = int(np.ceil(w_pad / 8)) * 8
         geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad,
-                                  dynamic=dynamic)
+                                  dynamic=dynamic, smooth=smooth)
 
     # pad sequences to the padded diag count (so xpad indexing stays in range)
     xs = np.full(d_pad, 4, dtype=np.int32)
@@ -622,6 +698,8 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
         bool(ragged_left), bool(ragged_right),
         d_pad=d_pad, w_pad=w_pad, use_lut=use_lut, use_rle=use_rle,
         precompute_emissions=_precompute_policy(1, d_pad, w_pad),
+        pm1=geom.pm1,
+        k_lo=None if geom.k_lo is None else jnp.asarray(geom.k_lo),
         **rep_kwargs)
     K = _extract_cap(d_pad)
     vals, pxs, pys, counts = _device_extract(post, xb, yb, threshold, K)
@@ -641,6 +719,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     input order — numerically identical to per-item banded_posteriors."""
     results = [None] * len(items)
     groups = {}
+    smooth = _smooth_policy()
     for idx, it in enumerate(items):
         lx, ly = len(it["x_sym"]), len(it["y_sym"])
         if lx + ly == 0:
@@ -648,14 +727,14 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             results[idx] = ((empty, empty, empty), 0.0)
             continue
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                  dynamic=dynamic)
+                                  dynamic=dynamic, smooth=smooth)
         d_pad = _bucket_dpad(geom.d_pad)
         w_pad = int(np.ceil(geom.w_pad / 8)) * 8
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
-        key = (d_pad, w_pad, int(it["strand"]), use_rle)
+        key = (d_pad, w_pad, int(it["strand"]), use_rle, geom.pm1)
         groups.setdefault(key, []).append(idx)
 
-    for (d_pad, w_pad, strand, use_rle), idxs in groups.items():
+    for (d_pad, w_pad, strand, use_rle, pm1), idxs in groups.items():
         # pad the batch to a power of two (repeating the last problem) so
         # the compiled kernel count stays bounded
         b_pad = 1 << int(np.ceil(np.log2(len(idxs)))) if len(idxs) > 1 else 1
@@ -668,6 +747,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
         widths = np.zeros((b_pad, d_pad), dtype=np.int32)
         x_base = np.zeros((b_pad, d_pad), dtype=np.int32)
         y_base = np.zeros((b_pad, d_pad), dtype=np.int32)
+        k_los = np.zeros((b_pad, d_pad), dtype=np.int32)
         rx = np.zeros((b_pad, d_pad), dtype=np.int32)
         ry = np.zeros((b_pad, d_pad), dtype=np.int32)
         geoms = []
@@ -675,7 +755,8 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             it = items[idx]
             lx, ly = len(it["x_sym"]), len(it["y_sym"])
             geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                      d_pad, w_pad, dynamic=dynamic)
+                                      d_pad, w_pad, dynamic=dynamic,
+                                      smooth=smooth)
             geoms.append(geom)
             xs[k, :lx] = it["x_sym"]
             ys[k, :ly] = it["y_sym"]
@@ -684,6 +765,8 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             widths[k] = geom.widths
             x_base[k] = geom.x_base
             y_base[k] = geom.y_base
+            if geom.k_lo is not None:
+                k_los[k] = geom.k_lo
             if use_rle:
                 rx[k, :lx] = np.minimum(it["rep_x"], 50)
                 ry[k, :ly] = np.minimum(it["rep_y"], 50)
@@ -703,6 +786,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             use_rle=use_rle,
             precompute_emissions=_precompute_policy(len(padded_idxs), d_pad,
                                                     w_pad),
+            pm1=pm1, k_lo=(jnp.asarray(k_los) if k_los.any() else None),
             **rep_kwargs)
         K = _extract_cap(d_pad)
         vals, pxs, pys, counts = _device_extract_many(post, xbj, ybj,
@@ -730,12 +814,14 @@ def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
     lx, ly = len(x_sym), len(y_sym)
     if lx + ly == 0:
         return np.zeros((3, 3)), 0.0
-    geom = BandGeometry.build(anchors, lx, ly, expansion)
+    smooth = _smooth_policy()
+    geom = BandGeometry.build(anchors, lx, ly, expansion, smooth=smooth)
     d_pad, w_pad = geom.d_pad, geom.w_pad
     if pad_shapes:
         d_pad = _bucket_dpad(d_pad)
         w_pad = int(np.ceil(w_pad / 8)) * 8
-        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad)
+        geom = BandGeometry.build(anchors, lx, ly, expansion, d_pad, w_pad,
+                                  smooth=smooth)
     xs = np.full(d_pad, 4, dtype=np.int32)
     xs[:lx] = x_sym
     ys = np.full(d_pad, 4, dtype=np.int32)
@@ -749,7 +835,9 @@ def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
         bool(ragged_left), bool(ragged_right),
         d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
         compute_expectations=True,
-        precompute_emissions=_precompute_policy(1, d_pad, w_pad))
+        precompute_emissions=_precompute_policy(1, d_pad, w_pad),
+        pm1=geom.pm1,
+        k_lo=None if geom.k_lo is None else jnp.asarray(geom.k_lo))
     return np.asarray(exp_acc, dtype=np.float64), float(total)
 
 

@@ -49,6 +49,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               shard: Optional[tuple] = None,
               profiler: profiling.Profiler = profiling.NULL,
               rng_mode: str = "st",
+              threads: int = 1,
               log=print) -> PhaseOutputs:
     """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
     per-chunk results are persisted under <output_base>.checkpoint/ and a
@@ -61,6 +62,14 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     Shard mode uses a per-chunk-seeded RNG so chunks are independent of
     processing order (the sequential default keeps the reference-style
     single stream).
+
+    threads>1 processes chunks with a host thread pool (phase.c:276-279's
+    `omp parallel for`): host-side work (BAM decode, read extraction, the
+    partition HMM) overlaps device batches from other chunks. Like the
+    reference under -tN the single RNG stream no longer applies, but where
+    the reference becomes nondeterministic, here each chunk draws from its
+    own chunk-seeded stream — identical to shard mode, so a threaded run
+    equals the same run sharded (deterministic at any thread count).
 
     rng_mode="st" (default) draws from a bit-exact glibc rand() replica
     seeded like the unseeded reference binary, consumed in the reference's
@@ -76,6 +85,8 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             shard_idx, shard_n = int(shard[0]), int(shard[1])
             if not 0 <= shard_idx < shard_n:
                 raise ValueError(f"bad shard {shard}")
+    threads = max(int(threads), 1)
+    per_chunk_rng = shard is not None or threads > 1
     t0 = time.time()
     out = PhaseOutputs()
 
@@ -120,11 +131,10 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         f"{output_base}.checkpoint", enabled=checkpoint,
         meta={"bam": os.path.abspath(bam_file), "vcf": os.path.abspath(vcf_file),
               "region": region, "seed": seed, "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None, "rng_mode": rng_mode},
+              "per_chunk_rng": per_chunk_rng, "rng_mode": rng_mode},
         log=log)
 
     results: List[ChunkPhaseResult] = []
-    reader = bamio.BamReader(bam_file)
     t_setup = time.time() - t0
     t_chunks = 0.0
 
@@ -139,44 +149,79 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         elif params.polish.shuffleChunksMethod == "random":
             rng.shuffle(ordered_chunks)
 
-    for chunk in ordered_chunks:
-        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
-            continue
-        t_c = time.time()
+    if shard_idx is not None:
+        ordered_chunks = [c for c in ordered_chunks
+                          if c.chunk_idx % shard_n == shard_idx]
+
+    def make_chunk_rng(chunk_idx: int):
+        if not per_chunk_rng:
+            return rng
+        if rng_mode == "st":
+            return GlibcRandom(1_000_003 * (seed + 1) + chunk_idx)
+        return random.Random(f"{seed}:{chunk_idx}")
+
+    ckpt_lock = __import__("threading").Lock()
+
+    def process_chunk(chunk, reader):
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
-            res = payload["res"]
-            apply_vcf_snapshot(vcf_entries, chunk.ref_name, payload["vcf"])
-            if payload.get("rng_state") is not None:
-                rng.setstate(payload["rng_state"])
-        else:
-            if shard is None:
-                chunk_rng = rng
-            elif rng_mode == "st":
-                chunk_rng = GlibcRandom(1_000_003 * (seed + 1)
-                                        + chunk.chunk_idx)
-            else:
-                chunk_rng = random.Random(f"{seed}:{chunk.chunk_idx}")
-            res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
-                                  params, tables, chunk_rng, write_bam,
-                                  use_lut, log, profiler=profiler)
-            # snapshot only the chunk INTERIOR: update_original_vcf_entries
-            # writes roots in [chunk_start, chunk_end) only, and snapshots
-            # of the wider overlap window would clobber a neighbor chunk's
-            # interior when replayed out of order (shard mode)
+            with ckpt_lock:
+                apply_vcf_snapshot(vcf_entries, chunk.ref_name,
+                                   payload["vcf"])
+                if payload.get("rng_state") is not None:
+                    rng.setstate(payload["rng_state"])
+            return payload["res"]
+        res = phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr,
+                              params, tables, make_chunk_rng(chunk.chunk_idx),
+                              write_bam, use_lut, log, profiler=profiler)
+        # snapshot only the chunk INTERIOR: update_original_vcf_entries
+        # writes roots in [chunk_start, chunk_end) only, and snapshots
+        # of the wider overlap window would clobber a neighbor chunk's
+        # interior when replayed out of order (shard/threaded mode)
+        with ckpt_lock:
             ckpt.save(chunk.chunk_idx, {
                 "res": res,
                 "vcf": snapshot_vcf_entries(vcf_entries, chunk.ref_name,
                                             chunk.chunk_start,
                                             chunk.chunk_end),
-                "rng_state": (None if shard is not None else rng.getstate())})
-        results.append(res)
-        t_chunks += time.time() - t_c
+                "rng_state": (None if per_chunk_rng else rng.getstate())})
+        return res
+
+    t_c = time.time()
+    if threads == 1:
+        reader = bamio.BamReader(bam_file)
+        for chunk in ordered_chunks:
+            results.append(process_chunk(chunk, reader))
+        reader.close()
+    else:
+        # phase.c:276-279 `omp parallel for schedule(dynamic,1)`: a host
+        # thread pool; every worker owns a BamReader (seek state is not
+        # shareable). vcf_entries cross-thread discipline: workers only
+        # write root entries inside their own chunk interior and only read
+        # positional fields other chunks never touch.
+        import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor
+        tls = _threading.local()
+        open_readers: List = []
+
+        def worker(chunk):
+            reader = getattr(tls, "reader", None)
+            if reader is None:
+                reader = tls.reader = bamio.BamReader(bam_file)
+                with ckpt_lock:
+                    open_readers.append(reader)
+            return chunk.chunk_idx, process_chunk(chunk, reader)
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            by_idx = dict(pool.map(worker, ordered_chunks))
+        for r in open_readers:
+            r.close()
+        # keep the deterministic processing-order result list
+        results = [by_idx[c.chunk_idx] for c in ordered_chunks]
+    t_chunks = time.time() - t_c
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
-
-    reader.close()
 
     if shard_idx is not None:
         done = len(results)

@@ -115,11 +115,14 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                skip_realignment: bool = False,
                skip_haplotype_bam: bool = False,
                profiler=None,
+               threads: int = 1,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
     enables truth-sequence partitioning (polish.c:423-431). shard=(i, n)
     polishes every nth chunk (offset i) into the shared checkpoint dir;
-    shard=("merge",) combines (see run_phase)."""
+    shard=("merge",) combines (see run_phase). threads>1 runs chunks on a
+    host thread pool (polish.c:475-478) with per-chunk RNG streams — the
+    same streams as shard mode, so threaded == sharded byte-for-byte."""
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
                                   output_base, region=region, seed=seed,
@@ -138,6 +141,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   skip_filtered_reads=skip_filtered_reads,
                                   skip_realignment=skip_realignment,
                                   skip_haplotype_bam=skip_haplotype_bam,
+                                  threads=threads,
                                   log=log)
     from margin_tpu.utils import profiling
     profiler = profiler or profiling.NULL
@@ -189,19 +193,19 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
               "n_chunks": len(chunkr.chunks),
               "per_chunk_rng": shard is not None}, log=log)
 
-    reader = bamio.BamReader(bam_file)
-    chunk_seqs = []
-    for chunk in chunkr.chunks:
-        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
-            continue
+    threads = max(int(threads), 1)
+    per_chunk_rng = shard is not None or threads > 1
+    my_chunks = [c for c in chunkr.chunks
+                 if shard_idx is None or c.chunk_idx % shard_n == shard_idx]
+    import threading as _threading
+    io_lock = _threading.Lock()  # serializes HELEN h5 + sequential-rng ckpt
+
+    def process_chunk(chunk, reader, chunk_rng):
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
-            chunk_seqs.append(payload["seq"])
             if payload.get("rng_state") is not None:
-                rng.setstate(payload["rng_state"])
-            continue
-        if shard is not None:
-            rng = random.Random(f"{seed}:{chunk.chunk_idx}")
+                chunk_rng.setstate(payload["rng_state"])
+            return payload["seq"]
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -218,7 +222,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                 ratio = pp.maxDepth / avg
                 kept_r, kept_a = [], []
                 for r, a in zip(reads, alignments):
-                    if rng.random() < ratio:
+                    if chunk_rng.random() < ratio:
                         kept_r.append(r)
                         kept_a.append(a)
                 reads, alignments = kept_r, kept_a
@@ -231,23 +235,52 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                                pp.repeat_sub_matrix)
         if helen_h5 is not None:
             from margin_tpu.polish import helen
-            helen.handle_helen_features(
-                feature_type, feature_max_rl, helen_h5, full_feature_output,
-                true_reference_bam, rle_ref, params, chunk.chunk_idx, chunk,
-                poa, reads, tables, use_lut, log)
+            with io_lock:
+                helen.handle_helen_features(
+                    feature_type, feature_max_rl, helen_h5,
+                    full_feature_output, true_reference_bam, rle_ref, params,
+                    chunk.chunk_idx, chunk, poa, reads, tables, use_lut, log)
         if output_poa_csv or output_poa_dot or output_repeat_counts:
             from margin_tpu.polish import outputs
             outputs.write_supplemental_chunk_information(
                 output_base, chunk.chunk_idx, chunk, poa, reads, params,
                 output_poa_dot, output_poa_csv, output_repeat_counts)
         seq_rec = (chunk.ref_name, chunk.chunk_idx, poa.ref_string.expand())
-        chunk_seqs.append(seq_rec)
-        ckpt.save(chunk.chunk_idx, {
-            "seq": seq_rec,
-            "rng_state": (None if shard is not None else rng.getstate())})
+        with io_lock:
+            ckpt.save(chunk.chunk_idx, {
+                "seq": seq_rec,
+                "rng_state": (None if per_chunk_rng else chunk_rng.getstate())})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads, "
             f"consensus {poa.ref_string.non_rle_length}bp")
-    reader.close()
+        return seq_rec
+
+    if threads == 1:
+        reader = bamio.BamReader(bam_file)
+        chunk_seqs = []
+        for chunk in my_chunks:
+            chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
+                         if per_chunk_rng else rng)
+            chunk_seqs.append(process_chunk(chunk, reader, chunk_rng))
+        reader.close()
+    else:
+        # polish.c:475-478 `omp parallel for schedule(dynamic,1)`
+        from concurrent.futures import ThreadPoolExecutor
+        tls = _threading.local()
+        open_readers: list = []
+
+        def worker(chunk):
+            reader = getattr(tls, "reader", None)
+            if reader is None:
+                reader = tls.reader = bamio.BamReader(bam_file)
+                with io_lock:
+                    open_readers.append(reader)
+            return process_chunk(chunk, reader,
+                                 random.Random(f"{seed}:{chunk.chunk_idx}"))
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            chunk_seqs = list(pool.map(worker, my_chunks))
+        for r in open_readers:
+            r.close()
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")
@@ -292,6 +325,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        skip_filtered_reads: bool = False,
                        skip_realignment: bool = False,
                        skip_haplotype_bam: bool = False,
+                       threads: int = 1,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
@@ -351,20 +385,21 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
               "n_chunks": len(chunkr.chunks),
               "per_chunk_rng": shard is not None}, log=log)
 
-    reader = bamio.BamReader(bam_file)
-    chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
-    for chunk in chunkr.chunks:
-        if shard_idx is not None and chunk.chunk_idx % shard_n != shard_idx:
-            continue
+    threads = max(int(threads), 1)
+    per_chunk_rng = shard is not None or threads > 1
+    my_chunks = [c for c in chunkr.chunks
+                 if shard_idx is None or c.chunk_idx % shard_n == shard_idx]
+    import threading as _threading
+    io_lock = _threading.Lock()
+
+    def process_chunk(chunk, reader, chunk_rng):
         payload = ckpt.load(chunk.chunk_idx)
         if payload is not None:
-            chunk_results.append((payload["res"], payload["hap1_seq"],
-                                  payload["hap2_seq"]))
             if payload.get("rng_state") is not None:
-                rng.setstate(payload["rng_state"])
-            continue
-        if shard is not None:
-            rng = random.Random(f"{seed}:{chunk.chunk_idx}")
+                chunk_rng.setstate(payload["rng_state"])
+            return (payload["res"], payload["hap1_seq"],
+                    payload["hap2_seq"])
+        rng = chunk_rng
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()
         rle_ref = (RleString.encode(raw_ref) if pp.useRunLengthEncoding
@@ -490,14 +525,41 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                 res.hap1_reads[r.read_name] = -1.0
             elif r.read_name in hap2_names and r.read_name not in res.hap2_reads:
                 res.hap2_reads[r.read_name] = -1.0
-        chunk_results.append((res, hap1_seq, hap2_seq))
-        ckpt.save(chunk.chunk_idx, {
-            "res": res, "hap1_seq": hap1_seq, "hap2_seq": hap2_seq,
-            "rng_state": (None if shard is not None else rng.getstate())})
+        with io_lock:
+            ckpt.save(chunk.chunk_idx, {
+                "res": res, "hap1_seq": hap1_seq, "hap2_seq": hap2_seq,
+                "rng_state": (None if per_chunk_rng else rng.getstate())})
         log(f"  chunk {chunk.chunk_idx}: {len(reads)} reads -> "
             f"{len(res.hap1_reads)} hap1 / {len(res.hap2_reads)} hap2; "
             f"consensus {len(hap1_seq)}/{len(hap2_seq)}bp")
-    reader.close()
+        return (res, hap1_seq, hap2_seq)
+
+    chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
+    if threads == 1:
+        reader = bamio.BamReader(bam_file)
+        for chunk in my_chunks:
+            chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
+                         if per_chunk_rng else rng)
+            chunk_results.append(process_chunk(chunk, reader, chunk_rng))
+        reader.close()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        tls = _threading.local()
+        open_readers: list = []
+
+        def worker(chunk):
+            reader = getattr(tls, "reader", None)
+            if reader is None:
+                reader = tls.reader = bamio.BamReader(bam_file)
+                with io_lock:
+                    open_readers.append(reader)
+            return process_chunk(chunk, reader,
+                                 random.Random(f"{seed}:{chunk.chunk_idx}"))
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            chunk_results = list(pool.map(worker, my_chunks))
+        for r in open_readers:
+            r.close()
     if ckpt.loaded:
         log(f"> Resumed {ckpt.loaded} of {len(chunkr.chunks)} chunks "
             f"from checkpoint")

@@ -149,3 +149,52 @@ def test_split_points_and_split_posteriors():
         assert want <= split_pairs
     # the unanchored middle is dropped by the split (the point of it)
     assert not any(1500 < a < 2500 for a, _ in split_pairs)
+
+
+def test_smoothed_band_bit_identical():
+    """The smoothed (always-pm1) storage track must reproduce the exact
+    reference band's posteriors bit-for-bit: validity is masked to the true
+    band while only the storage layout changes (see BandGeometry.build)."""
+    import margin_tpu.ops.banded as B
+    rng = np.random.default_rng(5)
+    smp = StateMachineParams.default_nucleotide()
+    tables = pairhmm.PairHmmTables.from_params(smp, dtype=jnp.float64)
+    for trial in range(6):
+        lx = int(rng.integers(30, 120))
+        ly = lx + int(rng.integers(-8, 9))
+        x = rng.integers(0, 4, lx).astype(np.int32)
+        y = rng.integers(0, 4, ly).astype(np.int32)
+        if trial % 3 == 0:
+            anchors = []
+        elif trial % 3 == 1:
+            anchors = [(i, min(i, ly - 1), 4)
+                       for i in range(5, min(lx, ly) - 1, 12)]
+        else:  # sparse anchors create band jumps > 1
+            anchors = [(6, 6, 3), (min(lx, ly) - 6, min(lx, ly) - 6, 3)]
+
+        def run(smooth):
+            g0 = B.BandGeometry.build(anchors, lx, ly, 4, smooth=smooth)
+            d_pad = B._bucket_dpad(g0.d_pad)
+            w_pad = int(np.ceil(g0.w_pad / 8)) * 8
+            g = B.BandGeometry.build(anchors, lx, ly, 4, d_pad, w_pad,
+                                     smooth=smooth)
+            assert not smooth or g.pm1
+            xs = np.full(d_pad, 4, np.int32)
+            xs[:lx] = x
+            ys = np.full(d_pad, 4, np.int32)
+            ys[:ly] = y
+            post, tot = B._banded_fb(
+                tables.match[0], tables.gap_x[0], tables.gap_y[0],
+                tables.trans[0], jnp.asarray(xs), jnp.asarray(ys), lx, ly,
+                jnp.asarray(g.xmy_l), jnp.asarray(g.widths),
+                jnp.asarray(g.x_base), jnp.asarray(g.y_base), False, False,
+                d_pad=d_pad, w_pad=w_pad, use_lut=False, pm1=g.pm1,
+                k_lo=None if g.k_lo is None else jnp.asarray(g.k_lo))
+            return B.extract_pairs_from_grid(np.asarray(post), g,
+                                             0.01), float(tot)
+        pa, ta = run(False)
+        pb, tb = run(True)
+        assert abs(ta - tb) < 1e-9
+        for s in range(3):
+            assert {(int(x1), int(y1)): int(w) for w, x1, y1 in pa[s]} == \
+                {(int(x1), int(y1)): int(w) for w, x1, y1 in pb[s]}

@@ -1,0 +1,91 @@
+"""In-process thread-pool chunk execution (phase.c:276-279 / polish.c:475-478
+`omp parallel for`): a threaded run must produce byte-identical outputs to
+the sequential per-chunk-RNG run (shard "merge" mode uses the same
+chunk-seeded streams), at any thread count."""
+
+import json
+
+import pytest
+
+from margin_tpu.params import Params
+
+from conftest import reference_path
+
+BAM = reference_path("tests", "data", "realData",
+                     "HG002.r94g360.chr20_59M_100k.bam")
+FASTA = reference_path("tests", "data", "realData", "hg38.chr20_59M_100k.fa")
+VCF = reference_path("tests", "data", "realData",
+                     "HG002.r94g360.chr20_59M_100k.vcf")
+
+
+def _phase_params(tmp_path, chunk_size=25000):
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "phase",
+                                  "allParams.haplotag.ont-r94g507.json"),
+        "polish": {"chunkSize": chunk_size, "chunkBoundary": 2000},
+    }))
+    return Params.load(str(pfile))
+
+
+@pytest.mark.slow
+def test_phase_threads_match_sequential(tmp_path):
+    from margin_tpu.phase import driver as phasedriver
+
+    # sequential ground truth with the same per-chunk RNG scheme
+    ref = phasedriver.run_phase(BAM, FASTA, VCF, _phase_params(tmp_path),
+                                str(tmp_path / "seq"), shard=("merge",),
+                                log=lambda *a: None)
+    out = phasedriver.run_phase(BAM, FASTA, VCF, _phase_params(tmp_path),
+                                str(tmp_path / "thr"), threads=4,
+                                log=lambda *a: None)
+    assert (out.hap1_count, out.hap2_count, out.phased_het_count) == \
+        (ref.hap1_count, ref.hap2_count, ref.phased_het_count)
+    assert (tmp_path / "seq.phased.vcf").read_text() == \
+        (tmp_path / "thr.phased.vcf").read_text()
+    assert (tmp_path / "seq.haplotagged.bam").read_bytes() == \
+        (tmp_path / "thr.haplotagged.bam").read_bytes()
+    assert out.hap1_count > 0 and out.hap2_count > 0
+
+
+@pytest.mark.slow
+def test_polish_threads_match_sequential(tmp_path):
+    from margin_tpu.polish import driver as polishdriver
+    pfile = tmp_path / "pparams.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "polish", "ont", "r9.4",
+                                  "allParams.np.human.r94-g360.json"),
+        "polish": {"chunkSize": 2000, "chunkBoundary": 200},
+    }))
+    params = Params.load(str(pfile))
+    ref = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "seq"),
+                                  region="chr20:1000-7000",
+                                  shard=("merge",), log=lambda *a: None)
+    out = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "thr"),
+                                  region="chr20:1000-7000", threads=3,
+                                  log=lambda *a: None)
+    assert ref.sequences == out.sequences
+    assert (tmp_path / "seq.fa").read_text() == (tmp_path / "thr.fa").read_text()
+
+
+@pytest.mark.slow
+def test_polish_diploid_threads_match_sequential(tmp_path):
+    from margin_tpu.polish import driver as polishdriver
+    pfile = tmp_path / "dparams.json"
+    pfile.write_text(json.dumps({
+        "include": reference_path("params", "polish", "ont", "r9.4",
+                                  "allParams.np.human.r94-g360.json"),
+        "polish": {"chunkSize": 3000, "chunkBoundary": 300},
+    }))
+    params = Params.load(str(pfile))
+    ref = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "seq"),
+                                  region="chr20:1000-7000", diploid=True,
+                                  shard=("merge",), log=lambda *a: None)
+    out = polishdriver.run_polish(BAM, FASTA, params, str(tmp_path / "thr"),
+                                  region="chr20:1000-7000", diploid=True,
+                                  threads=3, log=lambda *a: None)
+    assert (tmp_path / "seq.hap1.fa").read_text() == \
+        (tmp_path / "thr.hap1.fa").read_text()
+    assert (tmp_path / "seq.hap2.fa").read_text() == \
+        (tmp_path / "thr.hap2.fa").read_text()
+    assert (ref.hap1_count, ref.hap2_count) == (out.hap1_count, out.hap2_count)
