@@ -22,5 +22,28 @@ code (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_jax_compilation_cache():
+    """Persist compiled XLA executables across processes. Accelerator
+    compiles through the dev tunnel cost minutes; the on-disk cache makes
+    every run after the first start hot. Opt out with
+    MARGIN_TPU_JAX_CACHE=0; relocate with MARGIN_TPU_JAX_CACHE=<dir>."""
+    loc = _os.environ.get("MARGIN_TPU_JAX_CACHE", "")
+    if loc == "0":
+        return
+    try:
+        import jax
+        cache_dir = loc or _os.path.join(
+            _os.path.expanduser("~"), ".cache", "margin_tpu_jax")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_jax_compilation_cache()
+
 from margin_tpu.alphabet import Alphabet  # noqa: F401
 from margin_tpu.rle import RleString  # noqa: F401

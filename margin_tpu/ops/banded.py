@@ -709,6 +709,71 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     return pairs, float(total)
 
 
+def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
+                            threshold: float, use_lut: bool, dynamic: bool):
+    """Pallas-wavefront batched solve (ops.pallas_banded): items grouped by
+    padded (D, W) bucket only — strands mix within a launch via per-problem
+    transition vectors. Groups are chunked to bound per-launch memory."""
+    from margin_tpu.ops import pallas_banded
+
+    results = [None] * len(items)
+    groups = {}
+    fallback = []
+    for idx, it in enumerate(items):
+        lx, ly = len(it["x_sym"]), len(it["y_sym"])
+        if lx + ly == 0:
+            empty = np.zeros((0, 3), dtype=np.int64)
+            results[idx] = ((empty, empty, empty), 0.0)
+            continue
+        geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
+                                  dynamic=dynamic, smooth=True)
+        d_pad = _bucket_dpad(geom.d_pad)
+        # one wide storage bucket (W=64 covers every realistic band; 128
+        # for SV-ish outliers): per-diagonal kernel cost is a handful of
+        # VPU ops either way, while every distinct (D, W) combination
+        # costs a fresh multi-minute accelerator compile and fragments
+        # the batch into smaller lane groups
+        w_pad = 64 if geom.w_pad <= 64 else 128
+        # guard: smoothed storage blows up when anchors are wildly
+        # non-colinear — the ~12 (D, W, 128) f32 working buffers must fit
+        # comfortably in HBM, else use the scan path for this item
+        if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 8e9:
+            fallback.append(idx)
+            continue
+        use_rle = it.get("rep_x") is not None and tables.repeat is not None
+        groups.setdefault((d_pad, w_pad, use_rle), []).append(idx)
+
+    if fallback:
+        fb_res = _posteriors_many_scan(tables, [items[i] for i in fallback],
+                                       expansion, threshold, use_lut, dynamic)
+        for idx, r in zip(fallback, fb_res):
+            results[idx] = r
+
+    MAX_B = 256
+    for (d_pad, w_pad, use_rle), idxs in groups.items():
+        for lo in range(0, len(idxs), MAX_B):
+            chunk = idxs[lo:lo + MAX_B]
+            post, totals, geoms = pallas_banded.fb_posteriors_group(
+                tables, [items[i] for i in chunk], d_pad, w_pad, expansion,
+                use_lut, dynamic, use_rle)
+            d_use = post.shape[1]
+            xb = jnp.asarray(np.stack([g.x_base for g in geoms]))
+            yb = jnp.asarray(np.stack([g.y_base for g in geoms]))
+            K = _extract_cap(d_use)
+            vals, pxs, pys, counts = _device_extract_many(post, xb, yb,
+                                                          threshold, K)
+            vals = np.asarray(vals)
+            pxs = np.asarray(pxs)
+            pys = np.asarray(pys)
+            counts = np.asarray(counts)
+            for k, idx in enumerate(chunk):
+                results[idx] = (
+                    _pairs_from_compact(vals[k], pxs[k], pys[k], counts[k],
+                                        K, post[k], geoms[k], threshold),
+                    float(totals[k]))
+    return results
+
+
 def banded_posteriors_many(tables: PairHmmTables, items,
                            expansion: int, threshold: float = 0.01,
                            use_lut: bool = False, dynamic: bool = False):
@@ -716,7 +781,23 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     x_sym, y_sym, anchors, strand, and optional rep_x/rep_y. Problems are
     grouped by padded shape + strand and solved with one vmapped kernel
     launch per group. Returns a list of ((matches, gapx, gapy), total) in
-    input order — numerically identical to per-item banded_posteriors."""
+    input order — numerically identical to per-item banded_posteriors.
+
+    On accelerators the groups are solved by the Pallas wavefront kernel
+    (ops.pallas_banded) instead of the lax.scan path."""
+    from margin_tpu.ops import pallas_banded
+    if pallas_banded.use_pallas():
+        return _posteriors_many_pallas(tables, items, expansion, threshold,
+                                       use_lut, dynamic)
+    return _posteriors_many_scan(tables, items, expansion, threshold,
+                                 use_lut, dynamic)
+
+
+def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
+                          threshold: float = 0.01, use_lut: bool = False,
+                          dynamic: bool = False):
+    """lax.scan grouped-vmapped solve (the CPU path and accelerator
+    fallback for degenerate band geometries)."""
     results = [None] * len(items)
     groups = {}
     smooth = _smooth_policy()

@@ -1,0 +1,187 @@
+"""Process-global device execution context: single chip or a device mesh.
+
+SURVEY §2.3: the reference's only parallelism is OpenMP over genomic chunks
+(phase.c:276-279, polish.c:475-478). The TPU-native mapping keeps chunk
+orchestration on host threads and shards the *device work* — the dense
+pair-HMM scoring batches that every chunk's bubble construction, het-group
+scoring and filtered-read partitioning produce — across a
+("dp", "sp") `jax.sharding.Mesh`:
+
+  * every scoring batch's pair axis is split over all mesh devices with
+    `shard_map` (same kernel, one shard per chip);
+  * the gather of per-pair scores back to the host (the allele-support
+    assembly feeding the read-partition HMM) is the only collective, an
+    all-gather riding ICI;
+  * per-slot reductions (`score_slot_sums`) psum across the mesh so
+    multi-host deployments can assemble bubble allele supports without
+    a host gather.
+
+The context is process-global and explicitly enabled by the drivers
+(`enable_mesh()`): with one device, or before enabling, every call is the
+plain single-device jit path, byte-identical to the sharded one.
+"""
+
+from __future__ import annotations
+
+import threading
+import warnings
+from typing import Optional
+
+import numpy as np
+
+from margin_tpu.ops import pairhmm
+
+
+def _shard_map():
+    with warnings.catch_warnings():
+        # jax>=0.8 jax.shard_map requires pvary annotations on scan carries;
+        # the legacy entry point still applies the old typing rules
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+class DeviceContext:
+    """Scoring executor. mesh=None -> single-device."""
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
+        self._fns = {}
+        self._lock = threading.Lock()
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.mesh.devices.size) if self.mesh is not None else 1
+
+    def _forward_fn(self, use_lut: bool):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        key = ("fwd", use_lut)
+        with self._lock:
+            fn = self._fns.get(key)
+            if fn is None:
+                def step(tables, batch):
+                    return pairhmm.forward_total(tables, batch,
+                                                 use_lut=use_lut)
+                fn = jax.jit(_shard_map()(
+                    step, mesh=self.mesh,
+                    in_specs=(P(), P(("dp", "sp"))),
+                    out_specs=P(("dp", "sp")), check_rep=False))
+                self._fns[key] = fn
+        return fn
+
+    def _slot_fn(self, use_lut: bool, n_slots: int):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        key = ("slots", use_lut, n_slots)
+        with self._lock:
+            fn = self._fns.get(key)
+            if fn is None:
+                def step(tables, batch, slot_idx):
+                    scores = pairhmm.forward_total(tables, batch,
+                                                   use_lut=use_lut)
+                    local = jax.ops.segment_sum(scores, slot_idx,
+                                                num_segments=n_slots)
+                    return scores, jax.lax.psum(local, ("dp", "sp"))
+                fn = jax.jit(_shard_map()(
+                    step, mesh=self.mesh,
+                    in_specs=(P(), P(("dp", "sp")), P(("dp", "sp"))),
+                    out_specs=(P(("dp", "sp")), P()), check_rep=False))
+                self._fns[key] = fn
+        return fn
+
+    def score_batch(self, tables, batch: pairhmm.PairBatch,
+                    use_lut: bool = False) -> np.ndarray:
+        """Total forward log-probs for a batch; sharded over the mesh when
+        one is configured. Returns a host (B,) float array."""
+        if self.mesh is None:
+            return np.asarray(
+                pairhmm.forward_total(tables, batch, use_lut=use_lut))
+        batch = pad_batch(batch, self.n_shards)
+        return np.asarray(self._forward_fn(use_lut)(tables, batch))
+
+    def score_slot_sums(self, tables, batch: pairhmm.PairBatch, slot_idx,
+                        n_slots: int, use_lut: bool = False):
+        """(per-pair scores, psum'd per-slot score sums). Single-device
+        falls back to a host segment sum."""
+        if self.mesh is None:
+            scores = np.asarray(
+                pairhmm.forward_total(tables, batch, use_lut=use_lut))
+            sums = np.zeros(n_slots, dtype=scores.dtype)
+            np.add.at(sums, np.asarray(slot_idx), scores)
+            return scores, sums
+        b0 = batch.xs.shape[0]
+        batch = pad_batch(batch, self.n_shards)
+        pad_n = batch.xs.shape[0] - b0
+        if pad_n:
+            # padded lanes are length-0 problems scoring LOG_ONE == 0; park
+            # them in slot 0 — score 0 adds nothing to the sum
+            slot_idx = np.concatenate(
+                [np.asarray(slot_idx, np.int32),
+                 np.zeros(pad_n, np.int32)])
+        scores, sums = self._slot_fn(use_lut, n_slots)(
+            tables, batch, np.asarray(slot_idx, np.int32))
+        return np.asarray(scores), np.asarray(sums)
+
+
+def pad_batch(batch: pairhmm.PairBatch, multiple: int) -> pairhmm.PairBatch:
+    """Pad the pair axis to a multiple of the mesh size with empty
+    (length-0) problems."""
+    b = batch.xs.shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return batch
+    import jax.numpy as jnp
+
+    def pad(a, fill):
+        if a is None:
+            return None
+        pad_block = jnp.full((rem,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, pad_block])
+
+    return pairhmm.PairBatch(
+        pad(batch.xs, 4), pad(batch.ys, 4), pad(batch.lxs, 0),
+        pad(batch.lys, 0), pad(batch.strands, 0),
+        pad(batch.ragged_left, False), pad(batch.ragged_right, False),
+        pad(batch.rep_x, 0), pad(batch.rep_y, 0))
+
+
+_CTX = DeviceContext()
+
+
+def context() -> DeviceContext:
+    return _CTX
+
+
+def enable_mesh(n_devices: Optional[int] = None, log=None) -> bool:
+    """Install a mesh-sharded context over the visible devices. Returns
+    True if a multi-device mesh was installed."""
+    global _CTX
+    import jax
+
+    from margin_tpu.parallel import mesh as meshmod
+    n = n_devices or jax.device_count()
+    if n <= 1:
+        _CTX = DeviceContext()
+        return False
+    mesh = meshmod.make_mesh(n)
+    _CTX = DeviceContext(mesh)
+    if log is not None:
+        log(f"> Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+            f"over {mesh.devices.size} {jax.default_backend()} devices")
+    return True
+
+
+def disable_mesh() -> None:
+    global _CTX
+    _CTX = DeviceContext()
+
+
+def score_batch(tables, batch, use_lut: bool = False) -> np.ndarray:
+    return _CTX.score_batch(tables, batch, use_lut=use_lut)
+
+
+def score_slot_sums(tables, batch, slot_idx, n_slots: int,
+                    use_lut: bool = False):
+    return _CTX.score_slot_sums(tables, batch, slot_idx, n_slots,
+                                use_lut=use_lut)

@@ -234,8 +234,9 @@ def _score_pending(bubbles, pairs, strands, reps, slots, tables, use_rle,
         sel_reps = [reps[i] for i in idxs] if use_rle else None
         batch = pairhmm.make_batch(sel_pairs, strands=sel_strands,
                                    rep_pairs=sel_reps)
-        scores = np.asarray(pairhmm.forward_total(tables, batch,
-                                                  use_lut=use_lut),
+        from margin_tpu.parallel import executor
+        scores = np.asarray(executor.score_batch(tables, batch,
+                                                 use_lut=use_lut),
                             dtype=np.float32)
         for i, s in zip(idxs, scores):
             bidx, j, k = slots[i]

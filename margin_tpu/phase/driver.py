@@ -124,6 +124,18 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         repeat=(params.polish.repeat_sub_matrix
                 if params.polish.useRepeatCountsInAlignment else None))
 
+    # multi-chip: shard scoring batches over a ("dp","sp") mesh
+    # (SURVEY §2.3; an explicitly enabled mesh — e.g. the CPU-device
+    # dryrun/test harness — is left in place)
+    from margin_tpu.parallel import executor
+    if executor.context().mesh is None:
+        try:
+            import jax
+            if jax.default_backend() != "cpu" and jax.device_count() > 1:
+                executor.enable_mesh(log=log)
+        except Exception:
+            pass
+
     from margin_tpu.utils.checkpoint import (ChunkCheckpointer,
                                              apply_vcf_snapshot,
                                              snapshot_vcf_entries)

@@ -174,8 +174,9 @@ def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
                 [pairs[i] for i in idxs],
                 strands=np.array([strands[i] for i in idxs], np.int32),
                 rep_pairs=[reps[i] for i in idxs] if use_rle else None)
-            scores = np.asarray(pairhmm.forward_total(tables, batch,
-                                                      use_lut=use_lut),
+            from margin_tpu.parallel import executor
+            scores = np.asarray(executor.score_batch(tables, batch,
+                                                     use_lut=use_lut),
                                 dtype=np.float32)
             for i, s in zip(idxs, scores):
                 g, k, j = owners[i]

@@ -401,8 +401,9 @@ def _score_bubbles(bubbles: List[Bubble], tables, pp: PolishParams,
                 [pairs[i] for i in idxs],
                 strands=np.array([strands[i] for i in idxs], np.int32),
                 rep_pairs=[reps[i] for i in idxs] if use_rle else None)
-            scores = np.asarray(pairhmm.forward_total(tables, batch,
-                                                      use_lut=use_lut),
+            from margin_tpu.parallel import executor
+            scores = np.asarray(executor.score_batch(tables, batch,
+                                                     use_lut=use_lut),
                                 dtype=np.float32)
             for i, sc in zip(idxs, scores):
                 bi, j, k = slots[i]

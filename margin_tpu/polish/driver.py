@@ -180,6 +180,16 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         pp.sm_forward, pp.sm_reverse,
         repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
 
+    # multi-chip: shard scoring batches over a ("dp","sp") mesh (SURVEY §2.3)
+    from margin_tpu.parallel import executor
+    if executor.context().mesh is None:
+        try:
+            import jax
+            if jax.default_backend() != "cpu" and jax.device_count() > 1:
+                executor.enable_mesh(log=log)
+        except Exception:
+            pass
+
     from margin_tpu.utils.checkpoint import ChunkCheckpointer
     if checkpoint and helen_h5 is not None:
         # the HDF5 feature file is rewritten whole each run, so skipped
@@ -376,6 +386,16 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     tables = pairhmm.PairHmmTables.from_params(
         pp.sm_forward, pp.sm_reverse,
         repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
+
+    # multi-chip: shard scoring batches over a ("dp","sp") mesh (SURVEY §2.3)
+    from margin_tpu.parallel import executor
+    if executor.context().mesh is None:
+        try:
+            import jax
+            if jax.default_backend() != "cpu" and jax.device_count() > 1:
+                executor.enable_mesh(log=log)
+        except Exception:
+            pass
 
     from margin_tpu.utils.checkpoint import ChunkCheckpointer
     ckpt = ChunkCheckpointer(

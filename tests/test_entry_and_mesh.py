@@ -48,3 +48,24 @@ def test_sharded_scores_match_single_device():
     for i, s in enumerate(expected):
         host[i % 4] += s
     np.testing.assert_allclose(np.asarray(slot_sums), host, rtol=1e-6)
+
+
+def test_executor_mesh_scores_match():
+    """parallel.executor: the mesh-sharded scoring context must return the
+    single-device scores for arbitrary batch sizes (incl. pad lanes)."""
+    from margin_tpu.parallel import executor
+
+    tables, batch = graft._example_tables_and_batch(n_pairs=49, lx=9, ly=11)
+    single = executor.score_batch(tables, batch)
+    try:
+        assert executor.enable_mesh(8)
+        meshed = executor.score_batch(tables, batch)[:len(single)]
+        np.testing.assert_allclose(meshed, single, rtol=0, atol=1e-5)
+        scores, sums = executor.score_slot_sums(
+            tables, batch, np.arange(batch.xs.shape[0]) % 3, 3)
+        host = np.zeros(3)
+        for i, s in enumerate(single):
+            host[i % 3] += s
+        np.testing.assert_allclose(sums, host, rtol=1e-6)
+    finally:
+        executor.disable_mesh()
