@@ -424,7 +424,14 @@ class RPHmm:
     # -- forward-backward ----------------------------------------------------
 
     def forward_backward(self, include_ancestor: bool = True):
-        """stRPHmm_forwardBackward (hmm.c:931-942)."""
+        """stRPHmm_forwardBackward (hmm.c:931-942).
+
+        Large HMMs on accelerators route to the bit-identical int32 device
+        kernel in `phase.rphmm_device` (maxNotSum path only); this float64
+        numpy implementation is the oracle and the small-problem path."""
+        from margin_tpu.phase import rphmm_device
+        if rphmm_device.use_device_fb(self, include_ancestor):
+            return rphmm_device.forward_backward_device(self, include_ancestor)
         max_not_sum = self.params.maxNotSumTransitions
 
         def reduce_into(dst, dst_idx, vals):
