@@ -143,6 +143,33 @@ class MergeColumn:
         masked = parts_u64 & np.uint64(self.mask_to)
         return self._to_order[np.searchsorted(self._to_sorted, masked)]
 
+    def next_idx_or_m1(self, parts_u64: np.ndarray) -> np.ndarray:
+        """Vectorized next_cell_idx; -1 where the masked partition has no
+        merge cell (the post-prune linkage test of hmm.c:1021-1047)."""
+        if self._from_sorted is None:
+            vals = np.array(self.from_parts, dtype=np.uint64)
+            self._from_order = np.argsort(vals, kind="stable")
+            self._from_sorted = vals[self._from_order]
+        masked = parts_u64 & np.uint64(self.mask_from)
+        pos = np.searchsorted(self._from_sorted, masked)
+        pos_c = np.minimum(pos, len(self._from_sorted) - 1)
+        hit = (len(self._from_sorted) > 0) & \
+            (self._from_sorted[pos_c] == masked)
+        return np.where(hit, self._from_order[pos_c], -1)
+
+    def prev_idx_or_m1(self, parts_u64: np.ndarray) -> np.ndarray:
+        """Vectorized prev_cell_idx; -1 where missing."""
+        if self._to_sorted is None:
+            vals = np.array(self.to_parts, dtype=np.uint64)
+            self._to_order = np.argsort(vals, kind="stable")
+            self._to_sorted = vals[self._to_order]
+        masked = parts_u64 & np.uint64(self.mask_to)
+        pos = np.searchsorted(self._to_sorted, masked)
+        pos_c = np.minimum(pos, len(self._to_sorted) - 1)
+        hit = (len(self._to_sorted) > 0) & \
+            (self._to_sorted[pos_c] == masked)
+        return np.where(hit, self._to_order[pos_c], -1)
+
 
 class RPHmm:
     """stRPHmm: alternating columns and merge columns."""
@@ -327,22 +354,23 @@ class RPHmm:
             p1a = np.array(c1.partitions, dtype=np.uint64)
             p2a = np.array(c2.partitions, dtype=np.uint64)
             mm = ((p2a[None, :] << np.uint64(c1.depth))
-                  | p1a[:, None]).ravel().tolist()
+                  | p1a[:, None]).ravel()
             if inverted:
-                parts: List[int] = []
-                seen = set()
-                full = make_accept_mask(depth)
-                for p in mm:
-                    if p not in seen:
-                        parts.append(p)
-                        seen.add(p)
-                        if depth > 0:
-                            ip = full & ~p
-                            assert ip not in seen
-                            parts.append(ip)
-                            seen.add(ip)
+                # the reference loop interleaves each new cell with its
+                # inverse and skips already-seen cells; since seen-pairs
+                # always come as {p, ~p}, an order-preserving dedup of the
+                # interleaved stream reproduces it exactly
+                if depth > 0:
+                    full = np.uint64(make_accept_mask(depth))
+                    inter = np.empty(2 * mm.size, dtype=np.uint64)
+                    inter[0::2] = mm
+                    inter[1::2] = full & ~mm
+                else:
+                    inter = mm
+                _, first = np.unique(inter, return_index=True)
+                parts = inter[np.sort(first)].tolist()
             else:
-                parts = mm
+                parts = mm.tolist()
             columns.append(Column(c1.ref_start, c1.length, c1.seqs + c2.seqs, parts))
             if ci < len(h1.columns) - 1:
                 m1, m2 = h1.merges[ci], h2.merges[ci]
@@ -356,29 +384,29 @@ class RPHmm:
                 f2a = np.array(m2.from_parts, dtype=np.uint64)
                 t2a = np.array(m2.to_parts, dtype=np.uint64)
                 fps = ((f2a[None, :] << np.uint64(d1p))
-                       | f1a[:, None]).ravel().tolist()
+                       | f1a[:, None]).ravel()
                 tps = ((t2a[None, :] << np.uint64(d1n))
-                       | t1a[:, None]).ravel().tolist()
+                       | t1a[:, None]).ravel()
                 if inverted:
-                    full_f = make_accept_mask(d1p + d2p)
-                    full_t = make_accept_mask(d1n + d2n)
-                    has_bits = mask_from != 0
-                    f_list: List[int] = []
-                    t_list: List[int] = []
-                    seen_f = set()
-                    for fp, tp in zip(fps, tps):
-                        if fp not in seen_f:
-                            f_list.append(fp)
-                            t_list.append(tp)
-                            seen_f.add(fp)
-                            if has_bits:
-                                ifp = mask_from & full_f & ~fp
-                                f_list.append(ifp)
-                                t_list.append(mask_to & full_t & ~tp)
-                                seen_f.add(ifp)
-                    m.set_cells(f_list, t_list)
+                    if mask_from != 0:
+                        ffm = np.uint64(mask_from
+                                        & make_accept_mask(d1p + d2p))
+                        ttm = np.uint64(mask_to
+                                        & make_accept_mask(d1n + d2n))
+                        inter_f = np.empty(2 * fps.size, dtype=np.uint64)
+                        inter_t = np.empty(2 * tps.size, dtype=np.uint64)
+                        inter_f[0::2] = fps
+                        inter_f[1::2] = ffm & ~fps
+                        inter_t[0::2] = tps
+                        inter_t[1::2] = ttm & ~tps
+                    else:
+                        inter_f, inter_t = fps, tps
+                    _, first = np.unique(inter_f, return_index=True)
+                    keep = np.sort(first)
+                    m.set_cells(inter_f[keep].tolist(),
+                                inter_t[keep].tolist())
                 else:
-                    m.set_cells(fps, tps)
+                    m.set_cells(fps.tolist(), tps.tolist())
                 merges.append(m)
         return RPHmm(h1.ref, h1.ref_start, h1.ref_length,
                      h1.profile_seqs + h2.profile_seqs, columns, merges, params)
@@ -509,53 +537,49 @@ class RPHmm:
         return n
 
     def _prune_pass(self, forwards: bool):
-        cols = self.columns if forwards else self.columns[::-1]
+        order_cols = (range(len(self.columns)) if forwards
+                      else range(len(self.columns) - 1, -1, -1))
         prev_merge = None  # merge column crossed to reach this column
-        for k, col in enumerate(cols):
+        for ci in order_cols:
+            col = self.columns[ci]
+            parts = np.array(col.partitions, dtype=np.uint64)
             # keep cells that still link backwards (getLinkedCells, hmm.c:1021-1047)
             if prev_merge is not None:
-                get_link = (prev_merge.prev_cell_idx if forwards
-                            else prev_merge.next_cell_idx)
-                keep = [p for p in col.partitions if get_link(p) is not None]
+                linkv = (prev_merge.prev_idx_or_m1(parts) if forwards
+                         else prev_merge.next_idx_or_m1(parts))
+                sel = np.nonzero(linkv >= 0)[0]
             else:
-                keep = list(col.partitions)
-            idx = {p: i for i, p in enumerate(col.partitions)}
-            post = col.posterior()
-            kept_post = np.array([post[idx[p]] for p in keep])
+                sel = np.arange(len(parts))
+            kept_post = col.posterior()[sel]
             order = np.argsort(-kept_post, kind="stable")
-            keep = [keep[i] for i in order]
+            sel = sel[order]
             kept_post = kept_post[order]
             if forwards:
                 n = self._keep_count(kept_post)
-                keep = keep[:n]
+                sel = sel[:n]
                 kept_post = kept_post[:n]
             # relink in sorted order, keep fb arrays consistent
-            sel = np.array([idx[p] for p in keep], dtype=np.int64)
-            col.partitions = keep
+            col.partitions = parts[sel].tolist()
             col.forward = col.forward[sel]
             col.backward = col.backward[sel]
             col.emission = col.emission[sel]
 
             # prune the next merge column (hmm.c:1084-1101)
-            ci = self.columns.index(col)  # position in forward order
             m = None
             if forwards and ci < len(self.merges):
                 m = self.merges[ci]
-                link = m.next_cell_idx
             elif not forwards and ci > 0:
                 m = self.merges[ci - 1]
-                link = m.prev_cell_idx
             if m is None:
                 prev_merge = None
                 continue
-            chosen = []
-            chosen_set = set()
-            for p in col.partitions:
-                j = link(p)
-                assert j is not None
-                if j not in chosen_set:
-                    chosen_set.add(j)
-                    chosen.append(j)
+            kept_parts = np.array(col.partitions, dtype=np.uint64)
+            links = (m.next_idx_or_m1(kept_parts) if forwards
+                     else m.prev_idx_or_m1(kept_parts))
+            assert (links >= 0).all()
+            # dedup preserving first-occurrence (cell-posterior) order
+            _, first = np.unique(links, return_index=True)
+            chosen = links[np.sort(first)].tolist()
             if forwards:
                 # sort chosen merge cells by posterior desc and trim
                 total = (self.columns[ci + 1].total_log_prob if True else 0.0)
@@ -592,13 +616,11 @@ class RPHmm:
             mcell = m.prev_cell_idx(col.partitions[best])
             ci -= 1
             col = self.columns[ci]
-            best = -1
-            best_prob = LOG_ZERO
-            for i, p in enumerate(col.partitions):
-                if m.next_cell_idx(p) == mcell and col.forward[i] > best_prob:
-                    best_prob = col.forward[i]
-                    best = i
-            assert best >= 0
+            links = m.next_idx_or_m1(
+                np.array(col.partitions, dtype=np.uint64))
+            cand = np.where(links == mcell, col.forward, LOG_ZERO)
+            best = int(np.argmax(cand))  # first strict max, like the C scan
+            assert links[best] == mcell
             path.append(col.partitions[best])
         path.reverse()
         return path
