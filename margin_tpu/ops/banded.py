@@ -18,6 +18,8 @@ adjacent diagonals' band offsets, precomputed on the host
 from __future__ import annotations
 
 import functools
+import os
+import time
 from dataclasses import dataclass
 
 import jax
@@ -644,6 +646,47 @@ def _extract_cap(d_pad: int) -> int:
     return 2 * d_pad
 
 
+@jax.jit
+def _device_count_flat(post, x_base, y_base, threshold):
+    """Per-(problem, state) above-threshold cell counts for a (B, D, 3, W)
+    posterior batch — the cheap first phase of the flat extraction."""
+    k_iota = jnp.arange(post.shape[-1])[None, None, :]
+    x_ok = (x_base[:, :, None] + 1 + k_iota) > 0    # (B, D, W)
+    y_ok = (y_base[:, :, None] + 1 - k_iota) > 0
+    sel_m = (post[:, :, MATCH, :] >= threshold) & x_ok & y_ok
+    sel_gx = (post[:, :, GAPX, :] >= threshold) & x_ok
+    sel_gy = (post[:, :, GAPY, :] >= threshold) & y_ok
+    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=2)
+    return jnp.sum(sel, axis=(1, 3))                # (B, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _device_extract_flat(post, x_base, y_base, threshold, K: int):
+    """Flat batched addPosteriorProb extraction: ALL above-threshold cells
+    of the (B, D, 3, W) batch compacted into K-sized flat arrays tagged by
+    (problem, state).  K is sized from the exact counts of
+    `_device_count_flat`, so the device->host transfer is the result data
+    itself — critical on tunneled accelerators where readback bandwidth,
+    not compute, dominates."""
+    k_iota = jnp.arange(post.shape[-1])[None, None, :]
+    x_pos = x_base[:, :, None] + 1 + k_iota         # (B, D, W)
+    y_pos = y_base[:, :, None] + 1 - k_iota
+    sel_m = (post[:, :, MATCH, :] >= threshold) & (x_pos > 0) & (y_pos > 0)
+    sel_gx = (post[:, :, GAPX, :] >= threshold) & (x_pos > 0)
+    sel_gy = (post[:, :, GAPY, :] >= threshold) & (y_pos > 0)
+    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=2)
+    total = jnp.sum(sel)
+    b_i, d_i, s_i, k_i = jnp.nonzero(sel, size=K, fill_value=0)
+    probs = jnp.floor(jnp.minimum(post[b_i, d_i, s_i, k_i], 1.0)
+                      * 10_000_000).astype(jnp.int32)
+    valid = jnp.arange(K) < total
+    tag = jnp.where(valid, b_i * 3 + s_i, jnp.int32(1 << 30))
+    return (jnp.where(valid, probs, 0),
+            jnp.where(valid, x_pos[b_i, d_i, k_i] - 1, 0),
+            jnp.where(valid, y_pos[b_i, d_i, k_i] - 1, 0),
+            tag)
+
+
 def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarray,
                       anchors, expansion: int, strand: int,
                       ragged_left=False, ragged_right=False,
@@ -749,28 +792,48 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
         for idx, r in zip(fallback, fb_res):
             results[idx] = r
 
+    dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
     MAX_B = 256
     for (d_pad, w_pad, use_rle), idxs in groups.items():
         for lo in range(0, len(idxs), MAX_B):
             chunk = idxs[lo:lo + MAX_B]
+            t0 = time.perf_counter()
             post, totals, geoms = pallas_banded.fb_posteriors_group(
                 tables, [items[i] for i in chunk], d_pad, w_pad, expansion,
                 use_lut, dynamic, use_rle)
-            d_use = post.shape[1]
             xb = jnp.asarray(np.stack([g.x_base for g in geoms]))
             yb = jnp.asarray(np.stack([g.y_base for g in geoms]))
-            K = _extract_cap(d_use)
-            vals, pxs, pys, counts = _device_extract_many(post, xb, yb,
-                                                          threshold, K)
-            vals = np.asarray(vals)
-            pxs = np.asarray(pxs)
-            pys = np.asarray(pys)
-            counts = np.asarray(counts)
+            t1 = time.perf_counter()
+            # two-phase flat extraction: exact counts (tiny readback) size
+            # the gather, so only real result pairs cross the tunnel
+            counts = np.asarray(_device_count_flat(post, xb, yb, threshold))
+            t2 = time.perf_counter()
+            total = int(counts.sum())
+            K = 1024
+            while K < total:
+                K *= 2
+            vals, pxs, pys, tags = (np.asarray(a) for a in
+                                    _device_extract_flat(post, xb, yb,
+                                                         threshold, K))
+            t3 = time.perf_counter()
+            # order pairs by (tag, x, y) and split into per-(problem,
+            # state) runs — same (x, y) lexsort the per-item path used
+            order = np.lexsort((pys, pxs, tags))
+            vals, pxs, pys, tags = (a[order] for a in
+                                    (vals, pxs, pys, tags))
+            bounds = np.searchsorted(tags, np.arange(3 * len(chunk) + 1))
             for k, idx in enumerate(chunk):
-                results[idx] = (
-                    _pairs_from_compact(vals[k], pxs[k], pys[k], counts[k],
-                                        K, post[k], geoms[k], threshold),
-                    float(totals[k]))
+                out = []
+                for s in range(3):
+                    a, b = bounds[3 * k + s], bounds[3 * k + s + 1]
+                    out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
+                                        axis=1).astype(np.int64))
+                results[idx] = (tuple(out), float(totals[k]))
+            if dbg:
+                print(f"[pallas] group d={d_pad} w={w_pad} B={len(chunk)} "
+                      f"rle={use_rle}: fb {t1-t0:.2f}s counts {t2-t1:.2f}s "
+                      f"extract({total}/{K}) {t3-t2:.2f}s "
+                      f"host {time.perf_counter()-t3:.2f}s", flush=True)
     return results
 
 

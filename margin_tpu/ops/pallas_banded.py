@@ -407,11 +407,13 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     for col, idx in enumerate(pad_idx):
         it = items[idx]
         lx, ly = len(it["x_sym"]), len(it["y_sym"])
-        geom = _banded.BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                          d_use, w_pad, dynamic=dynamic,
-                                          smooth=True)
         if col < B_real:
+            geom = _banded.BandGeometry.build(it["anchors"], lx, ly,
+                                              expansion, d_use, w_pad,
+                                              dynamic=dynamic, smooth=True)
             geoms.append(geom)
+        else:
+            geom = geoms[B_real - 1]  # pad lanes replicate the last item
         xs[col, :lx] = it["x_sym"]
         ys[col, :ly] = it["y_sym"]
         lxs[col], lys[col] = lx, ly
@@ -455,6 +457,9 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
                              t[T_EXT_X], t[T_EXT_Y])
     lxy = np.stack([lxs, lys, k_final, np.zeros_like(lxs)], axis=0)
 
+    import time as _time
+    dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
+    t0 = _time.perf_counter()
     e_fwd, e_bwd = _emission_grids(
         m_tab, gx_tab, gy_tab, rep_tab,
         jnp.asarray(xs), jnp.asarray(ys),
@@ -464,6 +469,9 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         None if rx is None else jnp.asarray(rx),
         None if ry is None else jnp.asarray(ry),
         w_pad=w_pad, use_rle=use_rle)
+    if dbg:
+        jax.block_until_ready(e_fwd)
+        t1 = _time.perf_counter()
 
     post, totals = _fb_pallas(
         e_fwd, e_bwd, jnp.asarray(meta),
@@ -471,6 +479,11 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         jnp.asarray(init_cell, dtype=dtype), jnp.asarray(end_w, dtype=dtype),
         d_pad=d_use, w_pad=w_pad, use_lut=use_lut, block_d=block_d,
         interpret=_interpret_mode())
+    if dbg:
+        jax.block_until_ready(post)
+        print(f"  [fb] prep+emissions {t1-t0:.2f}s pallas "
+              f"{_time.perf_counter()-t1:.2f}s (D={d_use} blk={block_d} "
+              f"B={b_pad})", flush=True)
     # (D, 3, W, B) -> (B, D, 3, W) for the shared extraction path
     post_b = jnp.transpose(post, (3, 0, 1, 2))[:B_real]
     return post_b, np.asarray(totals[:B_real], dtype=np.float64), geoms

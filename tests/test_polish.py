@@ -74,6 +74,7 @@ def test_poa_reference_graph(polish_params):
     assert [n.base for n in poa.nodes[1:]] == list("GATACA")
 
 
+@pytest.mark.slow  # ~2 min for both parametrizations; covered nightly
 @pytest.mark.parametrize("rle", [True, False])
 def test_polish_examples_improve_identity(polish_params, norle_params, rle):
     """Aggregate consensus identity vs truth must beat the starting draft
