@@ -784,7 +784,7 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             fallback.append(idx)
             continue
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
-        groups.setdefault((d_pad, w_pad, use_rle), []).append(idx)
+        groups.setdefault((w_pad, use_rle), []).append((d_pad, idx))
 
     if fallback:
         fb_res = _posteriors_many_scan(tables, [items[i] for i in fallback],
@@ -793,10 +793,18 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             results[idx] = r
 
     dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
-    MAX_B = 256
-    for (d_pad, w_pad, use_rle), idxs in groups.items():
-        for lo in range(0, len(idxs), MAX_B):
-            chunk = idxs[lo:lo + MAX_B]
+    # pack items into as few launches as possible: lanes pad to 128 anyway,
+    # so problems of different depth merge freely (largest-d first keeps
+    # deep problems together); kernel+gather cost per launch is set by the
+    # pack's max d, one launch beats one-per-d-bucket both on wasted lanes
+    # and on fixed launch/readback latency
+    MAX_B = 128
+    for (w_pad, use_rle), lst in groups.items():
+        lst.sort(key=lambda t: -t[0])
+        for lo in range(0, len(lst), MAX_B):
+            pack = lst[lo:lo + MAX_B]
+            d_pad = pack[0][0]
+            chunk = [idx for _, idx in pack]
             t0 = time.perf_counter()
             post, totals, geoms = pallas_banded.fb_posteriors_group(
                 tables, [items[i] for i in chunk], d_pad, w_pad, expansion,

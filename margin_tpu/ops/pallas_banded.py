@@ -335,44 +335,72 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     (offset +1,+1) sweeps. xs/ys: (B, Lp) padded symbols; x_base/y_base:
     (B, D). Matches `_emissions_all` in ops.banded per problem.
 
-    All lookups are phrased as `take_along_axis` on batch-leading 2-D
-    operands: XLA/TPU lowers those to fast vectorized gathers, whereas the
-    equivalent vmapped 1-D table indexing compiles to a ~50x slower
-    batched-gather (measured 445 ms vs 0.2 ms for the same data)."""
+    These grids are gather-bound (~0.9 s per 100M-element gather on v5e
+    through this lowering), so the construction minimises gather count:
+    one WIDE (W+1) window per sequence serves both sweep offsets (the
+    backward window is the forward one shifted by one), and the 5/25-entry
+    symbol tables are applied with select-sums on the windowed symbols
+    instead of per-cell table gathers. Only the symbol/repeat windows (2,
+    +2 for RLE) and the 2601-entry repeat-matrix rows (2, RLE only) remain
+    as real gathers."""
     B, Lp = xs.shape
     D = x_base.shape[1]
-    k = jnp.arange(w_pad)[None, None, :]
+    Wp = w_pad + 1
+    k = jnp.arange(Wp)[None, None, :]
     lx = lxs[:, None, None]
     ly = lys[:, None, None]
+    boff = (jnp.arange(B, dtype=jnp.int32) * Lp)[:, None, None]
 
-    def window(tab, idx, in_range, fill):
-        flat = jnp.take_along_axis(
-            tab, jnp.clip(idx, 0, Lp - 1).reshape(B, D * w_pad), axis=1)
-        return jnp.where(in_range, flat.reshape(B, D, w_pad), fill)
+    def wide_window(tab, idx, in_range, fill):
+        g = jnp.take(tab.reshape(-1),
+                     (jnp.clip(idx, 0, Lp - 1) + boff).reshape(-1),
+                     mode="clip").reshape(B, D, Wp)
+        return jnp.where(in_range, g, fill)
 
-    def lookup(tab, idx):
-        flat = jnp.take_along_axis(tab, idx.reshape(B, D * w_pad), axis=1)
-        return flat.reshape(B, D, w_pad)
+    # wide index tracks: x covers [x_base .. x_base+W], y covers
+    # [y_base+1-k]; fwd/bwd grids are unit-shifted slices of these
+    cx_idx = x_base[:, :, None] + k
+    cy_idx = (y_base + 1)[:, :, None] - k
+    x_ok = (cx_idx >= 0) & (cx_idx < lx)
+    y_ok = (cy_idx >= 0) & (cy_idx < ly)
+    cxw = wide_window(xs, cx_idx, x_ok, 4)
+    cyw = wide_window(ys, cy_idx, y_ok, 4)
 
-    def grids(xo, yo):
-        cx_idx = (x_base + xo)[:, :, None] + k      # (B, D, W)
-        cy_idx = (y_base + yo)[:, :, None] - k
-        x_ok = (cx_idx >= 0) & (cx_idx < lx)
-        y_ok = (cy_idx >= 0) & (cy_idx < ly)
-        cx = window(xs, cx_idx, x_ok, 4)
-        cy = window(ys, cy_idx, y_ok, 4)
-        e_m = lookup(m_tab, cx * 5 + cy)
+    def sel_sum(tab, sym, n):
+        # tab: (B, n) per-problem values; sym: windowed symbols
+        out = jnp.zeros(sym.shape, tab.dtype)
+        for s in range(n):
+            out = out + jnp.where(sym == s, tab[:, s, None, None], 0)
+        return out
+
+    gxw = sel_sum(gx_tab, cxw, 5)
+    gyw = sel_sum(gy_tab, cyw, 5)
+    if use_rle:
+        rxw = wide_window(rep_x, cx_idx, x_ok, 0)
+        ryw = wide_window(rep_y, cy_idx, y_ok, 0)
+
+    def grids(xo):
+        # xo=0 (fwd): cx = cxw[:, :, :W], cy = cyw[:, :, 1:]
+        # xo=1 (bwd): cx = cxw[:, :, 1:], cy = cyw[:, :, :W]
+        xs_ = slice(0, w_pad) if xo == 0 else slice(1, Wp)
+        ys_ = slice(1, Wp) if xo == 0 else slice(0, w_pad)
+        cx = cxw[:, :, xs_]
+        cy = cyw[:, :, ys_]
+        e_m = sel_sum(m_tab, cx * 5 + cy, 25)
         if use_rle:
-            rxg = window(rep_x, cx_idx, x_ok, 0)
-            ryg = window(rep_y, cy_idx, y_ok, 0)
-            base = jnp.where(cx >= 4, 0, cx)
             n = 51
-            e_m = e_m + lookup(rep_tab, base * (n * n) + rxg * n + ryg)
-        return e_m, lookup(gx_tab, cx), lookup(gy_tab, cy)
+            base = jnp.where(cx >= 4, 0, cx)
+            idx = base * (n * n) + rxw[:, :, xs_] * n + ryw[:, :, ys_]
+            rboff = (jnp.arange(B, dtype=jnp.int32)
+                     * rep_tab.shape[1])[:, None, None]
+            e_m = e_m + jnp.take(rep_tab.reshape(-1),
+                                 (idx + rboff).reshape(-1),
+                                 mode="clip").reshape(cx.shape)
+        return e_m, gxw[:, :, xs_], gyw[:, :, ys_]
 
     # (B, D, W) -> (D, W, B)
     tr = lambda t: tuple(jnp.transpose(a, (1, 2, 0)) for a in t)
-    return tr(grids(0, 0)), tr(grids(1, 1))
+    return tr(grids(0)), tr(grids(1))
 
 
 def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
