@@ -426,3 +426,36 @@ def build_bai(bam_path: str, out_path: str = None) -> str:
     with open(out_path, "wb") as fh:
         fh.write(bytes(out))
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# format dispatch (BAM / CRAM)
+# ---------------------------------------------------------------------------
+
+_CRAM_REFERENCE: list = [None]
+
+
+def set_cram_reference(fasta_path):
+    """Register the reference FASTA used to decode CRAM inputs (drivers
+    call this once; htsIntegration relies on htslib's ref handling)."""
+    _CRAM_REFERENCE[0] = fasta_path
+
+
+def is_cram(path: str) -> bool:
+    if path.endswith(".cram"):
+        return True
+    try:
+        with open(path, "rb") as fh:
+            return fh.read(4) == b"CRAM"
+    except OSError:
+        return False
+
+
+def open_alignment(path: str, reference=None):
+    """Open a BAM or CRAM by content sniffing; CRAM decodes against the
+    registered (or passed) reference FASTA. Both readers yield identical
+    BamRecord objects (sam_open parity, htsIntegration.c)."""
+    if is_cram(path):
+        from margin_tpu.io.cram import CramReader
+        return CramReader(path, reference or _CRAM_REFERENCE[0])
+    return BamReader(path)

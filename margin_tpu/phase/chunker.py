@@ -130,7 +130,7 @@ def construct_chunker(bam_file: str, region: Optional[str],
     scan engine when available (one C pass + vectorized geometry)."""
     try:
         from margin_tpu.io import native
-        if native.lib() is not None:
+        if native.lib() is not None and not bamio.is_cram(bam_file):
             return _construct_chunker_native(bam_file, region, valid_contigs,
                                              params, record_filtered_reads)
     except Exception:
@@ -252,7 +252,7 @@ def _construct_chunker_py(bam_file: str, region: Optional[str],
                                            _estimated_depth(buckets, ms, me, chunk_size)))
             i += chunk_size
 
-    with bamio.BamReader(bam_file) as reader:
+    with bamio.open_alignment(bam_file) as reader:
         if region_contig is not None:
             # bed_hash_regions treats 'chr:start-end' as 1-based inclusive, so
             # the reference effectively scans 0-based [start-1, end)

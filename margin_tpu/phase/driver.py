@@ -76,6 +76,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     chunk order (size-desc, phase.c:257-262) — making the downsampling
     Bernoulli stream identical to `margin phase` -t1 and the golden
     outputs exact. rng_mode="python" keeps a seeded random.Random."""
+    bamio.set_cram_reference(reference_fasta)
     from margin_tpu.utils.strandom import GlibcRandom, make_rng
     rng = make_rng(rng_mode, seed)
     shard_idx = shard_n = None
@@ -201,7 +202,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
 
     t_c = time.time()
     if threads == 1:
-        reader = bamio.BamReader(bam_file)
+        reader = bamio.open_alignment(bam_file)
         for chunk in ordered_chunks:
             results.append(process_chunk(chunk, reader))
         reader.close()
@@ -219,7 +220,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         def worker(chunk):
             reader = getattr(tls, "reader", None)
             if reader is None:
-                reader = tls.reader = bamio.BamReader(bam_file)
+                reader = tls.reader = bamio.open_alignment(bam_file)
                 with ckpt_lock:
                     open_readers.append(reader)
             return chunk.chunk_idx, process_chunk(chunk, reader)
@@ -417,7 +418,7 @@ def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
         # synchronizeReadHaplotags (htsIntegration.c:1219-1308): vote each
         # ORIGINAL read name's haplotype by total mapped length across its
         # (supplementary) alignments
-        with bamio.BamReader(bam_in) as reader:
+        with bamio.open_alignment(bam_in) as reader:
             for rec in reader:
                 if rec.l_seq <= 0 or len(rec.cigar) == 0 or rec.is_unmapped:
                     continue
@@ -436,7 +437,8 @@ def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
 
     try:
         from margin_tpu.io import native
-        if not sync and native.lib() is not None:
+        if not sync and native.lib() is not None \
+                and not bamio.is_cram(bam_in):
             tags = {n: 1 for n in hap1_names if n not in hap2_names}
             tags.update({n: 2 for n in hap2_names if n not in hap1_names})
             tid, start, end = -1, -1, -1
@@ -455,7 +457,7 @@ def write_haplotagged_bam(bam_in: str, bam_out: str, region: Optional[str],
         pass  # fall back to the Python path
 
     h1 = h2 = h0 = 0
-    with bamio.BamReader(bam_in) as reader:
+    with bamio.open_alignment(bam_in) as reader:
         with bamio.BamWriter(bam_out, reader.header) as writer:
             if region_contig is not None:
                 it = reader.fetch(region_contig, max(region_start - 1, 0),

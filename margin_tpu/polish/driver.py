@@ -123,6 +123,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     shard=("merge",) combines (see run_phase). threads>1 runs chunks on a
     host thread pool (polish.c:475-478) with per-chunk RNG streams — the
     same streams as shard mode, so threaded == sharded byte-for-byte."""
+    bamio.set_cram_reference(reference_fasta)
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
                                   output_base, region=region, seed=seed,
@@ -265,7 +266,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         return seq_rec
 
     if threads == 1:
-        reader = bamio.BamReader(bam_file)
+        reader = bamio.open_alignment(bam_file)
         chunk_seqs = []
         for chunk in my_chunks:
             chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
@@ -281,7 +282,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         def worker(chunk):
             reader = getattr(tls, "reader", None)
             if reader is None:
-                reader = tls.reader = bamio.BamReader(bam_file)
+                reader = tls.reader = bamio.open_alignment(bam_file)
                 with io_lock:
                     open_readers.append(reader)
             return process_chunk(chunk, reader,
@@ -343,6 +344,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     positions come from the VCF; `only_use_vcf_alleles` restricts alleles
     to the VCF's (requires non-RLE params and skip_output_fasta,
     polish.c:364-371)."""
+    bamio.set_cram_reference(reference_fasta)
     from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_next_chunk
     from margin_tpu.polish import diploid as diploidmod
     from margin_tpu.phase.driver import write_haplotagged_bam
@@ -434,7 +436,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             import copy as _copy
             pp_truth = _copy.copy(pp)
             pp_truth.includeSupplementaryAlignments = True
-            truth_reader = bamio.BamReader(true_reference_bam)
+            truth_reader = bamio.open_alignment(true_reference_bam)
             try:
                 t_reads, t_alns, _tf, _tfa = convert_to_reads_and_alignments(
                     chunk, rle_ref, truth_reader, pp_truth,
@@ -556,7 +558,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
 
     chunk_results = []  # (ChunkPhaseResult, hap1_seq, hap2_seq)
     if threads == 1:
-        reader = bamio.BamReader(bam_file)
+        reader = bamio.open_alignment(bam_file)
         for chunk in my_chunks:
             chunk_rng = (random.Random(f"{seed}:{chunk.chunk_idx}")
                          if per_chunk_rng else rng)
@@ -570,7 +572,7 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         def worker(chunk):
             reader = getattr(tls, "reader", None)
             if reader is None:
-                reader = tls.reader = bamio.BamReader(bam_file)
+                reader = tls.reader = bamio.open_alignment(bam_file)
                 with io_lock:
                     open_readers.append(reader)
             return process_chunk(chunk, reader,

@@ -765,7 +765,7 @@ def get_truth_alignment(chunk, true_reference_bam: str,
     from margin_tpu.io import bam as bamio
     from margin_tpu.polish.reads import convert_to_reads_and_alignments
 
-    truth_reader = bamio.BamReader(true_reference_bam)
+    truth_reader = bamio.open_alignment(true_reference_bam)
     try:
         reads, alns, _f, _fa = convert_to_reads_and_alignments(
             chunk, original_ref_rle, truth_reader, params.polish,

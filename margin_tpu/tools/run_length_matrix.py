@@ -59,7 +59,7 @@ def main(argv=None):
     fasta = FastaIndex(args.reference)
     counts = np.zeros((4, max_rl, max_rl), dtype=np.int64)
 
-    reader = bamio.BamReader(args.bam)
+    reader = bamio.open_alignment(args.bam)
     for chunk in chunkr.chunks:
         raw_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                               chunk.chunk_overlap_end).upper()

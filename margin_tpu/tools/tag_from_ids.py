@@ -44,7 +44,7 @@ def main(argv=None):
     tags = parse_tag_file(args.tag_info_file)
     out_path = args.out_bam or f"{args.outputBase}.haplotagged.bam"
     counts = {0: 0, 1: 0, 2: 0}
-    with bamio.BamReader(args.bam) as reader:
+    with bamio.open_alignment(args.bam) as reader:
         with bamio.BamWriter(out_path, reader.header) as writer:
             for rec in reader:
                 hp = tags.get(rec.name, 0)

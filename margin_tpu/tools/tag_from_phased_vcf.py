@@ -53,7 +53,7 @@ def main(argv=None):
     rng = random.Random(0)
 
     results = []
-    reader = bamio.BamReader(args.bam)
+    reader = bamio.open_alignment(args.bam)
     for chunk in chunkr.chunks:
         chunk_ref = fasta.fetch(chunk.ref_name, chunk.chunk_overlap_start,
                                 chunk.chunk_overlap_end)

@@ -139,3 +139,39 @@ def test_crai_written(cram_path):
     for ln in lines:
         parts = ln.split("\t")
         assert len(parts) == 6
+
+
+@pytest.mark.slow
+def test_phase_from_cram_golden(cram_path, tmp_path):
+    """`margin phase` on CRAM input must produce the same outputs as BAM
+    input (sam_open format transparency, htsIntegration.c)."""
+    import filecmp
+    from margin_tpu.cli import main
+    PARAMS = reference_path("params", "phase",
+                            "allParams.haplotag.ont-r94g507.json")
+    VCF = f"{DATA}/HG002.r94g360.chr20_59M_100k.vcf"
+    out_b = str(tmp_path / "b")
+    out_c = str(tmp_path / "c")
+    main(["phase", BAM, FASTA, PARAMS, VCF, "-o", out_b,
+          "--logLevel", "CRITICAL"])
+    main(["phase", cram_path, FASTA, PARAMS, VCF, "-o", out_c,
+          "--logLevel", "CRITICAL"])
+    assert filecmp.cmp(out_b + ".phased.vcf", out_c + ".phased.vcf",
+                       shallow=False)
+
+    # haplotagged BAM: identical read->HP assignment (byte identity can't
+    # hold: CRAM-decoded records re-materialize bin/tag order)
+    def hp_map(path):
+        out = {}
+        with BamReader(path) as r:
+            for rec in r:
+                blob = rec.tags_blob()
+                hp = None
+                for t, ty, s, e in _iter_tags(blob):
+                    if t == b"HP":
+                        hp = struct.unpack("<i", blob[s + 3:s + 7])[0]
+                out[(rec.name, rec.pos, rec.flag)] = hp
+        return out
+
+    assert hp_map(out_b + ".haplotagged.bam") == \
+        hp_map(out_c + ".haplotagged.bam")
