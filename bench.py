@@ -151,6 +151,15 @@ def main():
     extra["backend"] = jax.default_backend()
 
     phase = polish = kernel = None
+    # kernel first: a fresh HBM arena gives the microbenchmark its honest
+    # number (running it after the pipeline benches measured 1000x slower
+    # on the shared dev chip)
+    if mode in ("all", "kernel"):
+        kernel = bench_kernel()
+        extra["kernel"] = {
+            "pairhmm_msites_per_s": round(kernel["sites_per_s"] / 1e6, 2),
+            "vs_baseline": round(
+                kernel["sites_per_s"] / BASELINE_SITES_PER_S, 1)}
     if mode in ("all", "phase"):
         phase = bench_phase()
         extra["phase"] = {k: round(v, 2) if isinstance(v, float) else v
@@ -161,12 +170,6 @@ def main():
                            for k, v in polish.items()}
         extra["polish"]["vs_baseline"] = round(
             polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-    if mode in ("all", "kernel"):
-        kernel = bench_kernel()
-        extra["kernel"] = {
-            "pairhmm_msites_per_s": round(kernel["sites_per_s"] / 1e6, 2),
-            "vs_baseline": round(
-                kernel["sites_per_s"] / BASELINE_SITES_PER_S, 1)}
 
     if phase is not None:
         headline = {

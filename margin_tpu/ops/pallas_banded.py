@@ -345,26 +345,36 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     as real gathers."""
     B, Lp = xs.shape
     D = x_base.shape[1]
-    Wp = w_pad + 1
-    k = jnp.arange(Wp)[None, None, :]
+    W = w_pad
+    W2 = W + 2
+    k = jnp.arange(W2)[None, None, :]
     lx = lxs[:, None, None]
     ly = lys[:, None, None]
     boff = (jnp.arange(B, dtype=jnp.int32) * Lp)[:, None, None]
 
-    def wide_window(tab, idx, in_range, fill):
+    # packed per-position values: symbol in bits 0-2, repeat count in
+    # bits 3+, so ONE gather serves both the symbol and repeat windows
+    if use_rle:
+        px_tab = xs + 8 * rep_x
+        py_tab = ys + 8 * rep_y
+    else:
+        px_tab, py_tab = xs, ys
+
+    def wide_window(tab, idx, in_range):
         g = jnp.take(tab.reshape(-1),
                      (jnp.clip(idx, 0, Lp - 1) + boff).reshape(-1),
-                     mode="clip").reshape(B, D, Wp)
-        return jnp.where(in_range, g, fill)
+                     mode="clip").reshape(B, D, W2)
+        return jnp.where(in_range, g, 4)  # fill: symbol 4, repeat 0
 
-    # wide index tracks: x covers [x_base .. x_base+W], y covers
-    # [y_base+1-k]; fwd/bwd grids are unit-shifted slices of these
-    cx_idx = x_base[:, :, None] + k
-    cy_idx = (y_base + 1)[:, :, None] - k
-    x_ok = (cx_idx >= 0) & (cx_idx < lx)
-    y_ok = (cy_idx >= 0) & (cy_idx < ly)
-    cxw = wide_window(xs, cx_idx, x_ok, 4)
-    cyw = wide_window(ys, cy_idx, y_ok, 4)
+    # W+2-wide paired tracks: px[j] at ix = x_base-1+j, py[j] at
+    # iy = y_base+1-j (px[j]/py[j] pair on one anti-diagonal); every
+    # fwd/bwd grid is a unit-shifted slice of these
+    px_idx = (x_base - 1)[:, :, None] + k
+    py_idx = (y_base + 1)[:, :, None] - k
+    px = wide_window(px_tab, px_idx, (px_idx >= 0) & (px_idx < lx))
+    py = wide_window(py_tab, py_idx, (py_idx >= 0) & (py_idx < ly))
+    sx = px & 7 if use_rle else px
+    sy = py & 7 if use_rle else py
 
     def sel_sum(tab, sym, n):
         # tab: (B, n) per-problem values; sym: windowed symbols
@@ -373,29 +383,39 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
             out = out + jnp.where(sym == s, tab[:, s, None, None], 0)
         return out
 
-    gxw = sel_sum(gx_tab, cxw, 5)
-    gyw = sel_sum(gy_tab, cyw, 5)
+    gxw = sel_sum(gx_tab, sx, 5)
+    gyw = sel_sum(gy_tab, sy, 5)
     if use_rle:
-        rxw = wide_window(rep_x, cx_idx, x_ok, 0)
-        ryw = wide_window(rep_y, cy_idx, y_ok, 0)
+        # same-diagonal wide repeat grid; the bwd grid is this one two
+        # diagonals down with a per-(problem, diagonal) sublane shift --
+        # no second 2601-entry gather
+        n = 51
+        base = jnp.where(sx >= 4, 0, sx)
+        ridx = base * (n * n) + (px >> 3) * n + (py >> 3)
+        rboff = (jnp.arange(B, dtype=jnp.int32)
+                 * rep_tab.shape[1])[:, None, None]
+        rfw = jnp.take(rep_tab.reshape(-1), (ridx + rboff).reshape(-1),
+                       mode="clip").reshape(B, D, W2)
+        s2 = jnp.concatenate(
+            [x_base[:, 2:] - x_base[:, :-2],
+             jnp.zeros((B, 2), x_base.dtype)], axis=1)[:, :, None]
+        r2 = jnp.concatenate(
+            [rfw[:, 2:], jnp.zeros((B, 2, W2), rfw.dtype)], axis=1)
+        rep_fwd = rfw[:, :, 1:W + 1]
+        # bwd j index = k + 2 - s2 (s2 in {0,1,2}); out-of-range rows are
+        # harmless (paired with NEG neighbor values in the kernel)
+        rep_bwd = jnp.where(
+            s2 == 0, r2[:, :, 2:W + 2],
+            jnp.where(s2 == 1, r2[:, :, 1:W + 1], r2[:, :, 0:W]))
 
     def grids(xo):
-        # xo=0 (fwd): cx = cxw[:, :, :W], cy = cyw[:, :, 1:]
-        # xo=1 (bwd): cx = cxw[:, :, 1:], cy = cyw[:, :, :W]
-        xs_ = slice(0, w_pad) if xo == 0 else slice(1, Wp)
-        ys_ = slice(1, Wp) if xo == 0 else slice(0, w_pad)
-        cx = cxw[:, :, xs_]
-        cy = cyw[:, :, ys_]
-        e_m = sel_sum(m_tab, cx * 5 + cy, 25)
+        # fwd (xo=0): cx = px[1:W+1], cy = py[1:W+1]
+        # bwd (xo=1): cx = px[2:W+2], cy = py[0:W]
+        xs_ = slice(1, W + 1) if xo == 0 else slice(2, W + 2)
+        ys_ = slice(1, W + 1) if xo == 0 else slice(0, W)
+        e_m = sel_sum(m_tab, sx[:, :, xs_] * 5 + sy[:, :, ys_], 25)
         if use_rle:
-            n = 51
-            base = jnp.where(cx >= 4, 0, cx)
-            idx = base * (n * n) + rxw[:, :, xs_] * n + ryw[:, :, ys_]
-            rboff = (jnp.arange(B, dtype=jnp.int32)
-                     * rep_tab.shape[1])[:, None, None]
-            e_m = e_m + jnp.take(rep_tab.reshape(-1),
-                                 (idx + rboff).reshape(-1),
-                                 mode="clip").reshape(cx.shape)
+            e_m = e_m + (rep_fwd if xo == 0 else rep_bwd)
         return e_m, gxw[:, :, xs_], gyw[:, :, ys_]
 
     # (B, D, W) -> (D, W, B)

@@ -65,10 +65,15 @@ def use_device_fb(hmm, include_ancestor: bool) -> bool:
             return False
     except Exception:
         return False
-    # work estimate: cells x alleles across columns (emission matmul area)
+    # work estimate: cells x reads across columns (emission matmul area).
+    # The default threshold is high because the win must cover the
+    # per-call device round trip (host prep + transfers + readback); on
+    # tunneled dev chips readback is the dominant cost. Tune with
+    # MARGIN_TPU_RPHMM_THRESHOLD for directly-attached hardware.
     work = sum(len(c.partitions) *
                max(1, c.depth) for c in hmm.columns)
-    return work >= 100_000
+    thresh = int(os.environ.get("MARGIN_TPU_RPHMM_THRESHOLD", 10_000_000))
+    return work >= thresh
 
 
 @functools.lru_cache(maxsize=None)
