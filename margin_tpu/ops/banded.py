@@ -845,6 +845,38 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
     return results
 
 
+def split_sub_items(item, split_bigger_than: int):
+    """Segment one problem at large anchor gaps into ragged sub-items
+    (getPosteriorProbsWithBandingSplittingAlignmentsByLargeGaps,
+    pairwiseAligner.c:984-1040) so long-gap reads ride the batched solver
+    with everything else. Returns (sub_items, (x1, y1) offsets)."""
+    x_sym, y_sym = item["x_sym"], item["y_sym"]
+    anchors = [] if item["anchors"] is None else \
+        [tuple(int(v) for v in a) for a in item["anchors"]]
+    lx, ly = len(x_sym), len(y_sym)
+    splits = get_split_points(anchors, lx, ly, split_bigger_than,
+                              False, False)
+    subs, offs = [], []
+    j = 0
+    for i, (x1, y1, x2, y2) in enumerate(splits):
+        sub_anchors = []
+        while j < len(anchors):
+            x, y = anchors[j][0], anchors[j][1]
+            if x + y >= x2 + y2:
+                break
+            sub_anchors.append((x - x1, y - y1) + tuple(anchors[j][2:]))
+            j += 1
+        sub = {"x_sym": x_sym[x1:x2], "y_sym": y_sym[y1:y2],
+               "anchors": sub_anchors, "strand": item["strand"],
+               "ragged_left": i > 0, "ragged_right": i < len(splits) - 1}
+        if item.get("rep_x") is not None:
+            sub["rep_x"] = item["rep_x"][x1:x2]
+            sub["rep_y"] = item["rep_y"][y1:y2]
+        subs.append(sub)
+        offs.append((x1, y1))
+    return subs, offs
+
+
 def banded_posteriors_many(tables: PairHmmTables, items,
                            expansion: int, threshold: float = 0.01,
                            use_lut: bool = False, dynamic: bool = False):
@@ -883,10 +915,11 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
         d_pad = _bucket_dpad(geom.d_pad)
         w_pad = int(np.ceil(geom.w_pad / 8)) * 8
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
-        key = (d_pad, w_pad, int(it["strand"]), use_rle, geom.pm1)
+        key = (d_pad, w_pad, int(it["strand"]), use_rle, geom.pm1,
+               bool(it.get("ragged_left")), bool(it.get("ragged_right")))
         groups.setdefault(key, []).append(idx)
 
-    for (d_pad, w_pad, strand, use_rle, pm1), idxs in groups.items():
+    for (d_pad, w_pad, strand, use_rle, pm1, rl, rr), idxs in groups.items():
         # pad the batch to a power of two (repeating the last problem) so
         # the compiled kernel count stays bounded
         b_pad = 1 << int(np.ceil(np.log2(len(idxs)))) if len(idxs) > 1 else 1
@@ -934,7 +967,7 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
             jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lxs),
             jnp.asarray(lys), jnp.asarray(xmy_l), jnp.asarray(widths),
             xbj, ybj,
-            False, False, d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
+            rl, rr, d_pad=d_pad, w_pad=w_pad, use_lut=use_lut,
             use_rle=use_rle,
             precompute_emissions=_precompute_policy(len(padded_idxs), d_pad,
                                                     w_pad),

@@ -558,7 +558,7 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
     if batched:
         items = []
         firsts = []
-        split_results = {}  # idx -> result for reads with large-gap splits
+        split_map = {}  # read idx -> [(item idx, (x1, y1)), ...]
         for i, read in enumerate(reads):
             anchors = (anchor_alignments[i]
                        if anchor_alignments is not None else [])
@@ -567,24 +567,44 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
                 item["anchors"], len(item["x_sym"]), len(item["y_sym"]),
                 params.p.splitMatrixBiggerThanThis, False, False)
             if len(splits) > 1:
-                # rare large-gap reads go through the splitting path alone
-                split_results[i] = banded.banded_posteriors_split(
-                    tables, item["x_sym"], item["y_sym"], item["anchors"],
-                    params.p.diagonalExpansion, item["strand"],
-                    params.p.splitMatrixBiggerThanThis,
-                    threshold=params.p.threshold, use_lut=use_lut,
-                    dynamic=params.p.dynamicAnchorExpansion,
-                    rep_x=item.get("rep_x"), rep_y=item.get("rep_y"))
+                # large-gap reads: ragged sub-rectangles join the same
+                # batched solve (pairwiseAligner.c:984-1040 semantics)
+                subs, offs = banded.split_sub_items(
+                    item, params.p.splitMatrixBiggerThanThis)
+                split_map[i] = [(len(items) + 1 + k, offs[k])
+                                for k in range(len(subs))]
                 item = {"x_sym": item["x_sym"][:0], "y_sym": item["y_sym"][:0],
                         "anchors": [], "strand": item["strand"]}
-            items.append(item)
+                items.append(item)
+                items.extend(subs)
+            else:
+                items.append(item)
             firsts.append(first_ref)
         results = banded.banded_posteriors_many(
             tables, items, params.p.diagonalExpansion,
             threshold=params.p.threshold, use_lut=use_lut,
             dynamic=params.p.dynamicAnchorExpansion)
+        read_item_idx = {}
+        j = 0
+        for i in range(len(reads)):
+            read_item_idx[i] = j
+            j += 1 + len(split_map.get(i, ()))
         for i, read in enumerate(reads):
-            (m, gx, gy), _total = split_results.get(i, results[i])
+            if i in split_map:
+                parts = [[], [], []]
+                for sub_idx, (x1, y1) in split_map[i]:
+                    (sm, sgx, sgy), _t = results[sub_idx]
+                    for acc, arr in zip(parts, (sm, sgx, sgy)):
+                        if len(arr):
+                            arr = arr.copy()
+                            arr[:, 1] += x1
+                            arr[:, 2] += y1
+                            acc.append(arr)
+                empty = np.zeros((0, 3), dtype=np.int64)
+                m, gx, gy = (np.concatenate(p) if p else empty
+                             for p in parts)
+            else:
+                (m, gx, gy), _total = results[read_item_idx[i]]
             for arr in (m, gx, gy):
                 if len(arr):
                     arr[:, 1] += firsts[i]
