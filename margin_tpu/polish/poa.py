@@ -76,15 +76,21 @@ class Poa:
     def __init__(self, reference: RleString, max_repeat_count: int):
         self.ref_string = reference.copy()
         self.max_repeat_count = max_repeat_count
-        self.nodes: List[PoaNode] = [self._make_node("N", 1)]
+        # node weight arrays are VIEWS into shared accumulators so augment
+        # can np.add.at the whole read in one call (no per-node loop)
+        n = reference.length + 1
+        self._bw = np.zeros((n, 5))
+        self._rw = np.zeros((n, max_repeat_count))
+        self.nodes: List[PoaNode] = [self._make_node("N", 1, 0)]
         for i in range(reference.length):
             self.nodes.append(self._make_node(reference.bases[i].upper(),
-                                              int(reference.counts[i])))
+                                              int(reference.counts[i]),
+                                              i + 1))
 
-    def _make_node(self, base: str, repeat: int) -> PoaNode:
+    def _make_node(self, base: str, repeat: int, row: int) -> PoaNode:
         if base not in "ACGT":
             base = "N"
-        return PoaNode(base, repeat, np.zeros(5), np.zeros(self.max_repeat_count))
+        return PoaNode(base, repeat, self._bw[row], self._rw[row])
 
     # -- augmentation (poa.c:317-543) ---------------------------------------
 
@@ -109,15 +115,8 @@ class Poa:
             syms = read_syms[ys]
             rcs = np.minimum(read.counts[ys].astype(np.int64),
                              self.max_repeat_count - 1)
-            n_nodes = len(self.nodes)
-            bw = np.zeros((n_nodes, 5))
-            np.add.at(bw, (xs + 1, syms), ws)
-            rw = np.zeros((n_nodes, self.max_repeat_count))
-            np.add.at(rw, (xs + 1, rcs), ws)
-            for i in np.unique(xs):
-                node = self.nodes[int(i) + 1]
-                node.base_weights += bw[i + 1]
-                node.repeat_count_weights += rw[i + 1]
+            np.add.at(self._bw, (xs + 1, syms), ws)
+            np.add.at(self._rw, (xs + 1, rcs), ws)
             ys_l = ys.tolist()
             ws_l = ws.tolist()
             starts = np.flatnonzero(np.diff(xs, prepend=xs[0] - 1))
