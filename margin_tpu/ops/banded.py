@@ -771,12 +771,13 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
                                   dynamic=dynamic, smooth=True)
         d_pad = _bucket_dpad(geom.d_pad)
-        # one wide storage bucket (W=64 covers every realistic band; 128
-        # for SV-ish outliers): per-diagonal kernel cost is a handful of
-        # VPU ops either way, while every distinct (D, W) combination
-        # costs a fresh multi-minute accelerator compile and fragments
-        # the batch into smaller lane groups
-        w_pad = 64 if geom.w_pad <= 64 else 128
+        # few storage buckets (every distinct (D, W) combination costs a
+        # fresh accelerator compile and fragments the batch into smaller
+        # lane groups): W=8 fits the dense-anchor realign passes (band
+        # width 7-8 on 30kb+ reads — W=64 would 8x their memory and blow
+        # the HBM guard), W=64 covers k-mer-anchored first passes, 128
+        # the SV-ish outliers
+        w_pad = 8 if geom.w_pad <= 8 else (64 if geom.w_pad <= 64 else 128)
         # guard: smoothed storage blows up when anchors are wildly
         # non-colinear — the ~12 (D, W, 128) f32 working buffers must fit
         # comfortably in HBM, else use the scan path for this item
@@ -787,6 +788,15 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
         groups.setdefault((w_pad, use_rle), []).append((d_pad, idx))
 
     if fallback:
+        if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1":
+            for i in fallback:
+                it = items[i]
+                g = BandGeometry.build(it["anchors"], len(it["x_sym"]),
+                                       len(it["y_sym"]), expansion,
+                                       dynamic=dynamic, smooth=True)
+                print(f"[pallas] fallback item lx={len(it['x_sym'])} "
+                      f"ly={len(it['y_sym'])} d={g.d_pad} w={g.w_pad} "
+                      f"anchors={len(it['anchors'])}", flush=True)
         fb_res = _posteriors_many_scan(tables, [items[i] for i in fallback],
                                        expansion, threshold, use_lut, dynamic)
         for idx, r in zip(fallback, fb_res):

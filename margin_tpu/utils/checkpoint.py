@@ -11,6 +11,7 @@ is removed when the run completes.
 
 from __future__ import annotations
 
+import gzip
 import json
 import os
 import pickle
@@ -24,6 +25,8 @@ class ChunkCheckpointer:
         self.directory = directory
         self.enabled = enabled
         self.loaded = 0
+        self.bytes_written = 0
+        self._log = log
         if not enabled:
             return
         meta = meta or {}
@@ -53,6 +56,9 @@ class ChunkCheckpointer:
             return None
         try:
             with open(path, "rb") as fh:
+                head = fh.read(2)
+            opener = gzip.open if head == b"\x1f\x8b" else open
+            with opener(path, "rb") as fh:
                 payload = pickle.load(fh)
             self.loaded += 1
             return payload
@@ -64,14 +70,21 @@ class ChunkCheckpointer:
             return
         path = self._path(chunk_idx)
         tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
+        # gzip level 1: pickled per-chunk results are numpy/string heavy
+        # and compress 3-5x, which bounds WGS-scale checkpoint disk
+        with gzip.open(tmp, "wb", compresslevel=1) as fh:
             pickle.dump(payload, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        self.bytes_written += os.path.getsize(tmp)
         os.replace(tmp, path)  # atomic: no torn checkpoints
 
     def finalize(self) -> None:
         """Remove the checkpoint directory after a successful run."""
         if self.enabled and os.path.isdir(self.directory):
             shutil.rmtree(self.directory)
+
+    def report(self) -> str:
+        return (f"checkpoint: {self.bytes_written / 1e6:.1f} MB written, "
+                f"{self.loaded} chunks resumed")
 
 
 def snapshot_vcf_entries(vcf_entries_map, ref_name: str, start: int,
