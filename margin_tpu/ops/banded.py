@@ -647,43 +647,50 @@ def _extract_cap(d_pad: int) -> int:
 
 
 @jax.jit
-def _device_count_flat(post, x_base, y_base, threshold):
-    """Per-(problem, state) above-threshold cell counts for a (B, D, 3, W)
-    posterior batch — the cheap first phase of the flat extraction."""
-    k_iota = jnp.arange(post.shape[-1])[None, None, :]
-    x_ok = (x_base[:, :, None] + 1 + k_iota) > 0    # (B, D, W)
-    y_ok = (y_base[:, :, None] + 1 - k_iota) > 0
-    sel_m = (post[:, :, MATCH, :] >= threshold) & x_ok & y_ok
-    sel_gx = (post[:, :, GAPX, :] >= threshold) & x_ok
-    sel_gy = (post[:, :, GAPY, :] >= threshold) & y_ok
-    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=2)
-    return jnp.sum(sel, axis=(1, 3))                # (B, 3)
+def _device_count_flat(post, x_base, y_base, valid_b, threshold):
+    """Per-(problem, state) above-threshold cell counts for a (D, 3, W, B)
+    posterior batch (the Pallas FB's native, lane-last layout) — the cheap
+    first phase of the flat extraction. valid_b masks pad lanes."""
+    k_iota = jnp.arange(post.shape[2])[None, :, None]
+    xb = jnp.transpose(x_base, (1, 0))[:, None, :]   # (D, 1, B)
+    yb = jnp.transpose(y_base, (1, 0))[:, None, :]
+    x_ok = (xb + 1 + k_iota) > 0                     # (D, W, B)
+    y_ok = (yb + 1 - k_iota) > 0
+    vb = valid_b[None, None, :]
+    sel_m = (post[:, MATCH] >= threshold) & x_ok & y_ok & vb
+    sel_gx = (post[:, GAPX] >= threshold) & x_ok & vb
+    sel_gy = (post[:, GAPY] >= threshold) & y_ok & vb
+    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=1)
+    return jnp.transpose(jnp.sum(sel, axis=(0, 2)), (1, 0))  # (B, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def _device_extract_flat(post, x_base, y_base, threshold, K: int):
+def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     """Flat batched addPosteriorProb extraction: ALL above-threshold cells
-    of the (B, D, 3, W) batch compacted into K-sized flat arrays tagged by
+    of the (D, 3, W, B) batch compacted into K-sized flat arrays tagged by
     (problem, state).  K is sized from the exact counts of
     `_device_count_flat`, so the device->host transfer is the result data
     itself — critical on tunneled accelerators where readback bandwidth,
     not compute, dominates."""
-    k_iota = jnp.arange(post.shape[-1])[None, None, :]
-    x_pos = x_base[:, :, None] + 1 + k_iota         # (B, D, W)
-    y_pos = y_base[:, :, None] + 1 - k_iota
-    sel_m = (post[:, :, MATCH, :] >= threshold) & (x_pos > 0) & (y_pos > 0)
-    sel_gx = (post[:, :, GAPX, :] >= threshold) & (x_pos > 0)
-    sel_gy = (post[:, :, GAPY, :] >= threshold) & (y_pos > 0)
-    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=2)
+    k_iota = jnp.arange(post.shape[2])[None, :, None]
+    xb = jnp.transpose(x_base, (1, 0))[:, None, :]
+    yb = jnp.transpose(y_base, (1, 0))[:, None, :]
+    x_pos = xb + 1 + k_iota                          # (D, W, B)
+    y_pos = yb + 1 - k_iota
+    vb = valid_b[None, None, :]
+    sel_m = (post[:, MATCH] >= threshold) & (x_pos > 0) & (y_pos > 0) & vb
+    sel_gx = (post[:, GAPX] >= threshold) & (x_pos > 0) & vb
+    sel_gy = (post[:, GAPY] >= threshold) & (y_pos > 0) & vb
+    sel = jnp.stack([sel_m, sel_gx, sel_gy], axis=1)  # (D, 3, W, B)
     total = jnp.sum(sel)
-    b_i, d_i, s_i, k_i = jnp.nonzero(sel, size=K, fill_value=0)
-    probs = jnp.floor(jnp.minimum(post[b_i, d_i, s_i, k_i], 1.0)
+    d_i, s_i, k_i, b_i = jnp.nonzero(sel, size=K, fill_value=0)
+    probs = jnp.floor(jnp.minimum(post[d_i, s_i, k_i, b_i], 1.0)
                       * 10_000_000).astype(jnp.int32)
     valid = jnp.arange(K) < total
     tag = jnp.where(valid, b_i * 3 + s_i, jnp.int32(1 << 30))
     return (jnp.where(valid, probs, 0),
-            jnp.where(valid, x_pos[b_i, d_i, k_i] - 1, 0),
-            jnp.where(valid, y_pos[b_i, d_i, k_i] - 1, 0),
+            jnp.where(valid, x_pos[d_i, k_i, b_i] - 1, 0),
+            jnp.where(valid, y_pos[d_i, k_i, b_i] - 1, 0),
             tag)
 
 
@@ -777,11 +784,11 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
         # width 7-8 on 30kb+ reads — W=64 would 8x their memory and blow
         # the HBM guard), W=64 covers k-mer-anchored first passes, 128
         # the SV-ish outliers
-        w_pad = 8 if geom.w_pad <= 8 else (64 if geom.w_pad <= 64 else 128)
+        w_pad = 16 if geom.w_pad <= 16 else (64 if geom.w_pad <= 64 else 128)
         # guard: smoothed storage blows up when anchors are wildly
         # non-colinear — the ~12 (D, W, 128) f32 working buffers must fit
         # comfortably in HBM, else use the scan path for this item
-        if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 8e9:
+        if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 12e9:
             fallback.append(idx)
             continue
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
@@ -797,8 +804,34 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 print(f"[pallas] fallback item lx={len(it['x_sym'])} "
                       f"ly={len(it['y_sym'])} d={g.d_pad} w={g.w_pad} "
                       f"anchors={len(it['anchors'])}", flush=True)
-        fb_res = _posteriors_many_scan(tables, [items[i] for i in fallback],
-                                       expansion, threshold, use_lut, dynamic)
+        # monsters (no/degenerate anchors -> band ~ full matrix) cannot fit
+        # accelerator HBM at any tiling; the reference computes these on
+        # the CPU too (getPosteriorProbsWithBanding over the full band).
+        # Host RAM is plentiful, and using the same scan code on the CPU
+        # device keeps results identical across backends.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception:
+            cpu = None
+        if cpu is not None:
+            # uncommitted (numpy) table copies so the jit places on cpu;
+            # committed accelerator arrays would pin compilation back to
+            # the accelerator despite default_device
+            tables_cpu = type(tables)(
+                match=np.asarray(tables.match),
+                gap_x=np.asarray(tables.gap_x),
+                gap_y=np.asarray(tables.gap_y),
+                trans=np.asarray(tables.trans),
+                repeat=(None if tables.repeat is None
+                        else np.asarray(tables.repeat)))
+            with jax.default_device(cpu):
+                fb_res = _posteriors_many_scan(
+                    tables_cpu, [items[i] for i in fallback], expansion,
+                    threshold, use_lut, dynamic)
+        else:
+            fb_res = _posteriors_many_scan(
+                tables, [items[i] for i in fallback], expansion, threshold,
+                use_lut, dynamic)
         for idx, r in zip(fallback, fb_res):
             results[idx] = r
 
@@ -819,12 +852,20 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             post, totals, geoms = pallas_banded.fb_posteriors_group(
                 tables, [items[i] for i in chunk], d_pad, w_pad, expansion,
                 use_lut, dynamic, use_rle)
-            xb = jnp.asarray(np.stack([g.x_base for g in geoms]))
-            yb = jnp.asarray(np.stack([g.y_base for g in geoms]))
+            b_pad = post.shape[-1]
+            # pad lanes replicate the last geometry; valid_b masks them
+            xb_np = np.stack([g.x_base for g in geoms]
+                             + [geoms[-1].x_base] * (b_pad - len(geoms)))
+            yb_np = np.stack([g.y_base for g in geoms]
+                             + [geoms[-1].y_base] * (b_pad - len(geoms)))
+            xb = jnp.asarray(xb_np)
+            yb = jnp.asarray(yb_np)
+            valid_b = jnp.asarray(np.arange(b_pad) < len(geoms))
             t1 = time.perf_counter()
             # two-phase flat extraction: exact counts (tiny readback) size
             # the gather, so only real result pairs cross the tunnel
-            counts = np.asarray(_device_count_flat(post, xb, yb, threshold))
+            counts = np.asarray(_device_count_flat(post, xb, yb, valid_b,
+                                                   threshold))[:len(chunk)]
             t2 = time.perf_counter()
             total = int(counts.sum())
             K = 1024
@@ -832,6 +873,7 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 K *= 2
             vals, pxs, pys, tags = (np.asarray(a) for a in
                                     _device_extract_flat(post, xb, yb,
+                                                         valid_b,
                                                          threshold, K))
             t3 = time.perf_counter()
             # order pairs by (tag, x, y) and split into per-(problem,

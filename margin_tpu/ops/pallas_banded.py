@@ -296,17 +296,17 @@ def _fb_pallas(e_fwd, e_bwd, meta, lxy, trans, init_cell, end_w,
         interpret=interpret,
     )(meta, e_fwd[0], e_fwd[1], e_fwd[2], lxy, trans, init_cell)
 
-    # total log prob at the per-problem final corner (lx, ly)
+    # total log prob at the per-problem final corner (lx, ly): gather fwd
+    # at (d_final, state, k_final, b) with advanced indexing — vmapping
+    # over the lane axis here made XLA materialize a (B, D, 3, W)
+    # transposed copy of fwd (25 GB at D=98304/W=16 from tail-dim padding)
     la = _lut_log_add if use_lut else jnp.logaddexp
-
-    def one_total(fwd_b, d_f, k_f, ew):
-        f3 = jax.lax.dynamic_index_in_dim(fwd_b, d_f, 0, keepdims=False)
-        f3 = jax.lax.dynamic_index_in_dim(f3, k_f, 1, keepdims=False)
-        t = f3 + ew
-        return la(la(t[0], t[1]), t[2])
-
-    totals = jax.vmap(one_total, in_axes=(3, 0, 0, 1))(
-        fwd, lxy[0] + lxy[1], lxy[2], end_w)
+    b_idx = jnp.arange(B)
+    d_fin = lxy[0] + lxy[1]
+    f3 = fwd[d_fin[:, None], jnp.arange(3)[None, :],
+             lxy[2][:, None], b_idx[:, None]]        # (B, 3)
+    t = f3 + end_w.T
+    totals = la(la(t[:, 0], t[:, 1]), t[:, 2])
 
     rspec_d = pl.BlockSpec((block_d, W, B), lambda i: (nblk - 1 - i, 0, 0))
     rspec_m = pl.BlockSpec((block_d, N_META, B),
@@ -347,10 +347,16 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     D = x_base.shape[1]
     W = w_pad
     W2 = W + 2
-    k = jnp.arange(W2)[None, None, :]
-    lx = lxs[:, None, None]
-    ly = lys[:, None, None]
-    boff = (jnp.arange(B, dtype=jnp.int32) * Lp)[:, None, None]
+    # everything is built DIRECTLY in the kernel's (D, W, B) orientation:
+    # B=128 rides the lane dim end to end, so no layout-changing
+    # transposes exist (XLA's (D,W,B) transpose of a W=16 grid padded the
+    # sublane dim 8x and OOM'd HBM at D=98304)
+    k = jnp.arange(W2)[None, :, None]
+    lx = lxs[None, None, :]
+    ly = lys[None, None, :]
+    boff = (jnp.arange(B, dtype=jnp.int32) * Lp)[None, None, :]
+    xb_t = jnp.transpose(x_base, (1, 0))[:, None, :]   # (D, 1, B)
+    yb_t = jnp.transpose(y_base, (1, 0))[:, None, :]
 
     # packed per-position values: symbol in bits 0-2, repeat count in
     # bits 3+, so ONE gather serves both the symbol and repeat windows
@@ -363,64 +369,63 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     def wide_window(tab, idx, in_range):
         g = jnp.take(tab.reshape(-1),
                      (jnp.clip(idx, 0, Lp - 1) + boff).reshape(-1),
-                     mode="clip").reshape(B, D, W2)
+                     mode="clip").reshape(D, W2, B)
         return jnp.where(in_range, g, 4)  # fill: symbol 4, repeat 0
 
     # W+2-wide paired tracks: px[j] at ix = x_base-1+j, py[j] at
     # iy = y_base+1-j (px[j]/py[j] pair on one anti-diagonal); every
     # fwd/bwd grid is a unit-shifted slice of these
-    px_idx = (x_base - 1)[:, :, None] + k
-    py_idx = (y_base + 1)[:, :, None] - k
+    px_idx = (xb_t - 1) + k
+    py_idx = (yb_t + 1) - k
     px = wide_window(px_tab, px_idx, (px_idx >= 0) & (px_idx < lx))
     py = wide_window(py_tab, py_idx, (py_idx >= 0) & (py_idx < ly))
     sx = px & 7 if use_rle else px
     sy = py & 7 if use_rle else py
 
     def sel_sum(tab, sym, n):
-        # tab: (B, n) per-problem values; sym: windowed symbols
+        # tab: (B, n) per-problem values; sym: (D, *, B) windowed symbols
         out = jnp.zeros(sym.shape, tab.dtype)
         for s in range(n):
-            out = out + jnp.where(sym == s, tab[:, s, None, None], 0)
+            out = out + jnp.where(sym == s, tab[None, None, :, s], 0)
         return out
 
     gxw = sel_sum(gx_tab, sx, 5)
     gyw = sel_sum(gy_tab, sy, 5)
     if use_rle:
         # same-diagonal wide repeat grid; the bwd grid is this one two
-        # diagonals down with a per-(problem, diagonal) sublane shift --
-        # no second 2601-entry gather
+        # diagonals down with a per-(problem, diagonal) shift -- no
+        # second 2601-entry gather
         n = 51
         base = jnp.where(sx >= 4, 0, sx)
         ridx = base * (n * n) + (px >> 3) * n + (py >> 3)
         rboff = (jnp.arange(B, dtype=jnp.int32)
-                 * rep_tab.shape[1])[:, None, None]
+                 * rep_tab.shape[1])[None, None, :]
         rfw = jnp.take(rep_tab.reshape(-1), (ridx + rboff).reshape(-1),
-                       mode="clip").reshape(B, D, W2)
+                       mode="clip").reshape(D, W2, B)
         s2 = jnp.concatenate(
             [x_base[:, 2:] - x_base[:, :-2],
-             jnp.zeros((B, 2), x_base.dtype)], axis=1)[:, :, None]
+             jnp.zeros((B, 2), x_base.dtype)], axis=1)
+        s2 = jnp.transpose(s2, (1, 0))[:, None, :]     # (D, 1, B)
         r2 = jnp.concatenate(
-            [rfw[:, 2:], jnp.zeros((B, 2, W2), rfw.dtype)], axis=1)
-        rep_fwd = rfw[:, :, 1:W + 1]
+            [rfw[2:], jnp.zeros((2, W2, B), rfw.dtype)], axis=0)
+        rep_fwd = rfw[:, 1:W + 1, :]
         # bwd j index = k + 2 - s2 (s2 in {0,1,2}); out-of-range rows are
         # harmless (paired with NEG neighbor values in the kernel)
         rep_bwd = jnp.where(
-            s2 == 0, r2[:, :, 2:W + 2],
-            jnp.where(s2 == 1, r2[:, :, 1:W + 1], r2[:, :, 0:W]))
+            s2 == 0, r2[:, 2:W + 2, :],
+            jnp.where(s2 == 1, r2[:, 1:W + 1, :], r2[:, 0:W, :]))
 
     def grids(xo):
         # fwd (xo=0): cx = px[1:W+1], cy = py[1:W+1]
         # bwd (xo=1): cx = px[2:W+2], cy = py[0:W]
         xs_ = slice(1, W + 1) if xo == 0 else slice(2, W + 2)
         ys_ = slice(1, W + 1) if xo == 0 else slice(0, W)
-        e_m = sel_sum(m_tab, sx[:, :, xs_] * 5 + sy[:, :, ys_], 25)
+        e_m = sel_sum(m_tab, sx[:, xs_, :] * 5 + sy[:, ys_, :], 25)
         if use_rle:
             e_m = e_m + (rep_fwd if xo == 0 else rep_bwd)
-        return e_m, gxw[:, :, xs_], gyw[:, :, ys_]
+        return e_m, gxw[:, xs_, :], gyw[:, ys_, :]
 
-    # (B, D, W) -> (D, W, B)
-    tr = lambda t: tuple(jnp.transpose(a, (1, 2, 0)) for a in t)
-    return tr(grids(0)), tr(grids(1))
+    return grids(0), grids(1)
 
 
 def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
@@ -533,5 +538,7 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
               f"{_time.perf_counter()-t1:.2f}s (D={d_use} blk={block_d} "
               f"B={b_pad})", flush=True)
     # (D, 3, W, B) -> (B, D, 3, W) for the shared extraction path
-    post_b = jnp.transpose(post, (3, 0, 1, 2))[:B_real]
-    return post_b, np.asarray(totals[:B_real], dtype=np.float64), geoms
+    # post stays in the kernel's native (D, 3, W, B) layout — transposing
+    # to problem-major pads the (3, W) tail dims up to 8x in HBM; the
+    # extraction kernels consume this layout directly with a lane mask
+    return post, np.asarray(totals[:B_real], dtype=np.float64), geoms
