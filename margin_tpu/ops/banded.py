@@ -825,9 +825,12 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 repeat=(None if tables.repeat is None
                         else np.asarray(tables.repeat)))
             with jax.default_device(cpu):
+                # smooth=False: the pm1 storage track diverges on the
+                # non-colinear anchor sets that land here (w blows past
+                # the matrix dimension, 30-60x wasted band area)
                 fb_res = _posteriors_many_scan(
                     tables_cpu, [items[i] for i in fallback], expansion,
-                    threshold, use_lut, dynamic)
+                    threshold, use_lut, dynamic, smooth=False)
         else:
             fb_res = _posteriors_many_scan(
                 tables, [items[i] for i in fallback], expansion, threshold,
@@ -950,12 +953,13 @@ def banded_posteriors_many(tables: PairHmmTables, items,
 
 def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
                           threshold: float = 0.01, use_lut: bool = False,
-                          dynamic: bool = False):
+                          dynamic: bool = False, smooth=None):
     """lax.scan grouped-vmapped solve (the CPU path and accelerator
     fallback for degenerate band geometries)."""
     results = [None] * len(items)
     groups = {}
-    smooth = _smooth_policy()
+    if smooth is None:
+        smooth = _smooth_policy()
     for idx, it in enumerate(items):
         lx, ly = len(it["x_sym"]), len(it["y_sym"])
         if lx + ly == 0:
