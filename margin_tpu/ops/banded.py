@@ -804,37 +804,9 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 print(f"[pallas] fallback item lx={len(it['x_sym'])} "
                       f"ly={len(it['y_sym'])} d={g.d_pad} w={g.w_pad} "
                       f"anchors={len(it['anchors'])}", flush=True)
-        # monsters (no/degenerate anchors -> band ~ full matrix) cannot fit
-        # accelerator HBM at any tiling; the reference computes these on
-        # the CPU too (getPosteriorProbsWithBanding over the full band).
-        # Host RAM is plentiful, and using the same scan code on the CPU
-        # device keeps results identical across backends.
-        try:
-            cpu = jax.devices("cpu")[0]
-        except Exception:
-            cpu = None
-        if cpu is not None:
-            # uncommitted (numpy) table copies so the jit places on cpu;
-            # committed accelerator arrays would pin compilation back to
-            # the accelerator despite default_device
-            tables_cpu = type(tables)(
-                match=np.asarray(tables.match),
-                gap_x=np.asarray(tables.gap_x),
-                gap_y=np.asarray(tables.gap_y),
-                trans=np.asarray(tables.trans),
-                repeat=(None if tables.repeat is None
-                        else np.asarray(tables.repeat)))
-            with jax.default_device(cpu):
-                # smooth=False: the pm1 storage track diverges on the
-                # non-colinear anchor sets that land here (w blows past
-                # the matrix dimension, 30-60x wasted band area)
-                fb_res = _posteriors_many_scan(
-                    tables_cpu, [items[i] for i in fallback], expansion,
-                    threshold, use_lut, dynamic, smooth=False)
-        else:
-            fb_res = _posteriors_many_scan(
-                tables, [items[i] for i in fallback], expansion, threshold,
-                use_lut, dynamic)
+        fb_res = _solve_fallback_items(tables, [items[i] for i in fallback],
+                                       expansion, threshold, use_lut,
+                                       dynamic)
         for idx, r in zip(fallback, fb_res):
             results[idx] = r
 
@@ -932,6 +904,98 @@ def split_sub_items(item, split_bigger_than: int):
     return subs, offs
 
 
+# items whose exact band exceeds this many cells route to the native C++
+# kernel (native/marginfb.cc) on EVERY backend — the policy is a property
+# of the item alone, so CPU and accelerator runs stay consistent
+_MONSTER_CELLS = 30_000_000
+
+
+def _true_band_cells(geom: BandGeometry) -> int:
+    """Exact band cell count (independent of storage smoothing)."""
+    w = geom.widths.astype(np.int64)
+    if geom.k_lo is not None:
+        w = w - geom.k_lo
+    return int(np.maximum(w, 0).sum())
+
+
+def _solve_native_items(tables, items, expansion, threshold, use_lut,
+                        dynamic):
+    """Native C++ banded FB over a list of items, threaded (the GIL drops
+    for each call)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from margin_tpu.ops import native_fb
+
+    def one(i):
+        return i, native_fb.posteriors_item(tables, items[i], expansion,
+                                            threshold, use_lut, dynamic)
+
+    results = [None] * len(items)
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+        for i, r in ex.map(one, range(len(items))):
+            results[i] = r
+    return results
+
+
+def _solve_fallback_items(tables, items, expansion, threshold, use_lut,
+                          dynamic):
+    """Solve guard-rejected items: monsters (by the backend-independent
+    _MONSTER_CELLS policy) on the native C++ kernel when built; the rest
+    on the scan path pinned to the in-process CPU device with exact
+    unsmoothed geometry."""
+    from margin_tpu.ops import native_fb
+
+    results = [None] * len(items)
+    scan_items, scan_idx = [], []
+    native_items, native_idx = [], []
+    for i, it in enumerate(items):
+        geom = BandGeometry.build(it["anchors"], len(it["x_sym"]),
+                                  len(it["y_sym"]), expansion,
+                                  dynamic=dynamic, smooth=False)
+        if (native_fb.lib() is not None
+                and _true_band_cells(geom) > _MONSTER_CELLS):
+            native_items.append(it)
+            native_idx.append(i)
+        else:
+            scan_items.append(it)
+            scan_idx.append(i)
+    if native_items:
+        for i, r in zip(native_idx,
+                        _solve_native_items(tables, native_items, expansion,
+                                            threshold, use_lut, dynamic)):
+            results[i] = r
+    if not scan_items:
+        return results
+
+    def fill(res):
+        for i, r in zip(scan_idx, res):
+            results[i] = r
+        return results
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        cpu = None
+    if cpu is None:
+        return fill(_posteriors_many_scan(tables, scan_items, expansion,
+                                          threshold, use_lut, dynamic))
+    # uncommitted (numpy) table copies so the jit places on cpu; committed
+    # accelerator arrays would pin compilation back to the accelerator.
+    # smooth=False: the pm1 storage track diverges on the non-colinear
+    # anchor sets that land here (w blows past the matrix dimension)
+    tables_cpu = type(tables)(
+        match=np.asarray(tables.match),
+        gap_x=np.asarray(tables.gap_x),
+        gap_y=np.asarray(tables.gap_y),
+        trans=np.asarray(tables.trans),
+        repeat=(None if tables.repeat is None
+                else np.asarray(tables.repeat)))
+    with jax.default_device(cpu):
+        return fill(_posteriors_many_scan(tables_cpu, scan_items, expansion,
+                                          threshold, use_lut, dynamic,
+                                          smooth=False))
+
+
 def banded_posteriors_many(tables: PairHmmTables, items,
                            expansion: int, threshold: float = 0.01,
                            use_lut: bool = False, dynamic: bool = False):
@@ -956,8 +1020,11 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
                           dynamic: bool = False, smooth=None):
     """lax.scan grouped-vmapped solve (the CPU path and accelerator
     fallback for degenerate band geometries)."""
+    from margin_tpu.ops import native_fb
+
     results = [None] * len(items)
     groups = {}
+    monster_items, monster_idx = [], []
     if smooth is None:
         smooth = _smooth_policy()
     for idx, it in enumerate(items):
@@ -968,6 +1035,11 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
             continue
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
                                   dynamic=dynamic, smooth=smooth)
+        if (native_fb.lib() is not None
+                and _true_band_cells(geom) > _MONSTER_CELLS):
+            monster_items.append(it)
+            monster_idx.append(idx)
+            continue
         d_pad = _bucket_dpad(geom.d_pad)
         w_pad = int(np.ceil(geom.w_pad / 8)) * 8
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
@@ -1042,6 +1114,12 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
                 _pairs_from_compact(vals[k], pxs[k], pys[k], counts[k], K,
                                     post[k], geoms[k], threshold),
                 float(totals[k]))
+    if monster_items:
+        for i, r in zip(monster_idx,
+                        _solve_native_items(tables, monster_items,
+                                            expansion, threshold, use_lut,
+                                            dynamic)):
+            results[i] = r
     return results
 
 

@@ -1,0 +1,96 @@
+"""Native C++ banded FB (native/marginfb.cc) vs the jax scan path.
+
+Monster alignments route here on every backend; the kernel must
+reproduce the scan path's posteriors (same f32 formulas, band, and
+thresholding) for anchored/anchorless, ragged, RLE, and LUT variants."""
+
+import numpy as np
+import pytest
+
+from margin_tpu.ops import banded, native_fb, pairhmm
+from margin_tpu.params import Params, StateMachineParams
+
+pytestmark = pytest.mark.skipif(native_fb.lib() is None,
+                                reason="native FB library not built")
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return pairhmm.PairHmmTables.from_params(
+        StateMachineParams.default_nucleotide())
+
+
+@pytest.fixture(scope="module")
+def tables_rle():
+    params = Params.load(
+        "/root/reference/params/polish/ont/r9.4/allParams.np.human.r94-g344.json")
+    pp = params.polish
+    return pairhmm.PairHmmTables.from_params(pp.sm_forward, pp.sm_reverse,
+                                             repeat=pp.repeat_sub_matrix)
+
+
+def _mk_item(rng, lx, ly, n_anchor, strand, rle=False, **kw):
+    it = {"x_sym": rng.integers(0, 4, lx).astype(np.int32),
+          "y_sym": rng.integers(0, 4, ly).astype(np.int32),
+          "anchors": [], "strand": strand}
+    if n_anchor:
+        axs = np.sort(rng.choice(lx, n_anchor, replace=False))
+        ays = np.sort(rng.choice(ly, n_anchor, replace=False))
+        it["anchors"] = [(int(a), int(b), 4) for a, b in zip(axs, ays)]
+    if rle:
+        it["rep_x"] = rng.integers(1, 8, lx).astype(np.int32)
+        it["rep_y"] = rng.integers(1, 8, ly).astype(np.int32)
+    it.update(kw)
+    return it
+
+
+def _compare(tables, item, use_lut, expansion=6):
+    (nm, ngx, ngy), nt = native_fb.posteriors_item(
+        tables, item, expansion, 0.01, use_lut, False)
+    (sm, sgx, sgy), st = banded.banded_posteriors(
+        tables, item["x_sym"], item["y_sym"], item["anchors"], expansion,
+        item["strand"], ragged_left=bool(item.get("ragged_left")),
+        ragged_right=bool(item.get("ragged_right")), threshold=0.01,
+        use_lut=use_lut, rep_x=item.get("rep_x"), rep_y=item.get("rep_y"))
+    assert nt == pytest.approx(st, abs=2e-3)
+    for a, b in zip((nm, ngx, ngy), (sm, sgx, sgy)):
+        # posteriors near the 1% threshold may flip between float
+        # implementations; compare on the common pair set
+        ka = {(int(x), int(y)): int(p) for p, x, y in a}
+        kb = {(int(x), int(y)): int(p) for p, x, y in b}
+        common = set(ka) & set(kb)
+        assert len(common) >= 0.98 * max(len(ka), len(kb), 1)
+        for key in common:
+            assert abs(ka[key] - kb[key]) <= 2000, key  # 2e-4 in prob
+
+
+@pytest.mark.parametrize("use_lut", [False, True])
+def test_native_matches_scan(tables, use_lut):
+    rng = np.random.default_rng(5)
+    for item in (_mk_item(rng, 60, 64, 7, 0),
+                 _mk_item(rng, 50, 50, 0, 1),          # anchorless
+                 _mk_item(rng, 45, 52, 5, 0, ragged_left=True),
+                 _mk_item(rng, 45, 52, 5, 1, ragged_right=True)):
+        _compare(tables, item, use_lut)
+
+
+@pytest.mark.parametrize("use_lut", [False, True])
+def test_native_matches_scan_rle(tables_rle, use_lut):
+    rng = np.random.default_rng(9)
+    for item in (_mk_item(rng, 70, 64, 8, 0, rle=True),
+                 _mk_item(rng, 40, 44, 0, 1, rle=True)):
+        _compare(tables_rle, item, use_lut)
+
+
+def test_monster_routing(tables):
+    """banded_posteriors_many must produce the native result for items
+    above the monster-cell policy (consistent on every backend)."""
+    rng = np.random.default_rng(3)
+    # anchorless 8000x8000: 64M band cells > _MONSTER_CELLS
+    item = _mk_item(rng, 8000, 8000, 0, 0)
+    (res,) = banded.banded_posteriors_many(tables, [item], expansion=6,
+                                           threshold=0.01)
+    want = native_fb.posteriors_item(tables, item, 6, 0.01, False, False)
+    assert res[1] == want[1]
+    for a, b in zip(res[0], want[0]):
+        np.testing.assert_array_equal(a, b)
