@@ -794,6 +794,7 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
         use_rle = it.get("rep_x") is not None and tables.repeat is not None
         groups.setdefault((w_pad, use_rle), []).append((d_pad, idx))
 
+    fb_future = None
     if fallback:
         if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1":
             for i in fallback:
@@ -804,11 +805,14 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 print(f"[pallas] fallback item lx={len(it['x_sym'])} "
                       f"ly={len(it['y_sym'])} d={g.d_pad} w={g.w_pad} "
                       f"anchors={len(it['anchors'])}", flush=True)
-        fb_res = _solve_fallback_items(tables, [items[i] for i in fallback],
-                                       expansion, threshold, use_lut,
-                                       dynamic)
-        for idx, r in zip(fallback, fb_res):
-            results[idx] = r
+        # overlap the host-side monster/fallback solve with the device
+        # group launches below (the native kernel drops the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+        fb_pool = ThreadPoolExecutor(max_workers=1)
+        fb_future = fb_pool.submit(
+            _solve_fallback_items, tables, [items[i] for i in fallback],
+            expansion, threshold, use_lut, dynamic)
+        fb_pool.shutdown(wait=False)
 
     dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
     # pack items into as few launches as possible: lanes pad to 128 anyway,
@@ -869,6 +873,9 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                       f"rle={use_rle}: fb {t1-t0:.2f}s counts {t2-t1:.2f}s "
                       f"extract({total}/{K}) {t3-t2:.2f}s "
                       f"host {time.perf_counter()-t3:.2f}s", flush=True)
+    if fb_future is not None:
+        for idx, r in zip(fallback, fb_future.result()):
+            results[idx] = r
     return results
 
 
