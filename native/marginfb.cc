@@ -10,9 +10,10 @@
 // at any tiling and are latency-bound on the vectorized host scan (it
 // pays dense (D, W) storage for a ragged band). This kernel walks the
 // exact ragged band with flat per-diagonal storage (sum of real widths,
-// no padding), the way the reference's C does, at C speed. The GIL is
-// released for the whole call, so a Python thread pool overlaps monster
-// items with accelerator batches.
+// no padding), the way the reference's C does. Neighbor indices within a
+// diagonal differ by a constant offset, hoisted out of the inner loops.
+// The GIL is released for the whole call, so a Python thread pool
+// overlaps monster items with accelerator batches.
 //
 // Build: make -C native  (libmarginfb.so)
 
@@ -35,24 +36,22 @@ enum {
 struct LutLogAdd {
   // piecewise-cubic logAdd (pairwiseAligner.c:279-299); coefficients are
   // passed in from logmath so there is a single source of truth
-  double breaks[3];
-  double cubic[4][4];
-  double underflow;
+  float breaks[3];
+  float cubic[4][4];
+  float underflow;
 };
 
 static inline float lut_log_add(const LutLogAdd& t, float x, float y) {
+  // branchless: the range split is arithmetic (the data-dependent chained
+  // compares mispredict badly in the DP inner loop), and the underflow /
+  // NaN (both -inf) case folds into one final select
   float hi = x > y ? x : y;
   float lo = x > y ? y : x;
   float d = hi - lo;
-  if (!(d < t.underflow)) return hi;  // also handles NaN/inf gaps
-  double ds = d < 0.0 ? 0.0 : (d > t.underflow ? t.underflow : (double)d);
-  const double* c;
-  if (ds <= t.breaks[0]) c = t.cubic[0];
-  else if (ds <= t.breaks[1]) c = t.cubic[1];
-  else if (ds <= t.breaks[2]) c = t.cubic[2];
-  else c = t.cubic[3];
-  float approx = (float)(((c[0] * ds + c[1]) * ds + c[2]) * ds + c[3]) + lo;
-  return approx;
+  int idx = (d > t.breaks[0]) + (d > t.breaks[1]) + (d > t.breaks[2]);
+  const float* c = t.cubic[idx];
+  float approx = ((c[0] * d + c[1]) * d + c[2]) * d + c[3] + lo;
+  return (d < t.underflow) ? approx : hi;
 }
 
 static inline float exact_log_add(float x, float y) {
@@ -67,6 +66,252 @@ struct Diag {
   int64_t n;       // number of cells
   int64_t off;     // offset into the flat cell arrays
 };
+
+struct Ctx {
+  const int32_t* x_sym;
+  const int32_t* y_sym;
+  int64_t lx, ly, n_diag;
+  const Diag* diags;
+  const float* match25;
+  const float* gapx5;
+  const float* gapy5;
+  const float* rep_tab;
+  const int32_t* rep_x;
+  const int32_t* rep_y;
+  float trans[9];
+  float ew[3];
+  LutLogAdd lut;
+  int ragged_left;
+  float* fm;
+  float* fx;
+  float* fy;
+};
+
+template <bool USE_LUT>
+static inline float ladd(const Ctx& c, float a, float b) {
+  return USE_LUT ? lut_log_add(c.lut, a, b) : exact_log_add(a, b);
+}
+
+template <bool USE_LUT>
+static inline float ladd3(const Ctx& c, float a, float b, float d) {
+  return ladd<USE_LUT>(c, ladd<USE_LUT>(c, a, b), d);
+}
+
+static inline int32_t sym_at(const int32_t* s, int64_t i, int64_t n) {
+  return (i >= 0 && i < n) ? s[i] : 4;
+}
+
+static inline int32_t rep_at(const int32_t* r, int64_t i, int64_t n) {
+  if (r == nullptr || i < 0 || i >= n) return 0;
+  int32_t v = r[i];
+  return v > 50 ? 50 : v;
+}
+
+// emission for the MATCH into cell (x, y): consumes chars x-1, y-1
+static inline float e_match(const Ctx& c, int64_t x, int64_t y) {
+  int32_t cx = sym_at(c.x_sym, x - 1, c.lx);
+  int32_t cy = sym_at(c.y_sym, y - 1, c.ly);
+  float e = c.match25[cx * 5 + cy];
+  if (c.rep_tab != nullptr) {
+    int32_t base = cx >= 4 ? 0 : cx;
+    e += c.rep_tab[base * (51 * 51) + rep_at(c.rep_x, x - 1, c.lx) * 51 +
+                   rep_at(c.rep_y, y - 1, c.ly)];
+  }
+  return e;
+}
+
+template <bool USE_LUT>
+static void forward_pass(Ctx& c) {
+  const float t_mm = c.trans[T_MM], t_mgx = c.trans[T_M_FROM_GX],
+              t_mgy = c.trans[T_M_FROM_GY], t_ox = c.trans[T_OPEN_X],
+              t_ex = c.trans[T_EXT_X], t_sx = c.trans[T_SW_X],
+              t_oy = c.trans[T_OPEN_Y], t_ey = c.trans[T_EXT_Y],
+              t_sy = c.trans[T_SW_Y];
+  // diagonal 0: the start cell
+  {
+    const Diag& dg = c.diags[0];
+    for (int64_t k = 0; k < dg.n; k++) {
+      if (dg.lo + 2 * k != 0) continue;
+      int64_t i = dg.off + k;
+      if (c.ragged_left) { c.fx[i] = 0.0f; c.fy[i] = 0.0f; }
+      else c.fm[i] = 0.0f;
+    }
+  }
+  for (int64_t d = 1; d < c.n_diag; d++) {
+    const Diag& dg = c.diags[d];
+    const Diag& d1 = c.diags[d - 1];
+    const Diag d2v = d >= 2 ? c.diags[d - 2] : Diag{0, 0, 0};
+    // neighbor index = base + k (constant per diagonal)
+    const int64_t b_low = (dg.lo - 1 - d1.lo) / 2;   // (x-1, y) on d-1
+    const int64_t b_mid = d >= 2 ? (dg.lo - d2v.lo) / 2 : 0;
+
+    auto cell = [&](int64_t k) {
+      const int64_t xmy = dg.lo + 2 * k;
+      const int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
+      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
+      const int64_t i = dg.off + k;
+      const int64_t kl = b_low + k;        // low; up = kl + 1
+      const int64_t km = b_mid + k;
+      const bool okl = kl >= 0 && kl < d1.n;
+      const bool oku = kl + 1 >= 0 && kl + 1 < d1.n;
+      const bool okm = d >= 2 && km >= 0 && km < d2v.n;
+      const int64_t il = d1.off + kl, iu = d1.off + kl + 1,
+                    im = d2v.off + km;
+      const float lm = okl ? c.fm[il] : kLogZero;
+      const float lgx = okl ? c.fx[il] : kLogZero;
+      const float lgy = okl ? c.fy[il] : kLogZero;
+      const float um = oku ? c.fm[iu] : kLogZero;
+      const float ugx = oku ? c.fx[iu] : kLogZero;
+      const float ugy = oku ? c.fy[iu] : kLogZero;
+      const float mm = okm ? c.fm[im] : kLogZero;
+      const float mgx = okm ? c.fx[im] : kLogZero;
+      const float mgy = okm ? c.fy[im] : kLogZero;
+      if (x >= 1)
+        c.fx[i] = c.gapx5[sym_at(c.x_sym, x - 1, c.lx)] +
+                  ladd3<USE_LUT>(c, lm + t_ox, lgx + t_ex, lgy + t_sx);
+      if (x >= 1 && y >= 1)
+        c.fm[i] = e_match(c, x, y) +
+                  ladd3<USE_LUT>(c, mm + t_mm, mgx + t_mgx, mgy + t_mgy);
+      if (y >= 1)
+        c.fy[i] = c.gapy5[sym_at(c.y_sym, y - 1, c.ly)] +
+                  ladd3<USE_LUT>(c, um + t_oy, ugy + t_ey, ugx + t_sy);
+    };
+
+    // interior k-range: all neighbor/boundary predicates hold, so the
+    // loop body is branch-free (the compiler vectorizes the LUT selects)
+    int64_t kA = 0, kB = dg.n;
+    auto clamp_lo = [&](int64_t v) { if (v > kA) kA = v; };
+    auto clamp_hi = [&](int64_t v) { if (v < kB) kB = v; };
+    // x = (d + dg.lo)/2 + k  =>  k >= 1 - x0 etc., with x0 at k=0
+    {
+      const int64_t x0 = (d + dg.lo) / 2, y0 = (d - dg.lo) / 2;
+      clamp_lo(1 - x0);             // x >= 1
+      clamp_hi(c.lx - x0 + 1);      // x <= lx
+      clamp_lo(y0 - c.ly);          // y <= ly  (y = y0 - k)
+      clamp_hi(y0 - 1 + 1);         // y >= 1
+      clamp_lo(-b_low);             // okl
+      clamp_hi(d1.n - b_low);
+      clamp_lo(-b_low - 1);         // oku
+      clamp_hi(d1.n - b_low - 1);
+      if (d >= 2) {
+        clamp_lo(-b_mid);           // okm
+        clamp_hi(d2v.n - b_mid);
+      } else {
+        kB = kA;                    // no interior on diagonal 1
+      }
+    }
+    if (kB < kA) kB = kA;
+    for (int64_t k = 0; k < kA; k++) cell(k);
+    {
+      const int64_t x0 = (d + dg.lo) / 2, y0 = (d - dg.lo) / 2;
+      const float* fm1 = c.fm + d1.off + b_low;
+      const float* fx1 = c.fx + d1.off + b_low;
+      const float* fy1 = c.fy + d1.off + b_low;
+      const float* fm2 = c.fm + d2v.off + b_mid;
+      const float* fx2 = c.fx + d2v.off + b_mid;
+      const float* fy2 = c.fy + d2v.off + b_mid;
+      float* om = c.fm + dg.off;
+      float* ox = c.fx + dg.off;
+      float* oy = c.fy + dg.off;
+      const bool rle = c.rep_tab != nullptr;
+      for (int64_t k = kA; k < kB; k++) {
+        const int64_t x = x0 + k, y = y0 - k;
+        const int32_t cx = c.x_sym[x - 1], cy = c.y_sym[y - 1];
+        float em = c.match25[cx * 5 + cy];
+        if (rle) {
+          int32_t rxv = c.rep_x[x - 1]; if (rxv > 50) rxv = 50;
+          int32_t ryv = c.rep_y[y - 1]; if (ryv > 50) ryv = 50;
+          em += c.rep_tab[(cx >= 4 ? 0 : cx) * (51 * 51) + rxv * 51 + ryv];
+        }
+        ox[k] = c.gapx5[cx] +
+                ladd3<USE_LUT>(c, fm1[k] + t_ox, fx1[k] + t_ex,
+                               fy1[k] + t_sx);
+        om[k] = em + ladd3<USE_LUT>(c, fm2[k] + t_mm, fx2[k] + t_mgx,
+                                    fy2[k] + t_mgy);
+        oy[k] = c.gapy5[cy] +
+                ladd3<USE_LUT>(c, fm1[k + 1] + t_oy, fy1[k + 1] + t_ey,
+                               fx1[k + 1] + t_sy);
+      }
+    }
+    for (int64_t k = kB; k < dg.n; k++) cell(k);
+  }
+}
+
+template <bool USE_LUT>
+static int64_t backward_extract(Ctx& c, float total, float threshold,
+                                int32_t* out, int64_t out_cap) {
+  const float t_mm = c.trans[T_MM], t_mgx = c.trans[T_M_FROM_GX],
+              t_mgy = c.trans[T_M_FROM_GY], t_ox = c.trans[T_OPEN_X],
+              t_ex = c.trans[T_EXT_X], t_sx = c.trans[T_SW_X],
+              t_oy = c.trans[T_OPEN_Y], t_ey = c.trans[T_EXT_Y],
+              t_sy = c.trans[T_SW_Y];
+  const int64_t cells = c.diags[c.n_diag - 1].off + c.diags[c.n_diag - 1].n;
+  std::vector<float> bm(cells, kLogZero), bx(cells, kLogZero),
+      by(cells, kLogZero);
+  int64_t n_out = 0;
+  const bool have_total = total != kLogZero;
+  const float log_thresh = logf(threshold);
+  for (int64_t d = c.n_diag - 1; d >= 0; d--) {
+    const Diag& dg = c.diags[d];
+    const Diag d1 = d + 1 < c.n_diag ? c.diags[d + 1] : Diag{0, 0, 0};
+    const Diag d2v = d + 2 < c.n_diag ? c.diags[d + 2] : Diag{0, 0, 0};
+    const int64_t b_gx = d + 1 < c.n_diag ? (dg.lo + 1 - d1.lo) / 2 : 0;
+    const int64_t b_m = d + 2 < c.n_diag ? (dg.lo - d2v.lo) / 2 : 0;
+    for (int64_t k = dg.n - 1; k >= 0; k--) {
+      const int64_t xmy = dg.lo + 2 * k;
+      const int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
+      if (x < 0 || x > c.lx || y < 0 || y > c.ly) continue;
+      const int64_t i = dg.off + k;
+      if (d == c.n_diag - 1 && x == c.lx && y == c.ly) {
+        bm[i] = c.ew[0]; bx[i] = c.ew[1]; by[i] = c.ew[2];
+      } else {
+        const int64_t kg = b_gx + k;       // (x+1, y) on d+1; gy = kg - 1
+        const int64_t km = b_m + k;
+        const bool okg = d + 1 < c.n_diag && kg >= 0 && kg < d1.n
+                         && x + 1 <= c.lx;
+        const bool oky = d + 1 < c.n_diag && kg - 1 >= 0 && kg - 1 < d1.n
+                         && y + 1 <= c.ly;
+        const bool okm = d + 2 < c.n_diag && km >= 0 && km < d2v.n
+                         && x + 1 <= c.lx && y + 1 <= c.ly;
+        const float gx_n = okg ? bx[d1.off + kg] : kLogZero;
+        const float gy_n = oky ? by[d1.off + kg - 1] : kLogZero;
+        const float m_n = okm ? bm[d2v.off + km] : kLogZero;
+        const float egx = c.gapx5[sym_at(c.x_sym, x, c.lx)];
+        const float egy = c.gapy5[sym_at(c.y_sym, y, c.ly)];
+        const float em = e_match(c, x + 1, y + 1);
+        bm[i] = ladd3<USE_LUT>(c, gx_n + egx + t_ox, m_n + em + t_mm,
+                               gy_n + egy + t_oy);
+        bx[i] = ladd3<USE_LUT>(c, gx_n + egx + t_ex, m_n + em + t_mgx,
+                               gy_n + egy + t_sy);
+        by[i] = ladd3<USE_LUT>(c, gx_n + egx + t_sx, m_n + em + t_mgy,
+                               gy_n + egy + t_ey);
+      }
+      // posteriors (diagonalCalculationPosteriorProbs); threshold in log
+      // space so expf only runs for the rare passing cells
+      if (!have_total) continue;
+      const float fs[3] = {c.fm[i], c.fx[i], c.fy[i]};
+      const float bs[3] = {bm[i], bx[i], by[i]};
+      const bool ok[3] = {x >= 1 && y >= 1, x >= 1, y >= 1};
+      for (int s = 0; s < 3; s++) {
+        if (!ok[s]) continue;
+        float lp = fs[s] + bs[s] - total;
+        if (!(lp >= log_thresh)) continue;
+        float p = expf(lp > 0.0f ? 0.0f : lp);
+        if (p >= threshold) {
+          if (n_out >= out_cap) return -1;
+          int32_t* row = out + 4 * n_out;
+          row[0] = s;
+          row[1] = (int32_t)(x - 1);
+          row[2] = (int32_t)(y - 1);
+          float pc = p > 1.0f ? 1.0f : p;
+          row[3] = (int32_t)floorf(pc * 10000000.0f);
+          n_out++;
+        }
+      }
+    }
+  }
+  return n_out;
+}
 
 }  // namespace
 
@@ -90,180 +335,69 @@ int64_t mfb_posteriors(
     float threshold,
     int32_t* out, int64_t out_cap, double* total_out) {
   const int64_t n_diag = lx + ly + 1;
-  LutLogAdd lut;
+
+  Ctx c;
+  c.x_sym = x_sym; c.y_sym = y_sym; c.lx = lx; c.ly = ly; c.n_diag = n_diag;
+  c.match25 = match25; c.gapx5 = gapx5; c.gapy5 = gapy5;
+  c.rep_tab = rep_tab; c.rep_x = rep_x; c.rep_y = rep_y;
+  memcpy(c.trans, trans9, sizeof c.trans);
+  c.ragged_left = ragged_left;
   if (use_lut) {
-    memcpy(lut.breaks, lut_breaks, sizeof lut.breaks);
-    memcpy(lut.cubic, lut_cubic, sizeof lut.cubic);
-    lut.underflow = lut_underflow;
+    for (int i = 0; i < 3; i++) c.lut.breaks[i] = (float)lut_breaks[i];
+    for (int i = 0; i < 4; i++)
+      for (int j = 0; j < 4; j++)
+        c.lut.cubic[i][j] = (float)lut_cubic[4 * i + j];
+    c.lut.underflow = (float)lut_underflow;
   }
-  auto ladd = [&](float a, float b) -> float {
-    return use_lut ? lut_log_add(lut, a, b) : exact_log_add(a, b);
-  };
-  auto ladd3 = [&](float a, float b, float c) -> float {
-    return ladd(ladd(a, b), c);
-  };
 
   // band layout: flat storage, one Diag per anti-diagonal
   std::vector<Diag> diags(n_diag);
   int64_t cells = 0;
   for (int64_t d = 0; d < n_diag; d++) {
     int64_t lo = band_lo[d], hi = band_hi[d];
-    // clip to the valid cell parallelogram
-    if (lo < -ly + (d > ly ? d - ly : 0)) {}
     diags[d].lo = lo;
     diags[d].n = hi >= lo ? (hi - lo) / 2 + 1 : 0;
     diags[d].off = cells;
     cells += diags[d].n;
   }
+  c.diags = diags.data();
+
   std::vector<float> fm(cells, kLogZero), fx(cells, kLogZero),
       fy(cells, kLogZero);
+  c.fm = fm.data(); c.fx = fx.data(); c.fy = fy.data();
 
-  const float t_mm = trans9[T_MM], t_mgx = trans9[T_M_FROM_GX],
-              t_mgy = trans9[T_M_FROM_GY], t_ox = trans9[T_OPEN_X],
-              t_ex = trans9[T_EXT_X], t_sx = trans9[T_SW_X],
-              t_oy = trans9[T_OPEN_Y], t_ey = trans9[T_EXT_Y],
-              t_sy = trans9[T_SW_Y];
-
-  auto sym_x = [&](int64_t x) -> int32_t {
-    return (x >= 0 && x < lx) ? x_sym[x] : 4;
-  };
-  auto sym_y = [&](int64_t y) -> int32_t {
-    return (y >= 0 && y < ly) ? y_sym[y] : 4;
-  };
-  auto rep_at = [&](const int32_t* r, int64_t i, int64_t n) -> int32_t {
-    if (r == nullptr || i < 0 || i >= n) return 0;
-    int32_t v = r[i];
-    return v > 50 ? 50 : v;
-  };
-  auto e_match = [&](int64_t x, int64_t y) -> float {
-    // emission for the MATCH into cell (x, y): consumes chars x-1, y-1
-    int32_t cx = sym_x(x - 1), cy = sym_y(y - 1);
-    float e = match25[cx * 5 + cy];
-    if (rep_tab != nullptr) {
-      int32_t base = cx >= 4 ? 0 : cx;
-      e += rep_tab[base * (51 * 51) + rep_at(rep_x, x - 1, lx) * 51 +
-                   rep_at(rep_y, y - 1, ly)];
-    }
-    return e;
-  };
-  auto e_gapx = [&](int64_t x) -> float { return gapx5[sym_x(x - 1)]; };
-  auto e_gapy = [&](int64_t y) -> float { return gapy5[sym_y(y - 1)]; };
-
-  // cell lookup on diagonal d at xmy (kLogZero if outside band)
-  auto idx_of = [&](int64_t d, int64_t xmy) -> int64_t {
-    if (d < 0 || d >= n_diag) return -1;
-    const Diag& dg = diags[d];
-    int64_t k = (xmy - dg.lo);
-    if (k < 0 || (k & 1) || k / 2 >= dg.n) return -1;
-    return dg.off + k / 2;
-  };
-
-  // ---- forward ----
-  for (int64_t d = 0; d < n_diag; d++) {
-    const Diag& dg = diags[d];
-    for (int64_t k = 0; k < dg.n; k++) {
-      int64_t xmy = dg.lo + 2 * k;
-      int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
-      if (x < 0 || x > lx || y < 0 || y > ly) continue;
-      int64_t i = dg.off + k;
-      if (d == 0) {
-        if (ragged_left) {
-          fm[i] = kLogZero; fx[i] = 0.0f; fy[i] = 0.0f;
-        } else {
-          fm[i] = 0.0f; fx[i] = kLogZero; fy[i] = kLogZero;
-        }
-        continue;
-      }
-      int64_t i_low = idx_of(d - 1, xmy - 1);   // (x-1, y)
-      int64_t i_up = idx_of(d - 1, xmy + 1);    // (x, y-1)
-      int64_t i_mid = idx_of(d - 2, xmy);       // (x-1, y-1)
-      float lm = i_low >= 0 ? fm[i_low] : kLogZero;
-      float lgx = i_low >= 0 ? fx[i_low] : kLogZero;
-      float lgy = i_low >= 0 ? fy[i_low] : kLogZero;
-      float um = i_up >= 0 ? fm[i_up] : kLogZero;
-      float ugx = i_up >= 0 ? fx[i_up] : kLogZero;
-      float ugy = i_up >= 0 ? fy[i_up] : kLogZero;
-      float mm = i_mid >= 0 ? fm[i_mid] : kLogZero;
-      float mgx = i_mid >= 0 ? fx[i_mid] : kLogZero;
-      float mgy = i_mid >= 0 ? fy[i_mid] : kLogZero;
-      if (x >= 1)
-        fx[i] = e_gapx(x) + ladd3(lm + t_ox, lgx + t_ex, lgy + t_sx);
-      if (x >= 1 && y >= 1)
-        fm[i] = e_match(x, y) + ladd3(mm + t_mm, mgx + t_mgx, mgy + t_mgy);
-      if (y >= 1)
-        fy[i] = e_gapy(y) + ladd3(um + t_oy, ugy + t_ey, ugx + t_sy);
-    }
-  }
+  if (use_lut) forward_pass<true>(c);
+  else forward_pass<false>(c);
 
   // end-state weights (stateMachine.c:531-560)
-  float ew[3];
   if (ragged_right) {
-    ew[0] = (t_ox + t_oy) / 2.0f; ew[1] = t_ex; ew[2] = t_ey;
+    c.ew[0] = (c.trans[T_OPEN_X] + c.trans[T_OPEN_Y]) / 2.0f;
+    c.ew[1] = c.trans[T_EXT_X];
+    c.ew[2] = c.trans[T_EXT_Y];
   } else {
-    ew[0] = t_mm; ew[1] = t_mgx; ew[2] = t_mgy;
+    c.ew[0] = c.trans[T_MM];
+    c.ew[1] = c.trans[T_M_FROM_GX];
+    c.ew[2] = c.trans[T_M_FROM_GY];
   }
-  int64_t i_fin = idx_of(lx + ly, lx - ly);
   float total = kLogZero;
-  if (i_fin >= 0)
-    total = ladd3(fm[i_fin] + ew[0], fx[i_fin] + ew[1], fy[i_fin] + ew[2]);
-  *total_out = (double)total;
-
-  // ---- backward + posterior extraction ----
-  // two live backward diagonals (d+1, d+2) suffice
-  std::vector<float> bm(cells, kLogZero), bx(cells, kLogZero),
-      by(cells, kLogZero);
-  int64_t n_out = 0;
-  for (int64_t d = n_diag - 1; d >= 0; d--) {
-    const Diag& dg = diags[d];
-    for (int64_t k = dg.n - 1; k >= 0; k--) {
-      int64_t xmy = dg.lo + 2 * k;
-      int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
-      if (x < 0 || x > lx || y < 0 || y > ly) continue;
-      int64_t i = dg.off + k;
-      if (d == lx + ly && x == lx && y == ly) {
-        bm[i] = ew[0]; bx[i] = ew[1]; by[i] = ew[2];
-      } else {
-        int64_t i_gx = idx_of(d + 1, xmy + 1);  // (x+1, y)
-        int64_t i_gy = idx_of(d + 1, xmy - 1);  // (x, y+1)
-        int64_t i_m = idx_of(d + 2, xmy);       // (x+1, y+1)
-        float gx_n = (i_gx >= 0 && x + 1 <= lx) ? bx[i_gx] : kLogZero;
-        float gy_n = (i_gy >= 0 && y + 1 <= ly) ? by[i_gy] : kLogZero;
-        float m_n = (i_m >= 0 && x + 1 <= lx && y + 1 <= ly) ? bm[i_m]
-                                                             : kLogZero;
-        float egx = e_gapx(x + 1);
-        float egy = e_gapy(y + 1);
-        float em = e_match(x + 1, y + 1);
-        bm[i] = ladd3(gx_n + egx + t_ox, m_n + em + t_mm,
-                      gy_n + egy + t_oy);
-        bx[i] = ladd3(gx_n + egx + t_ex, m_n + em + t_mgx,
-                      gy_n + egy + t_sy);
-        by[i] = ladd3(gx_n + egx + t_sx, m_n + em + t_mgy,
-                      gy_n + egy + t_ey);
-      }
-      // posteriors (diagonalCalculationPosteriorProbs)
-      if (total != kLogZero) {
-        const float fs[3] = {fm[i], fx[i], fy[i]};
-        const float bs[3] = {bm[i], bx[i], by[i]};
-        const bool ok[3] = {x >= 1 && y >= 1, x >= 1, y >= 1};
-        for (int s = 0; s < 3; s++) {
-          if (!ok[s]) continue;
-          float lp = fs[s] + bs[s] - total;
-          float p = expf(lp > 0.0f ? 0.0f : lp);
-          if (p >= threshold) {
-            if (n_out >= out_cap) return -1;
-            int32_t* row = out + 4 * n_out;
-            row[0] = s;
-            row[1] = (int32_t)(x - 1);
-            row[2] = (int32_t)(y - 1);
-            float pc = p > 1.0f ? 1.0f : p;
-            row[3] = (int32_t)floorf(pc * 10000000.0f);
-            n_out++;
-          }
-        }
-      }
+  {
+    const Diag& dg = diags[n_diag - 1];
+    int64_t kf = (lx - ly - dg.lo);
+    if (kf >= 0 && (kf & 1) == 0 && kf / 2 < dg.n) {
+      int64_t i_fin = dg.off + kf / 2;
+      if (use_lut)
+        total = ladd3<true>(c, fm[i_fin] + c.ew[0], fx[i_fin] + c.ew[1],
+                            fy[i_fin] + c.ew[2]);
+      else
+        total = ladd3<false>(c, fm[i_fin] + c.ew[0], fx[i_fin] + c.ew[1],
+                             fy[i_fin] + c.ew[2]);
     }
   }
-  return n_out;
+  *total_out = (double)total;
+
+  return use_lut
+      ? backward_extract<true>(c, total, threshold, out, out_cap)
+      : backward_extract<false>(c, total, threshold, out, out_cap);
 }
 
 }  // extern "C"
