@@ -257,10 +257,12 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
     const Diag d2v = d + 2 < c.n_diag ? c.diags[d + 2] : Diag{0, 0, 0};
     const int64_t b_gx = d + 1 < c.n_diag ? (dg.lo + 1 - d1.lo) / 2 : 0;
     const int64_t b_m = d + 2 < c.n_diag ? (dg.lo - d2v.lo) / 2 : 0;
-    for (int64_t k = dg.n - 1; k >= 0; k--) {
+
+    bool overflow = false;
+    auto cell_bwd = [&](int64_t k) {
       const int64_t xmy = dg.lo + 2 * k;
       const int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
-      if (x < 0 || x > c.lx || y < 0 || y > c.ly) continue;
+      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
       const int64_t i = dg.off + k;
       if (d == c.n_diag - 1 && x == c.lx && y == c.ly) {
         bm[i] = c.ew[0]; bx[i] = c.ew[1]; by[i] = c.ew[2];
@@ -288,7 +290,7 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
       }
       // posteriors (diagonalCalculationPosteriorProbs); threshold in log
       // space so expf only runs for the rare passing cells
-      if (!have_total) continue;
+      if (!have_total) return;
       const float fs[3] = {c.fm[i], c.fx[i], c.fy[i]};
       const float bs[3] = {bm[i], bx[i], by[i]};
       const bool ok[3] = {x >= 1 && y >= 1, x >= 1, y >= 1};
@@ -298,7 +300,7 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
         if (!(lp >= log_thresh)) continue;
         float p = expf(lp > 0.0f ? 0.0f : lp);
         if (p >= threshold) {
-          if (n_out >= out_cap) return -1;
+          if (n_out >= out_cap) { overflow = true; return; }
           int32_t* row = out + 4 * n_out;
           row[0] = s;
           row[1] = (int32_t)(x - 1);
@@ -308,7 +310,81 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
           n_out++;
         }
       }
+    };
+
+    // branch-free interior (see forward_pass): all predicates statically
+    // true inside [kA, kB)
+    int64_t kA = 0, kB = dg.n;
+    if (d + 2 < c.n_diag) {
+      const int64_t x0 = (d + dg.lo) / 2, y0 = (d - dg.lo) / 2;
+      auto clamp_lo = [&](int64_t v) { if (v > kA) kA = v; };
+      auto clamp_hi = [&](int64_t v) { if (v < kB) kB = v; };
+      clamp_lo(1 - x0);                 // x >= 1 (extraction needs x-1)
+      clamp_hi(c.lx - 1 - x0 + 1);      // x + 1 <= lx
+      clamp_lo(y0 - (c.ly - 1));        // y + 1 <= ly
+      clamp_hi(y0 - 1 + 1);             // y >= 1
+      clamp_lo(-b_gx);                  // gx neighbor in band
+      clamp_hi(d1.n - b_gx);
+      clamp_lo(-b_gx + 1);              // gy neighbor (kg - 1)
+      clamp_hi(d1.n - b_gx + 1);
+      clamp_lo(-b_m);                   // match neighbor
+      clamp_hi(d2v.n - b_m);
+      if (kB < kA) kB = kA;
+    } else {
+      kB = kA;  // last two diagonals: general path only
     }
+    for (int64_t k = dg.n - 1; k >= kB; k--) cell_bwd(k);
+    if (kB > kA && !overflow) {
+      const int64_t x0 = (d + dg.lo) / 2, y0 = (d - dg.lo) / 2;
+      const float* bx1 = bx.data() + d1.off + b_gx;
+      const float* by1 = by.data() + d1.off + b_gx;
+      const float* bm2 = bm.data() + d2v.off + b_m;
+      float* obm = bm.data() + dg.off;
+      float* obx = bx.data() + dg.off;
+      float* oby = by.data() + dg.off;
+      const float* ofm = c.fm + dg.off;
+      const float* ofx = c.fx + dg.off;
+      const float* ofy = c.fy + dg.off;
+      const bool rle = c.rep_tab != nullptr;
+      for (int64_t k = kB - 1; k >= kA; k--) {
+        const int64_t x = x0 + k, y = y0 - k;
+        const int32_t cx = c.x_sym[x], cy = c.y_sym[y];
+        const float egx = c.gapx5[cx];
+        const float egy = c.gapy5[cy];
+        float em = c.match25[cx * 5 + cy];
+        if (rle) {
+          int32_t rxv = c.rep_x[x]; if (rxv > 50) rxv = 50;
+          int32_t ryv = c.rep_y[y]; if (ryv > 50) ryv = 50;
+          em += c.rep_tab[(cx >= 4 ? 0 : cx) * (51 * 51) + rxv * 51 + ryv];
+        }
+        const float a_gx = bx1[k] + egx;
+        const float a_m = bm2[k] + em;
+        const float a_gy = by1[k - 1] + egy;
+        obm[k] = ladd3<USE_LUT>(c, a_gx + t_ox, a_m + t_mm, a_gy + t_oy);
+        obx[k] = ladd3<USE_LUT>(c, a_gx + t_ex, a_m + t_mgx, a_gy + t_sy);
+        oby[k] = ladd3<USE_LUT>(c, a_gx + t_sx, a_m + t_mgy, a_gy + t_ey);
+        if (!have_total) continue;
+        const float fs[3] = {ofm[k], ofx[k], ofy[k]};
+        const float bs[3] = {obm[k], obx[k], oby[k]};
+        for (int s = 0; s < 3; s++) {
+          float lp = fs[s] + bs[s] - total;
+          if (!(lp >= log_thresh)) continue;
+          float p = expf(lp > 0.0f ? 0.0f : lp);
+          if (p >= threshold) {
+            if (n_out >= out_cap) return -1;
+            int32_t* row = out + 4 * n_out;
+            row[0] = s;
+            row[1] = (int32_t)(x - 1);
+            row[2] = (int32_t)(y - 1);
+            float pc = p > 1.0f ? 1.0f : p;
+            row[3] = (int32_t)floorf(pc * 10000000.0f);
+            n_out++;
+          }
+        }
+      }
+    }
+    for (int64_t k = kA - 1; k >= 0; k--) cell_bwd(k);
+    if (overflow) return -1;
   }
   return n_out;
 }
