@@ -657,6 +657,12 @@ class CramReader:
     # -- record iteration --------------------------------------------------
 
     def __iter__(self):
+        return self._iter_records(None)
+
+    def _iter_records(self, region):
+        """region: (ref_id, start, end) 0-based half-open or None; whole
+        containers outside the region are skipped from their headers (the
+        .crai carries the same info; headers avoid a sidecar dependency)."""
         cur = ByteCursor(self._data, self._first_container)
         while cur.pos < len(self._data):
             hdr = self._container_header(cur)
@@ -667,6 +673,15 @@ class CramReader:
             if hdr[7] == 0 or hdr[4] == 0:
                 cur.pos = end
                 continue
+            if region is not None and ref_id >= 0:
+                # skip containers that cannot overlap (multi-ref = -2 and
+                # unmapped = -1 containers always decode)
+                c_start = start - 1
+                c_end = c_start + max(hdr[3], 0)
+                if (ref_id != region[0] or c_start >= region[2]
+                        or c_end <= region[1]):
+                    cur.pos = end
+                    continue
             comp_block = read_block(cur)
             ch = parse_compression_header(comp_block.data)
             while cur.pos < end:
@@ -678,9 +693,9 @@ class CramReader:
 
     def fetch(self, contig: str, start: int, end: int):
         """Region query (0-based half-open): linear container scan with
-        header-level skipping (a .crai, if present, narrows the scan)."""
+        header-level skipping of non-overlapping containers."""
         rid = self.header.ref_id(contig)
-        for rec in self:
+        for rec in self._iter_records((rid, start, end)):
             if rec.ref_id != rid or rec.is_unmapped:
                 continue
             if rec.pos >= end:
@@ -736,6 +751,8 @@ class CramReader:
             ref, ref_off = b"", 0
 
         prev_ap = aln_start
+        out_recs = []
+        mate_links = []  # (record idx, NF distance) for within-slice mates
         for _ in range(n_records):
             bf = rd[b"BF"][0]()
             cf = rd[b"CF"][0]()
@@ -763,7 +780,7 @@ class CramReader:
                 if mf & 0x2:
                     flag |= 0x8
             elif cf & 0x4:
-                rd[b"NF"][0]()
+                mate_links.append((len(out_recs), rd[b"NF"][0]()))
             tl = rd[b"TL"][0]()
             tags = bytearray()
             if 0 <= tl < len(ch.tag_dict):
@@ -782,7 +799,32 @@ class CramReader:
                 rec = build_bam_record(name, flag, rid, ap - 1, 0, [],
                                        bases, quals, bytes(tags),
                                        mate_rid, mate_pos, tlen)
-            yield rec
+            out_recs.append(rec)
+        # within-slice mates (CF & 0x4 + NF distance): fill mate fields and
+        # derived flag bits the way htslib's cram decoder does
+        for i, nf in mate_links:
+            j = i + nf + 1
+            if not (0 <= j < len(out_recs)):
+                continue
+            a, b = out_recs[i], out_recs[j]
+            flag = a.flag
+            if b.flag & 0x10:
+                flag |= 0x20
+            if b.flag & 0x4:
+                flag |= 0x8
+            a_end = a.pos + max(1, a.reference_span())
+            b_end = b.pos + max(1, b.reference_span())
+            if a.pos <= b.pos:
+                tlen = max(a_end, b_end) - a.pos
+            else:
+                tlen = -(max(a_end, b_end) - b.pos)
+            out_recs[i] = build_bam_record(
+                a.name, flag, a.ref_id, a.pos, a.mapq,
+                [(int(o), int(ln)) for o, ln in a.cigar_ops()],
+                a.seq().encode(), None if a.quals() is None
+                else bytes(bytearray(a.quals())), a.tags_blob(),
+                b.ref_id, b.pos, tlen)
+        yield from out_recs
 
     def _decode_mapped(self, rd, ch, cf, rl, ap, ref, ref_off, name, flag,
                        rid, mate_rid, mate_pos, tlen, tags):
@@ -876,6 +918,13 @@ class CramReader:
         quals = None
         if cf & 0x1:
             quals = bytes(rd[b"QS"][1]() for _ in range(rl))
+        elif feat_quals:
+            # selective qualities carried by B/Q/q features
+            q = bytearray(b"\xff" * rl)
+            for pos0, qv in feat_quals.items():
+                if 0 <= pos0 < rl:
+                    q[pos0] = qv
+            quals = bytes(q)
         return build_bam_record(name, flag, rid, ap - 1, mq, cigar,
                                 bytes(seq), quals, tags, mate_rid,
                                 mate_pos, tlen)
@@ -943,6 +992,11 @@ class CramWriter:
         return off
 
     def write(self, rec: BamRecord):
+        # a slice holds one reference sequence (or only-unmapped records):
+        # flush at contig boundaries so multi-contig BAMs keep their
+        # per-record ref assignment (the slice header carries ONE ref id)
+        if self._buf and rec.ref_id != self._buf[0].ref_id:
+            self._flush_slice()
         self._buf.append(rec)
         if len(self._buf) >= self._n:
             self._flush_slice()
@@ -969,8 +1023,12 @@ class CramWriter:
         tag_line_idx: Dict[bytes, int] = {}
         tag_series: Dict[bytes, bytearray] = {}
         ref_id = recs[0].ref_id
-        starts = [r.pos + 1 for r in recs]
-        ends = [r.pos + max(1, r.reference_span()) for r in recs]
+        if ref_id < 0:
+            starts = [0]
+            ends = [0]
+        else:
+            starts = [r.pos + 1 for r in recs]
+            ends = [r.pos + max(1, r.reference_span()) for r in recs]
         ref = self._ref_seq(ref_id) if ref_id >= 0 and self._ref_path \
             else b""
         n_bases = 0

@@ -35,8 +35,16 @@ def lib() -> Optional[ctypes.CDLL]:
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "native")
     so = os.path.join(root, "libmarginfb.so")
-    if not os.path.exists(so):
+    src = os.path.join(root, "marginfb.cc")
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(so) < os.path.getmtime(src)))
+    if stale:
+        # rebuild on this machine (-march=native): also covers a .so
+        # shipped from a host with different ISA extensions
         try:
+            if os.path.exists(so):
+                os.unlink(so)
             subprocess.run(["make", "-C", root, "libmarginfb.so"],
                            capture_output=True, timeout=120)
         except Exception:

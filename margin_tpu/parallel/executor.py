@@ -97,8 +97,9 @@ class DeviceContext:
         if self.mesh is None:
             return np.asarray(
                 pairhmm.forward_total(tables, batch, use_lut=use_lut))
+        b0 = batch.xs.shape[0]
         batch = pad_batch(batch, self.n_shards)
-        return np.asarray(self._forward_fn(use_lut)(tables, batch))
+        return np.asarray(self._forward_fn(use_lut)(tables, batch))[:b0]
 
     def score_slot_sums(self, tables, batch: pairhmm.PairBatch, slot_idx,
                         n_slots: int, use_lut: bool = False):
@@ -121,7 +122,7 @@ class DeviceContext:
                  np.zeros(pad_n, np.int32)])
         scores, sums = self._slot_fn(use_lut, n_slots)(
             tables, batch, np.asarray(slot_idx, np.int32))
-        return np.asarray(scores), np.asarray(sums)
+        return np.asarray(scores)[:b0], np.asarray(sums)
 
 
 def pad_batch(batch: pairhmm.PairBatch, multiple: int) -> pairhmm.PairBatch:

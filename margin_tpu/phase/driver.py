@@ -289,6 +289,8 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                 f"avg:{total // len(lengths)}, min:{lengths[0]}, "
                 f"max:{lengths[-1]}, N50:{n50}")
 
+    if ckpt.enabled:
+        log(f"> {ckpt.report()}")
     ckpt.finalize()
     total_t = time.time() - t0
     t_output = total_t - t_setup - t_chunks

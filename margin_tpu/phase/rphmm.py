@@ -150,11 +150,12 @@ class MergeColumn:
             vals = np.array(self.from_parts, dtype=np.uint64)
             self._from_order = np.argsort(vals, kind="stable")
             self._from_sorted = vals[self._from_order]
+        if len(self._from_sorted) == 0:
+            return np.full(len(parts_u64), -1, dtype=np.int64)
         masked = parts_u64 & np.uint64(self.mask_from)
         pos = np.searchsorted(self._from_sorted, masked)
         pos_c = np.minimum(pos, len(self._from_sorted) - 1)
-        hit = (len(self._from_sorted) > 0) & \
-            (self._from_sorted[pos_c] == masked)
+        hit = self._from_sorted[pos_c] == masked
         return np.where(hit, self._from_order[pos_c], -1)
 
     def prev_idx_or_m1(self, parts_u64: np.ndarray) -> np.ndarray:
@@ -163,11 +164,12 @@ class MergeColumn:
             vals = np.array(self.to_parts, dtype=np.uint64)
             self._to_order = np.argsort(vals, kind="stable")
             self._to_sorted = vals[self._to_order]
+        if len(self._to_sorted) == 0:
+            return np.full(len(parts_u64), -1, dtype=np.int64)
         masked = parts_u64 & np.uint64(self.mask_to)
         pos = np.searchsorted(self._to_sorted, masked)
         pos_c = np.minimum(pos, len(self._to_sorted) - 1)
-        hit = (len(self._to_sorted) > 0) & \
-            (self._to_sorted[pos_c] == masked)
+        hit = self._to_sorted[pos_c] == masked
         return np.where(hit, self._to_order[pos_c], -1)
 
 

@@ -202,7 +202,8 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": False,
               "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None}, log=log)
+              "per_chunk_rng": shard is not None or threads > 1},
+        log=log)
 
     threads = max(int(threads), 1)
     per_chunk_rng = shard is not None or threads > 1
@@ -308,12 +309,16 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
 
     if skip_output_fasta:
         # polish.c --skipOutputFasta: features/supplementary files only
+        if ckpt.enabled:
+            log(f"> {ckpt.report()}")
         ckpt.finalize()
         log(f"> Finished (skipped FASTA output) in {time.time() - t0:.1f}s")
         return PolishOutputs()
     sequences = stitcher.stitch_sequences(chunk_seqs, params)
     out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
     write_fasta(out.fasta, sequences)
+    if ckpt.enabled:
+        log(f"> {ckpt.report()}")
     ckpt.finalize()
     log(f"> Wrote polished FASTA {out.fasta} in {time.time() - t0:.1f}s")
     return out
@@ -405,7 +410,8 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": True, "vcf": vcf_file,
               "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None}, log=log)
+              "per_chunk_rng": shard is not None or threads > 1},
+        log=log)
 
     threads = max(int(threads), 1)
     per_chunk_rng = shard is not None or threads > 1
@@ -665,6 +671,8 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                                  f"{c.chunk_end}\t{c.chunk_overlap_start}\t"
                                  f"{c.chunk_overlap_end}\t{hap_no}\t{nm}\n")
         log(f"> Wrote truth haplotype partitioning to {path}")
+    if ckpt.enabled:
+        log(f"> {ckpt.report()}")
     ckpt.finalize()
     bam_note = ("BAM skipped" if skip_haplotype_bam
                 else f"BAM H1 {h1} H2 {h2} H0 {h0}")

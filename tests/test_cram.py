@@ -175,3 +175,27 @@ def test_phase_from_cram_golden(cram_path, tmp_path):
 
     assert hp_map(out_b + ".haplotagged.bam") == \
         hp_map(out_c + ".haplotagged.bam")
+
+
+def test_cram_multicontig_roundtrip(tmp_path):
+    """Slices must flush at contig boundaries: a two-contig BAM keeps
+    per-record ref assignment through CRAM."""
+    from margin_tpu.io.bam import BamHeader, BamWriter
+    from margin_tpu.io.cram import build_bam_record
+
+    fa = tmp_path / "two.fa"
+    fa.write_text(">c1\n" + "ACGT" * 25 + "\n>c2\n" + "TTGCA" * 20 + "\n")
+    header = BamHeader("@SQ\tSN:c1\tLN:100\n@SQ\tSN:c2\tLN:100\n",
+                       ["c1", "c2"], [100, 100])
+    bam = str(tmp_path / "two.bam")
+    with BamWriter(bam, header) as w:
+        w.write_raw(build_bam_record("r1", 0, 0, 5, 60, [(0, 8)],
+                                     b"ACGTACGT", bytes([30] * 8),
+                                     b"").raw)
+        w.write_raw(build_bam_record("r2", 0, 1, 10, 60, [(0, 5)],
+                                     b"TTGCA", bytes([30] * 5), b"").raw)
+    cram_p = str(tmp_path / "two.cram")
+    cram.bam_to_cram(bam, cram_p, str(fa))
+    recs = list(cram.CramReader(cram_p, str(fa)))
+    assert [(r.name, r.ref_id, r.pos) for r in recs] == \
+        [("r1", 0, 5), ("r2", 1, 10)]
