@@ -588,9 +588,14 @@ class CramReader:
     slice embeds its reference or all reads are unmapped)."""
 
     def __init__(self, path: str, reference: Optional[str] = None):
+        import mmap
         self.path = path
-        with open(path, "rb") as fh:
-            self._data = fh.read()
+        self._fh = open(path, "rb")
+        # mmap: per-thread readers share pages instead of each slurping
+        # the file, and region queries only touch the containers they skip
+        # to (headers) or decode
+        self._data = mmap.mmap(self._fh.fileno(), 0,
+                               access=mmap.ACCESS_READ)
         if self._data[:4] != b"CRAM":
             raise ValueError(f"{path} is not a CRAM file")
         self.major, self.minor = self._data[4], self._data[5]
@@ -618,7 +623,14 @@ class CramReader:
         self._ref_cache: Dict[int, bytes] = {}
 
     def close(self):
+        try:
+            self._data.close()
+        except (AttributeError, ValueError):
+            pass
         self._data = b""
+        if getattr(self, "_fh", None) is not None:
+            self._fh.close()
+            self._fh = None
 
     def __enter__(self):
         return self
