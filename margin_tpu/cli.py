@@ -21,8 +21,14 @@ def _add_common(p):
     p.add_argument("-p", "--maxDepth", type=int, default=-1,
                    help="override maxDepth parameter")
     p.add_argument("--seed", type=int, default=0, help="random seed")
-    p.add_argument("--lut-logadd", action="store_true",
-                   help="use the reference's LUT logAdd (parity mode; slower)")
+    p.add_argument("--lut-logadd", dest="lut_logadd", action="store_true",
+                   default=True,
+                   help="use the reference's piecewise-cubic LUT logAdd "
+                        "(the default — same flavor as the reference "
+                        "binary, and the faster native/kernel path)")
+    p.add_argument("--exact-logadd", dest="lut_logadd",
+                   action="store_false",
+                   help="use exact logaddexp instead of the LUT")
     p.add_argument("--checkpoint", action="store_true",
                    help="persist per-chunk results under "
                         "<outputBase>.checkpoint/ and resume a killed run")
