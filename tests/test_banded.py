@@ -198,3 +198,47 @@ def test_smoothed_band_bit_identical():
         for s in range(3):
             assert {(int(x1), int(y1)): int(w) for w, x1, y1 in pa[s]} == \
                 {(int(x1), int(y1)): int(w) for w, x1, y1 in pb[s]}
+
+
+def test_split_sub_items_match_split_path():
+    """split_sub_items + banded_posteriors_many must reproduce
+    banded_posteriors_split (pairwiseAligner.c:984-1040) including ragged
+    sub-rectangle weights and coordinate offsets."""
+    import numpy as np
+    from margin_tpu.ops import banded, pairhmm
+    from margin_tpu.params import StateMachineParams
+
+    tables = pairhmm.PairHmmTables.from_params(
+        StateMachineParams.default_nucleotide())
+    rng = np.random.default_rng(21)
+    lx = ly = 120
+    x = rng.integers(0, 4, lx).astype(np.int32)
+    y = rng.integers(0, 4, ly).astype(np.int32)
+    # two anchor clusters with a big gap between them -> forced split
+    anchors = [(int(a), int(a) + 1, 4) for a in range(5, 30, 5)] + \
+              [(int(a), int(a) - 2, 4) for a in range(95, 115, 5)]
+    split_at = 900  # gap rectangle ~65x65 >> 900
+    item = {"x_sym": x, "y_sym": y, "anchors": anchors, "strand": 0}
+
+    (wm, wgx, wgy), wt = banded.banded_posteriors_split(
+        tables, x, y, anchors, 6, 0, split_at, threshold=0.01)
+
+    subs, offs = banded.split_sub_items(item, split_at)
+    assert len(subs) > 1
+    res = banded.banded_posteriors_many(tables, subs, 6, threshold=0.01)
+    parts = [[], [], []]
+    total = 0.0
+    for (x1, y1), ((m, gx, gy), t) in zip(offs, res):
+        total += t
+        for acc, arr in zip(parts, (m, gx, gy)):
+            if len(arr):
+                arr = arr.copy()
+                arr[:, 1] += x1
+                arr[:, 2] += y1
+                acc.append(arr)
+    got = [np.concatenate(p) if p else np.zeros((0, 3), np.int64)
+           for p in parts]
+    assert total == pytest.approx(wt, abs=1e-3)
+    for a, b in zip(got, (wm, wgx, wgy)):
+        np.testing.assert_array_equal(np.sort(a, axis=0),
+                                      np.sort(b, axis=0))
