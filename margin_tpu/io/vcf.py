@@ -59,6 +59,9 @@ class VcfEntry:
 
 
 def _open_text(path: str):
+    from margin_tpu.io.bcf import BcfReader, is_bcf
+    if is_bcf(path):  # binary BCF (must test before generic BGZF text)
+        return BcfReader(path).lines()
     if is_bgzf(path):
         rd = BgzfReader(path)
 
