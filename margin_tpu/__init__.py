@@ -34,9 +34,25 @@ def _enable_jax_compilation_cache():
     if loc == "0":
         return
     try:
+        import hashlib
+        import platform
+
         import jax
+        # key the cache by host CPU: the XLA:CPU AOT loader tolerates
+        # machine-feature mismatches with warnings but can SIGSEGV when
+        # deserializing an executable compiled on a different machine
+        # (observed with +prefer-no-scatter AVX-512 artifacts)
+        sig = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        sig += hashlib.md5(line.encode()).hexdigest()[:10]
+                        break
+        except OSError:
+            pass
         cache_dir = loc or _os.path.join(
-            _os.path.expanduser("~"), ".cache", "margin_tpu_jax")
+            _os.path.expanduser("~"), ".cache", f"margin_tpu_jax_{sig}")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
