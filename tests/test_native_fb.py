@@ -94,3 +94,21 @@ def test_monster_routing(tables):
     assert res[1] == want[1]
     for a, b in zip(res[0], want[0]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_cap_overflow_retry(tables):
+    """A low threshold floods the output buffer: the binding must grow the
+    cap and return the complete pair set."""
+    rng = np.random.default_rng(17)
+    item = _mk_item(rng, 300, 300, 0, 0)  # anchorless: dense posteriors
+    (m, gx, gy), t = native_fb.posteriors_item(tables, item, 6, 1e-6,
+                                               True, False)
+    n = len(m) + len(gx) + len(gy)
+    assert n > 4 * 600 + 1024  # forced at least one retry
+    # coordinates within bounds (gap states may sit at -1, i.e. before the
+    # first base, like the jax extraction) and sorted per state
+    for arr in (m, gx, gy):
+        if len(arr):
+            assert arr[:, 1].min() >= -1 and arr[:, 1].max() < 300
+            assert (np.diff(arr[:, 1]) >= 0).all()
+    assert m[:, 1].min() >= 0  # matches always consume a base
