@@ -917,6 +917,15 @@ def split_sub_items(item, split_bigger_than: int):
 _MONSTER_CELLS = 30_000_000
 
 
+def _native_scan_cells() -> int:
+    """Scan-path native-routing threshold. Defaults to the monster policy;
+    MARGIN_TPU_NATIVE_SCAN_CELLS lowers it on CPU-only deployments (the
+    native kernel is ~10x the jax-CPU scan for mid-size bands, at a small
+    cross-backend low-bit consistency cost)."""
+    v = os.environ.get("MARGIN_TPU_NATIVE_SCAN_CELLS")
+    return int(v) if v else _MONSTER_CELLS
+
+
 def _true_band_cells(geom: BandGeometry) -> int:
     """Exact band cell count (independent of storage smoothing)."""
     w = geom.widths.astype(np.int64)
@@ -1043,7 +1052,7 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
                                   dynamic=dynamic, smooth=smooth)
         if (native_fb.lib() is not None
-                and _true_band_cells(geom) > _MONSTER_CELLS):
+                and _true_band_cells(geom) > _native_scan_cells()):
             monster_items.append(it)
             monster_idx.append(idx)
             continue
