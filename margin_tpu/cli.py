@@ -48,6 +48,14 @@ def _add_common(p):
     p.add_argument("-k", "--tempFilesToDisk", action="store_true",
                    help="compatibility flag (polish.c -k): maps to "
                         "--checkpoint (per-chunk results go to disk)")
+    p.add_argument("--workers", default="thread",
+                   choices=["thread", "process"],
+                   help="chunk worker kind for -t N: 'thread' shares the "
+                        "process (host Python serializes on the GIL but "
+                        "overlaps device batches); 'process' runs N CPU "
+                        "worker processes with device scoring routed to "
+                        "this process over a socket — full host-core "
+                        "scaling, byte-identical outputs (phase only)")
     p.add_argument("--rngMode", default="st", choices=["st", "python"],
                    help="random stream: 'st' replays the reference "
                         "binary's glibc rand() stream exactly (golden "
@@ -195,6 +203,11 @@ def main(argv=None):
             jax.devices()
     except Exception:
         pass
+    # worker processes spawned by --workers process route their device
+    # scoring back to the parent over a socket
+    from margin_tpu.parallel.ipc import maybe_install_client
+    maybe_install_client()
+
     from margin_tpu.params import Params
     params = Params.load(args.params)
     if args.maxDepth >= 0:
@@ -220,7 +233,31 @@ def main(argv=None):
     profiler = profiling.Profiler(enabled=args.profile)
     trace_ctx = profiling.maybe_jax_trace(args.jaxTrace)
 
+    if args.command == "polish" and args.workers == "process":
+        top.error("--workers process is phase-only: polish's device work "
+                  "is the banded FB posteriors, which do not route over "
+                  "the scoring socket (use -t N thread workers)")
+
     if args.command == "phase":
+        threads = args.threads
+        if args.workers == "process" and args.threads > 1 and shard is None:
+            # CPU worker processes fill the checkpoint dir (scoring comes
+            # back here over the socket); then run the ordinary merge pass
+            from margin_tpu.parallel.ipc import run_process_workers
+            wargv = ["phase", args.bam, args.reference, args.params,
+                     args.vcf, "-o", args.outputBase,
+                     "--seed", str(args.seed), "--rngMode", args.rngMode,
+                     "-a", "CRITICAL", "-t", "1"]
+            if args.region:
+                wargv += ["-r", args.region]
+            if args.maxDepth >= 0:
+                wargv += ["-p", str(args.maxDepth)]
+            if not args.lut_logadd:
+                wargv += ["--exact-logadd"]
+            run_process_workers(wargv, args.threads, args.outputBase,
+                                resume=args.checkpoint, log=log)
+            shard = ("merge",)
+            threads = 1
         from margin_tpu.phase.driver import run_phase
         with trace_ctx:
             run_phase(args.bam, args.reference, args.vcf, params,
@@ -229,7 +266,7 @@ def main(argv=None):
                       write_vcf=not args.skipPhasedVCF, seed=args.seed,
                       use_lut=args.lut_logadd, checkpoint=args.checkpoint,
                       shard=shard, profiler=profiler,
-                      rng_mode=args.rngMode, threads=args.threads, log=log)
+                      rng_mode=args.rngMode, threads=threads, log=log)
         profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish

@@ -153,9 +153,15 @@ class BamReader:
         self.header = BamHeader(text, names, lengths)
         self._data_voffset = self._bgzf.tell_virtual()
         self._index = None
+        self._native = None       # lazily opened NativeBam for fetch()
+        self._native_tried = False
 
     def close(self):
         self._bgzf.close()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
+            self._native_tried = False
 
     def __enter__(self):
         return self
@@ -188,11 +194,34 @@ class BamReader:
             self._index = BaiIndex(self.path + ".bai")
         return self._index
 
+    def _native_bam(self):
+        """Native region iterator (marginio) when the library is built; the
+        BGZF inflate + record framing then run in C with the GIL released.
+        Same record set as the Python path (both mirror sam_itr_regions)."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                import os
+                from margin_tpu.io import native
+                # without a .bai the native iterator would silently yield
+                # nothing; let the Python path raise its usual error
+                if native.lib() is not None and os.path.exists(
+                        self.path + ".bai"):
+                    self._native = native.NativeBam(self.path)
+            except Exception:
+                self._native = None
+        return self._native
+
     def fetch(self, contig: str, start: int, end: int) -> Iterator[BamRecord]:
         """Yield records overlapping [start, end) on contig, like
         sam_itr_regions (reads whose alignment span intersects the window)."""
         rid = self.header.ref_id(contig)
         if rid < 0:
+            return
+        nb = self._native_bam()
+        if nb is not None:
+            for raw in nb.fetch_raw(rid, start, end):
+                yield parse_record(raw)
             return
         idx = self._load_index()
         chunks = idx.query_chunks(rid, start, end)

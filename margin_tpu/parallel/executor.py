@@ -186,3 +186,132 @@ def score_slot_sums(tables, batch, slot_idx, n_slots: int,
                     use_lut: bool = False):
     return _CTX.score_slot_sums(tables, batch, slot_idx, n_slots,
                                 use_lut=use_lut)
+
+
+# ---------------------------------------------------------------------------
+# Cross-thread launch coalescing
+# ---------------------------------------------------------------------------
+
+class _ScoreRequest:
+    __slots__ = ("tables", "pairs", "strands", "reps", "use_lut",
+                 "batch_max", "out", "done", "error")
+
+    def __init__(self, tables, pairs, strands, reps, use_lut, batch_max):
+        self.tables = tables
+        self.pairs = pairs
+        self.strands = strands
+        self.reps = reps
+        self.use_lut = use_lut
+        self.batch_max = batch_max
+        self.out = np.empty(len(pairs), dtype=np.float32)
+        self.done = False
+        self.error = None
+
+    def key(self):
+        return (id(self.tables), self.use_lut, self.reps is not None)
+
+
+class _PairScoreService:
+    """Combining funnel for pair-scoring requests.
+
+    The phase/polish drivers run chunks on host threads (phase.c:276-279);
+    each chunk issues several scoring batches against the one accelerator.
+    Launching them independently serializes on the device *and* pays the
+    fixed dispatch/readback toll per launch. This service merges requests
+    that queue up while a launch is in flight into the next launch: the
+    thread that finds the device free becomes the dispatcher, drains every
+    compatible queued request, scores them as one concatenated batch and
+    distributes results. Per-pair scores are bit-identical to unbatched
+    calls — a lane's DP never reads another lane, and make_batch padding
+    is masked out of every cell (forward_total harvests each pair at its
+    own lx+ly) — so coalescing cannot change any output.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._queue = []
+        self._busy = False
+
+    def score(self, tables, pairs, strands, reps, use_lut, batch_max):
+        req = _ScoreRequest(tables, list(pairs), strands, reps, use_lut,
+                            batch_max)
+        if not req.pairs:
+            return req.out
+        with self._cond:
+            self._queue.append(req)
+            while not req.done:
+                if self._busy:
+                    # a launch is in flight; our request stays queued so the
+                    # next dispatcher picks it up
+                    self._cond.wait()
+                    continue
+                mine = [r for r in self._queue if r.key() == req.key()]
+                self._queue = [r for r in self._queue
+                               if r.key() != req.key()]
+                self._busy = True
+                self._cond.release()  # let other threads enqueue mid-launch
+                try:
+                    self._run(mine)
+                finally:
+                    self._cond.acquire()
+                    self._busy = False
+                    for r in mine:
+                        r.done = True
+                    self._cond.notify_all()
+        if req.error is not None:
+            raise req.error
+        return req.out
+
+    def _run(self, reqs):
+        """Score the union of `reqs` (all same key) in as few launches as
+        possible. Runs with the funnel lock released: the device call blocks
+        this thread while fresh requests accumulate in the queue for the
+        next dispatch round."""
+        try:
+            tables = reqs[0].tables
+            use_lut = reqs[0].use_lut
+            use_rle = reqs[0].reps is not None
+            batch_max = min(r.batch_max for r in reqs)
+            flat = [(ri, i) for ri, r in enumerate(reqs)
+                    for i in range(len(r.pairs))]
+            flat.sort(key=lambda t: (len(reqs[t[0]].pairs[t[1]][0]),
+                                     len(reqs[t[0]].pairs[t[1]][1])))
+            for s0 in range(0, len(flat), batch_max):
+                part = flat[s0:s0 + batch_max]
+                sel_pairs = [reqs[ri].pairs[i] for ri, i in part]
+                sel_strands = np.array(
+                    [reqs[ri].strands[i] for ri, i in part], np.int32)
+                sel_reps = ([reqs[ri].reps[i] for ri, i in part]
+                            if use_rle else None)
+                batch = pairhmm.make_batch(sel_pairs, strands=sel_strands,
+                                           rep_pairs=sel_reps)
+                scores = _CTX.score_batch(tables, batch, use_lut=use_lut)
+                for (ri, i), s in zip(part, scores):
+                    reqs[ri].out[i] = s
+        except BaseException as e:  # surface on every waiter
+            for r in reqs:
+                r.error = e
+
+
+_SCORER = _PairScoreService()
+_IPC_CLIENT = None
+
+
+def install_ipc_client(client) -> None:
+    """Route score_pairs over an IPC connection to a device-owning parent
+    process (margin_tpu.parallel.ipc). Worker-process mode only."""
+    global _IPC_CLIENT
+    _IPC_CLIENT = client
+
+
+def score_pairs(tables, pairs, strands, rep_pairs=None, use_lut: bool = False,
+                batch_max: int = 32768) -> np.ndarray:
+    """Score a list of (x_sym, y_sym) pairs, coalescing concurrent callers
+    into shared device launches. Returns (len(pairs),) float32 scores in
+    request order."""
+    if _IPC_CLIENT is not None and len(pairs) > 0:
+        return _IPC_CLIENT.score(tables, pairs, strands, rep_pairs, use_lut,
+                                 batch_max)
+    return _SCORER.score(tables, pairs, strands, rep_pairs, use_lut,
+                         batch_max)

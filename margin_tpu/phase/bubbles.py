@@ -224,23 +224,12 @@ def _score_pending(bubbles, pairs, strands, reps, slots, tables, use_rle,
             slots = [slots[i] for i in keep]
             if not pairs:
                 return
-    # bucket by padded size to limit wasted lanes: sort by (len_x, len_y)
-    order = sorted(range(len(pairs)),
-                   key=lambda i: (len(pairs[i][0]), len(pairs[i][1])))
-    for start in range(0, len(order), batch_max):
-        idxs = order[start:start + batch_max]
-        sel_pairs = [pairs[i] for i in idxs]
-        sel_strands = np.array([strands[i] for i in idxs], dtype=np.int32)
-        sel_reps = [reps[i] for i in idxs] if use_rle else None
-        batch = pairhmm.make_batch(sel_pairs, strands=sel_strands,
-                                   rep_pairs=sel_reps)
-        from margin_tpu.parallel import executor
-        scores = np.asarray(executor.score_batch(tables, batch,
-                                                 use_lut=use_lut),
-                            dtype=np.float32)
-        for i, s in zip(idxs, scores):
-            bidx, j, k = slots[i]
-            bubbles[bidx].allele_read_supports[j, k] = s
+    from margin_tpu.parallel import executor
+    scores = executor.score_pairs(tables, pairs, strands,
+                                  rep_pairs=reps if use_rle else None,
+                                  use_lut=use_lut, batch_max=batch_max)
+    for (bidx, j, k), s in zip(slots, scores):
+        bubbles[bidx].allele_read_supports[j, k] = s
 
 
 def get_reference(bg: BubbleGraph, ref_name: str, params: Params) -> Reference:

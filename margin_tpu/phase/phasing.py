@@ -166,21 +166,12 @@ def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
                 reps = [reps[i] for i in keep]
             owners = [owners[i] for i in keep]
     if pairs:
-        order = sorted(range(len(pairs)),
-                       key=lambda i: (len(pairs[i][0]) + len(pairs[i][1])))
-        for s0 in range(0, len(order), batch_max):
-            idxs = order[s0:s0 + batch_max]
-            batch = pairhmm.make_batch(
-                [pairs[i] for i in idxs],
-                strands=np.array([strands[i] for i in idxs], np.int32),
-                rep_pairs=[reps[i] for i in idxs] if use_rle else None)
-            from margin_tpu.parallel import executor
-            scores = np.asarray(executor.score_batch(tables, batch,
-                                                     use_lut=use_lut),
-                                dtype=np.float32)
-            for i, s in zip(idxs, scores):
-                g, k, j = owners[i]
-                outs[g][k, j] = s
+        from margin_tpu.parallel import executor
+        scores = executor.score_pairs(tables, pairs, strands,
+                                      rep_pairs=reps if use_rle else None,
+                                      use_lut=use_lut, batch_max=batch_max)
+        for (g, k, j), s in zip(owners, scores):
+            outs[g][k, j] = s
     for out, dup in zip(outs, dups):
         for k in range(len(dup)):
             if dup[k] != k:

@@ -393,21 +393,12 @@ def _score_bubbles(bubbles: List[Bubble], tables, pp: PolishParams,
                 slots.append((bi, j, k))
         dup_maps.append(dup)
     if pairs:
-        order = sorted(range(len(pairs)),
-                       key=lambda i: (len(pairs[i][0]), len(pairs[i][1])))
-        for s0 in range(0, len(order), batch_max):
-            idxs = order[s0:s0 + batch_max]
-            batch = pairhmm.make_batch(
-                [pairs[i] for i in idxs],
-                strands=np.array([strands[i] for i in idxs], np.int32),
-                rep_pairs=[reps[i] for i in idxs] if use_rle else None)
-            from margin_tpu.parallel import executor
-            scores = np.asarray(executor.score_batch(tables, batch,
-                                                     use_lut=use_lut),
-                                dtype=np.float32)
-            for i, sc in zip(idxs, scores):
-                bi, j, k = slots[i]
-                bubbles[bi].allele_read_supports[j, k] = sc
+        from margin_tpu.parallel import executor
+        scores = executor.score_pairs(tables, pairs, strands,
+                                      rep_pairs=reps if use_rle else None,
+                                      use_lut=use_lut, batch_max=batch_max)
+        for (bi, j, k), sc in zip(slots, scores):
+            bubbles[bi].allele_read_supports[j, k] = sc
     for b, dup in zip(bubbles, dup_maps):
         for k in range(len(b.reads)):
             if dup[k] != k:

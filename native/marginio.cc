@@ -9,11 +9,13 @@
 // Build: make -C native  (produces libmarginio.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <map>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -121,54 +123,106 @@ struct BgzfReader {
     }
 };
 
+// Deflate one <=0xFF00-byte payload into a complete BGZF block (header +
+// compressed payload + crc/isize trailer). Output bytes are identical
+// whether blocks are compressed sequentially or by the thread pool.
+static void bgzf_compress_block(const uint8_t* data, size_t n,
+                                std::vector<uint8_t>& out) {
+    std::vector<uint8_t> comp(compressBound(n) + 64);
+    z_stream zs{};
+    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    zs.next_in = const_cast<uint8_t*>(data);
+    zs.avail_in = n;
+    zs.next_out = comp.data();
+    zs.avail_out = comp.size();
+    deflate(&zs, Z_FINISH);
+    size_t clen = comp.size() - zs.avail_out;
+    deflateEnd(&zs);
+    uint32_t bsize = clen + 26;
+    uint8_t header[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
+                          6, 0, 'B', 'C', 2, 0,
+                          (uint8_t)((bsize - 1) & 0xff),
+                          (uint8_t)(((bsize - 1) >> 8) & 0xff)};
+    out.clear();
+    out.reserve(18 + clen + 8);
+    out.insert(out.end(), header, header + 18);
+    out.insert(out.end(), comp.data(), comp.data() + clen);
+    uint32_t crc = crc32(0, data, n);
+    uint32_t isize = (uint32_t)n;
+    const uint8_t* q = (const uint8_t*)&crc;
+    out.insert(out.end(), q, q + 4);
+    q = (const uint8_t*)&isize;
+    out.insert(out.end(), q, q + 4);
+}
+
 struct BgzfWriter {
+    // BGZF blocks are independent deflate streams, so compression
+    // parallelizes the way htslib's hts_tpool does it
+    // (htsIntegration.c:1369-1380): full blocks accumulate into a batch,
+    // the pool compresses the batch in parallel, and blocks are written
+    // in order — the output bytes match the sequential writer exactly.
     FILE* fh = nullptr;
     std::vector<uint8_t> buf;
+    std::vector<std::vector<uint8_t>> pending;  // full uncompressed blocks
+    int n_threads = 1;
     static constexpr size_t MAX_BLOCK = 0xFF00;
+    static constexpr size_t BATCH_BLOCKS = 32;  // ~2 MB per parallel flush
 
-    bool open(const char* path) {
+    bool open(const char* path, int threads = 0) {
+        if (threads <= 0) {
+            unsigned hw = std::thread::hardware_concurrency();
+            threads = hw > 1 ? (int)std::min(hw, 8u) : 1;
+        }
+        n_threads = threads;
         fh = fopen(path, "wb");
         return fh != nullptr;
     }
 
-    void flush_block(const uint8_t* data, size_t n) {
-        std::vector<uint8_t> comp(compressBound(n) + 64);
-        z_stream zs{};
-        deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
-        zs.next_in = const_cast<uint8_t*>(data);
-        zs.avail_in = n;
-        zs.next_out = comp.data();
-        zs.avail_out = comp.size();
-        deflate(&zs, Z_FINISH);
-        size_t clen = comp.size() - zs.avail_out;
-        deflateEnd(&zs);
-        uint32_t bsize = clen + 26;
-        uint8_t header[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
-                              6, 0, 'B', 'C', 2, 0,
-                              (uint8_t)((bsize - 1) & 0xff),
-                              (uint8_t)(((bsize - 1) >> 8) & 0xff)};
-        fwrite(header, 1, 18, fh);
-        fwrite(comp.data(), 1, clen, fh);
-        uint32_t crc = crc32(0, data, n);
-        uint32_t isize = n;
-        fwrite(&crc, 4, 1, fh);
-        fwrite(&isize, 4, 1, fh);
+    void flush_pending() {
+        if (pending.empty()) return;
+        size_t nb = pending.size();
+        std::vector<std::vector<uint8_t>> comp(nb);
+        int nt = (int)std::min((size_t)n_threads, nb);
+        if (nt <= 1) {
+            for (size_t i = 0; i < nb; i++)
+                bgzf_compress_block(pending[i].data(), pending[i].size(),
+                                    comp[i]);
+        } else {
+            std::atomic<size_t> next(0);
+            auto worker = [&]() {
+                for (;;) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= nb) break;
+                    bgzf_compress_block(pending[i].data(), pending[i].size(),
+                                        comp[i]);
+                }
+            };
+            std::vector<std::thread> pool;
+            for (int t = 1; t < nt; t++) pool.emplace_back(worker);
+            worker();
+            for (auto& th : pool) th.join();
+        }
+        for (size_t i = 0; i < nb; i++)
+            fwrite(comp[i].data(), 1, comp[i].size(), fh);
+        pending.clear();
     }
 
     void write(const uint8_t* data, size_t n) {
         buf.insert(buf.end(), data, data + n);
         while (buf.size() >= MAX_BLOCK) {
-            flush_block(buf.data(), MAX_BLOCK);
+            pending.emplace_back(buf.begin(), buf.begin() + MAX_BLOCK);
             buf.erase(buf.begin(), buf.begin() + MAX_BLOCK);
+            if (pending.size() >= BATCH_BLOCKS) flush_pending();
         }
     }
 
     void close() {
         if (!fh) return;
         if (!buf.empty()) {
-            flush_block(buf.data(), buf.size());
+            pending.emplace_back(buf.begin(), buf.end());
             buf.clear();
         }
+        flush_pending();
         static const uint8_t kEof[28] = {
             0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
             0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,

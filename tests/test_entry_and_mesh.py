@@ -50,6 +50,48 @@ def test_sharded_scores_match_single_device():
     np.testing.assert_allclose(np.asarray(slot_sums), host, rtol=1e-6)
 
 
+def test_score_pairs_coalescing_matches_sequential():
+    """executor.score_pairs: concurrent requests coalesced into shared
+    launches must return bit-identical scores to per-request scoring, in
+    request order, and partial/mixed batch_max values must be honored."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from margin_tpu.ops import pairhmm
+    from margin_tpu.parallel import executor
+
+    rng = np.random.default_rng(7)
+    tables, _ = graft._example_tables_and_batch(n_pairs=1)
+
+    def make_request(seed, n):
+        r = np.random.default_rng(seed)
+        pairs = [(r.integers(0, 4, int(r.integers(3, 24))).astype(np.uint8),
+                  r.integers(0, 4, int(r.integers(3, 28))).astype(np.uint8))
+                 for _ in range(n)]
+        strands = [int(s) for s in r.integers(0, 2, n)]
+        return pairs, strands
+
+    reqs = [make_request(100 + i, int(rng.integers(5, 40)))
+            for i in range(12)]
+    # sequential ground truth through the plain batch path
+    expected = []
+    for pairs, strands in reqs:
+        batch = pairhmm.make_batch(pairs,
+                                   strands=np.asarray(strands, np.int32))
+        expected.append(np.asarray(pairhmm.forward_total(tables, batch),
+                                   np.float32)[:len(pairs)])
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        outs = list(pool.map(
+            lambda pr: executor.score_pairs(tables, pr[0], pr[1],
+                                            batch_max=64),
+            reqs))
+    for got, want in zip(outs, expected):
+        np.testing.assert_array_equal(got, want)
+
+    # empty request short-circuits
+    assert executor.score_pairs(tables, [], []).shape == (0,)
+
+
 def test_executor_mesh_scores_match():
     """parallel.executor: the mesh-sharded scoring context must return the
     single-device scores for arbitrary batch sizes (incl. pad lanes)."""

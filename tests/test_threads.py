@@ -89,3 +89,31 @@ def test_polish_diploid_threads_match_sequential(tmp_path):
     assert (tmp_path / "seq.hap2.fa").read_text() == \
         (tmp_path / "thr.hap2.fa").read_text()
     assert (ref.hap1_count, ref.hap2_count) == (out.hap1_count, out.hap2_count)
+
+
+@pytest.mark.slow
+def test_phase_process_workers_match_threads(tmp_path):
+    """--workers process: CPU worker subprocesses with IPC scoring back to
+    the parent must produce byte-identical outputs to -t N thread mode
+    (both use the per-chunk-seeded RNG streams)."""
+    from margin_tpu.cli import main
+
+    params_json = str(tmp_path / "params.json")
+    with open(params_json, "w") as fh:
+        json.dump({
+            "include": reference_path("params", "phase",
+                                      "allParams.haplotag.ont-r94g507.json"),
+            "polish": {"chunkSize": 25000, "chunkBoundary": 2000},
+        }, fh)
+    vcf = reference_path("tests", "data", "realData",
+                         "HG002.r94g360.chr20_59M_100k.vcf")
+    base_args = ["phase", BAM, FASTA, params_json, vcf,
+                 "--logLevel", "CRITICAL"]
+    main(base_args + ["-o", str(tmp_path / "thr"), "-t", "2"])
+    main(base_args + ["-o", str(tmp_path / "proc"), "-t", "2",
+                      "--workers", "process"])
+    assert (tmp_path / "thr.phased.vcf").read_bytes() == \
+        (tmp_path / "proc.phased.vcf").read_bytes()
+    assert (tmp_path / "thr.haplotagged.bam").read_bytes() == \
+        (tmp_path / "proc.haplotagged.bam").read_bytes()
+    assert not (tmp_path / "proc.checkpoint").exists()
