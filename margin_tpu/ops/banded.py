@@ -667,11 +667,19 @@ def _device_count_flat(post, x_base, y_base, valid_b, threshold):
 @functools.partial(jax.jit, static_argnames=("K",))
 def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     """Flat batched addPosteriorProb extraction: ALL above-threshold cells
-    of the (D, 3, W, B) batch compacted into K-sized flat arrays tagged by
-    (problem, state).  K is sized from the exact counts of
-    `_device_count_flat`, so the device->host transfer is the result data
-    itself — critical on tunneled accelerators where readback bandwidth,
-    not compute, dominates."""
+    of the (D, 3, W, B) batch compacted into ONE K-sized int64 array with
+    (tag, x, y, prob) bit-packed per pair.  K is sized from the exact
+    counts of `_device_count_flat`, so the device->host transfer is the
+    result data itself — critical on tunneled accelerators where readback
+    bandwidth, not compute, dominates; packing also makes the host-side
+    (tag, x, y) ordering a single flat sort.
+
+    Two int32 words per pair (int64 is unavailable without x64):
+    lo = prob (24 bits, floor(min(p,1)*1e7) <= 1e7) | k << 24 (7 bits,
+    band storage offset, W <= 128); hi = d (18 bits, diagonal, D < 262144)
+    | tag << 18 (= 3*problem + state, <= 10 bits). Invalid slots carry
+    INT32_MAX in both words. x/y positions are recovered host-side from
+    (d, k, b) and the band bases — they would not fit the words."""
     k_iota = jnp.arange(post.shape[2])[None, :, None]
     xb = jnp.transpose(x_base, (1, 0))[:, None, :]
     yb = jnp.transpose(y_base, (1, 0))[:, None, :]
@@ -687,11 +695,28 @@ def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     probs = jnp.floor(jnp.minimum(post[d_i, s_i, k_i, b_i], 1.0)
                       * 10_000_000).astype(jnp.int32)
     valid = jnp.arange(K) < total
-    tag = jnp.where(valid, b_i * 3 + s_i, jnp.int32(1 << 30))
-    return (jnp.where(valid, probs, 0),
-            jnp.where(valid, x_pos[d_i, k_i, b_i] - 1, 0),
-            jnp.where(valid, y_pos[d_i, k_i, b_i] - 1, 0),
-            tag)
+    tag = (b_i * 3 + s_i).astype(jnp.int32)
+    lo = probs | (k_i.astype(jnp.int32) << 24)
+    hi = d_i.astype(jnp.int32) | (tag << 18)
+    invalid = jnp.int32(0x7FFFFFFF)
+    return jnp.where(valid, lo, invalid), jnp.where(valid, hi, invalid)
+
+
+def _unpack_extract(lo: np.ndarray, hi: np.ndarray, xb_np: np.ndarray,
+                    yb_np: np.ndarray, total: int):
+    """Host-side unpack of `_device_extract_flat` words: returns
+    (vals, pxs, pys, tags) for the `total` valid slots."""
+    mask = hi != 0x7FFFFFFF
+    lo, hi = lo[mask], hi[mask]
+    assert lo.size == total, (lo.size, total)
+    vals = (lo & 0xFFFFFF).astype(np.int64)
+    k = (lo >> 24) & 0x7F
+    d = (hi & 0x3FFFF).astype(np.int64)
+    tags = (hi >> 18).astype(np.int64)
+    b = tags // 3
+    pxs = xb_np[b, d] + k          # x_pos - 1 = x_base + 1 + k - 1
+    pys = yb_np[b, d] - k          # y_pos - 1 = y_base + 1 - k - 1
+    return vals, pxs, pys, tags
 
 
 def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarray,
@@ -850,11 +875,15 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             K = 1024
             while K < total:
                 K *= 2
-            vals, pxs, pys, tags = (np.asarray(a) for a in
-                                    _device_extract_flat(post, xb, yb,
-                                                         valid_b,
-                                                         threshold, K))
+            # bit-pack capacity of the flat extraction word
+            assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
+                and b_pad * 3 < (1 << 10), post.shape
+            lo, hi = (np.asarray(a) for a in
+                      _device_extract_flat(post, xb, yb, valid_b,
+                                           threshold, K))
             t3 = time.perf_counter()
+            vals, pxs, pys, tags = _unpack_extract(lo, hi, xb_np, yb_np,
+                                                   total)
             # order pairs by (tag, x, y) and split into per-(problem,
             # state) runs — same (x, y) lexsort the per-item path used
             order = np.lexsort((pys, pxs, tags))

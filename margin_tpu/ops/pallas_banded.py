@@ -123,9 +123,11 @@ def _shift_k(arr, sel, neg):
 def _block_d(w_pad: int, b_pad: int) -> int:
     """Largest diagonal block size keeping the working set well under VMEM:
     ~14 (BLOCK_D, W, B) f32 buffers live at once (3 emission inputs +
-    4-deep fwd/post blocks, double-buffered, plus carries)."""
+    4-deep fwd/post blocks, double-buffered, plus carries). VMEM tiles pad
+    the lane dim to 128, so size by the physical lane count."""
+    b_phys = max(b_pad, _LANES)
     for bd in (64, 32, 16, 8):
-        if 14 * bd * w_pad * b_pad * 4 <= 10 * 1024 * 1024:
+        if 14 * bd * w_pad * b_phys * 4 <= 10 * 1024 * 1024:
             return bd
     return 8
 
@@ -442,7 +444,11 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     from margin_tpu.ops import banded as _banded
 
     B_real = len(items)
-    b_pad = max(_LANES, int(np.ceil(B_real / _LANES)) * _LANES)
+    # lane quantum 64: a half-full group (the common realign shape, ~40-50
+    # reads per pass) then pays half the emission-gather and extraction
+    # element count; Mosaic pads the physical lane dim internally, so the
+    # kernel cost is unchanged
+    b_pad = max(64, int(np.ceil(B_real / 64)) * 64)
     block_d = _block_d(w_pad, b_pad)
     d_use = int(np.ceil(d_pad / block_d)) * block_d
 
