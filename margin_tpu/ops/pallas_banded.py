@@ -132,18 +132,67 @@ def _block_d(w_pad: int, b_pad: int) -> int:
     return 8
 
 
+def _emit_in_kernel() -> bool:
+    """Emission construction site: "window" (default) computes the
+    emission values inside the Pallas kernels from packed symbol windows
+    (prep = 2-3 gathers, no (D, W, B) f32 grid materialization);
+    MARGIN_TPU_PALLAS_EMIT=grids restores the XLA-precomputed grids."""
+    return os.environ.get("MARGIN_TPU_PALLAS_EMIT", "window") != "grids"
+
+
+def _kernel_emissions(px, py, tabs_ref, rep, xs_, ys_, use_rle):
+    """e_m/e_gx/e_gy for one diagonal from packed symbol windows.
+
+    px/py: (W2, B) int32 packed windows (symbol bits 0-2, repeat 3+);
+    tabs_ref: (35, B) per-problem tables (match 25 rows, gapX 5, gapY 5);
+    rep: (W, B) repeat-matrix values already summed into e_m when not None.
+    The select-sum arithmetic is identical to `_emission_grids.sel_sum`
+    (exactly one term is nonzero per cell, so float equality holds)."""
+    sx = px[xs_, :]
+    sy = py[ys_, :]
+    if use_rle:
+        sx = sx & 7
+        sy = sy & 7
+    code = sx * 5 + sy
+    zero = jnp.zeros(sx.shape, tabs_ref.dtype)
+    e_m = zero
+    for s in range(25):
+        e_m = e_m + jnp.where(code == s, tabs_ref[s, :][None, :], 0)
+    if rep is not None:
+        e_m = e_m + rep
+    e_gx = zero
+    e_gy = zero
+    for s in range(5):
+        e_gx = e_gx + jnp.where(sx == s, tabs_ref[25 + s, :][None, :], 0)
+        e_gy = e_gy + jnp.where(sy == s, tabs_ref[30 + s, :][None, :], 0)
+    return e_m, e_gx, e_gy
+
+
 # --------------------------------------------------------------------------
 # kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(use_lut: bool,
-                meta_ref, e_m_ref, e_gx_ref, e_gy_ref,
-                lxy_ref, trans_ref, init_ref,
-                out_ref, prev1_ref, prev2_ref):
+def _fwd_kernel(use_lut: bool, emit_window: bool, use_rle: bool, *refs):
     """One grid step: BLOCK_D diagonals of the banded forward recurrence."""
+    if emit_window:
+        if use_rle:
+            (meta_ref, px_ref, py_ref, rep_ref, tabs_ref,
+             lxy_ref, trans_ref, init_ref,
+             out_ref, prev1_ref, prev2_ref) = refs
+        else:
+            (meta_ref, px_ref, py_ref, tabs_ref,
+             lxy_ref, trans_ref, init_ref,
+             out_ref, prev1_ref, prev2_ref) = refs
+            rep_ref = None
+        bd, _, W, B = out_ref.shape
+        dtype = tabs_ref.dtype
+    else:
+        (meta_ref, e_m_ref, e_gx_ref, e_gy_ref,
+         lxy_ref, trans_ref, init_ref,
+         out_ref, prev1_ref, prev2_ref) = refs
+        bd, W, B = e_m_ref.shape
+        dtype = e_m_ref.dtype
     log_add = _lut_log_add if use_lut else jnp.logaddexp
-    bd, W, B = e_m_ref.shape
-    dtype = e_m_ref.dtype
     neg = jnp.asarray(LOG_ZERO, dtype)
     i = pl.program_id(0)
 
@@ -162,9 +211,16 @@ def _fwd_kernel(use_lut: bool,
         low = _shift_k(prev1, row(j, M_S1), neg)       # (x-1, y)
         up = _shift_k(prev1, row(j, M_S1) + 1, neg)    # (x, y-1)
         mid = _shift_k(prev2, row(j, M_S2), neg)       # (x-1, y-1)
-        e_m = e_m_ref[j]
-        e_gx = e_gx_ref[j]
-        e_gy = e_gy_ref[j]
+        if emit_window:
+            # fwd diagonal pairs: cx = px[1:W+1], cy = py[1:W+1]
+            e_m, e_gx, e_gy = _kernel_emissions(
+                px_ref[j], py_ref[j], tabs_ref,
+                None if rep_ref is None else rep_ref[j],
+                slice(1, W + 1), slice(1, W + 1), use_rle)
+        else:
+            e_m = e_m_ref[j]
+            e_gx = e_gx_ref[j]
+            e_gy = e_gy_ref[j]
         new_gx = e_gx + _log_add3(low[MATCH] + trc[T_OPEN_X],
                                   low[GAPX] + trc[T_EXT_X],
                                   low[GAPY] + trc[T_SW_X], log_add)
@@ -195,14 +251,27 @@ def _fwd_kernel(use_lut: bool,
     jax.lax.fori_loop(0, bd, body, 0)
 
 
-def _bwd_kernel(use_lut: bool,
-                meta_ref, e_m_ref, e_gx_ref, e_gy_ref,
-                lxy_ref, trans_ref, end_ref, total_ref, fwd_ref,
-                post_ref, next1_ref, next2_ref):
+def _bwd_kernel(use_lut: bool, emit_window: bool, use_rle: bool, *refs):
     """One reversed grid step: BLOCK_D diagonals of backward + posterior."""
+    if emit_window:
+        if use_rle:
+            (meta_ref, px_ref, py_ref, rep_ref, tabs_ref,
+             lxy_ref, trans_ref, end_ref, total_ref, fwd_ref,
+             post_ref, next1_ref, next2_ref) = refs
+        else:
+            (meta_ref, px_ref, py_ref, tabs_ref,
+             lxy_ref, trans_ref, end_ref, total_ref, fwd_ref,
+             post_ref, next1_ref, next2_ref) = refs
+            rep_ref = None
+        bd, _, W, B = post_ref.shape
+        dtype = tabs_ref.dtype
+    else:
+        (meta_ref, e_m_ref, e_gx_ref, e_gy_ref,
+         lxy_ref, trans_ref, end_ref, total_ref, fwd_ref,
+         post_ref, next1_ref, next2_ref) = refs
+        bd, W, B = e_m_ref.shape
+        dtype = e_m_ref.dtype
     log_add = _lut_log_add if use_lut else jnp.logaddexp
-    bd, W, B = e_m_ref.shape
-    dtype = e_m_ref.dtype
     neg = jnp.asarray(LOG_ZERO, dtype)
     i = pl.program_id(0)
     nblk = pl.num_programs(0)
@@ -233,9 +302,16 @@ def _bwd_kernel(use_lut: bool,
         gx_n = _shift_k(next1, t1, neg)[GAPX]      # (x+1, y)
         gy_n = _shift_k(next1, t1 - 1, neg)[GAPY]  # (x, y+1)
         m_n = _shift_k(next2, t2, neg)[MATCH]      # (x+1, y+1)
-        e_m = e_m_ref[j]
-        e_gx = e_gx_ref[j]
-        e_gy = e_gy_ref[j]
+        if emit_window:
+            # bwd diagonal pairs: cx = px[2:W+2], cy = py[0:W]
+            e_m, e_gx, e_gy = _kernel_emissions(
+                px_ref[j], py_ref[j], tabs_ref,
+                None if rep_ref is None else rep_ref[j],
+                slice(2, W + 2), slice(0, W), use_rle)
+        else:
+            e_m = e_m_ref[j]
+            e_gx = e_gx_ref[j]
+            e_gy = e_gy_ref[j]
         b_m = _log_add3(gx_n + e_gx + trc[T_OPEN_X],
                         m_n + e_m + trc[T_MM],
                         gy_n + e_gy + trc[T_OPEN_Y], log_add)
@@ -272,31 +348,56 @@ def _bwd_kernel(use_lut: bool,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("d_pad", "w_pad", "use_lut",
-                                             "block_d", "interpret"))
+                                             "block_d", "interpret",
+                                             "emit_window", "use_rle"))
 def _fb_pallas(e_fwd, e_bwd, meta, lxy, trans, init_cell, end_w,
                d_pad: int, w_pad: int, use_lut: bool, block_d: int,
-               interpret: bool):
+               interpret: bool, emit_window: bool = False,
+               use_rle: bool = False):
     """Run forward then backward+posterior. Returns (post (D, 3, W, B),
-    totals (B,))."""
-    D, W, B = e_fwd[0].shape
-    dtype = e_fwd[0].dtype
+    totals (B,)).
+
+    Grid mode (emit_window=False): e_fwd/e_bwd are (e_m, e_gx, e_gy)
+    (D, W, B) emission grids. Window mode: e_fwd = (px, py, tabs[, rep_f]),
+    e_bwd = ([rep_b]) — packed (D, W+2, B) symbol windows plus the (35, B)
+    per-problem tables; the kernels build emissions in-VMEM."""
+    if emit_window:
+        px, py, tabs = e_fwd[:3]
+        rep_f = e_fwd[3] if use_rle else None
+        rep_b = e_bwd[0] if use_rle else None
+        D, W2, B = px.shape
+        W = W2 - 2
+        dtype = tabs.dtype
+    else:
+        D, W, B = e_fwd[0].shape
+        W2 = W + 2
+        dtype = e_fwd[0].dtype
     nblk = D // block_d
 
     dspec = pl.BlockSpec((block_d, W, B), lambda i: (i, 0, 0))
+    wspec = pl.BlockSpec((block_d, W2, B), lambda i: (i, 0, 0))
     mspec = pl.BlockSpec((block_d, N_META, B), lambda i: (i, 0, 0))
     full2 = lambda rows: pl.BlockSpec((rows, B), lambda i: (0, 0))
     outspec = pl.BlockSpec((block_d, 3, W, B), lambda i: (i, 0, 0, 0))
 
+    if emit_window:
+        fwd_in = [meta, px, py] + ([rep_f] if use_rle else []) + [tabs]
+        fwd_specs = ([mspec, wspec, wspec]
+                     + ([dspec] if use_rle else []) + [full2(35)])
+    else:
+        fwd_in = [meta, e_fwd[0], e_fwd[1], e_fwd[2]]
+        fwd_specs = [mspec, dspec, dspec, dspec]
+
     fwd = pl.pallas_call(
-        functools.partial(_fwd_kernel, use_lut),
+        functools.partial(_fwd_kernel, use_lut, emit_window, use_rle),
         grid=(nblk,),
-        in_specs=[mspec, dspec, dspec, dspec, full2(4), full2(9), full2(3)],
+        in_specs=fwd_specs + [full2(4), full2(9), full2(3)],
         out_specs=outspec,
         out_shape=jax.ShapeDtypeStruct((D, 3, W, B), dtype),
         scratch_shapes=[pltpu.VMEM((3, W, B), dtype),
                         pltpu.VMEM((3, W, B), dtype)],
         interpret=interpret,
-    )(meta, e_fwd[0], e_fwd[1], e_fwd[2], lxy, trans, init_cell)
+    )(*fwd_in, lxy, trans, init_cell)
 
     # total log prob at the per-problem final corner (lx, ly): gather fwd
     # at (d_final, state, k_final, b) with advanced indexing — vmapping
@@ -311,22 +412,29 @@ def _fb_pallas(e_fwd, e_bwd, meta, lxy, trans, init_cell, end_w,
     totals = la(la(t[:, 0], t[:, 1]), t[:, 2])
 
     rspec_d = pl.BlockSpec((block_d, W, B), lambda i: (nblk - 1 - i, 0, 0))
+    rspec_w = pl.BlockSpec((block_d, W2, B), lambda i: (nblk - 1 - i, 0, 0))
     rspec_m = pl.BlockSpec((block_d, N_META, B),
                            lambda i: (nblk - 1 - i, 0, 0))
     rspec_o = pl.BlockSpec((block_d, 3, W, B),
                            lambda i: (nblk - 1 - i, 0, 0, 0))
+    if emit_window:
+        bwd_in = [meta, px, py] + ([rep_b] if use_rle else []) + [tabs]
+        bwd_specs = ([rspec_m, rspec_w, rspec_w]
+                     + ([rspec_d] if use_rle else []) + [full2(35)])
+    else:
+        bwd_in = [meta, e_bwd[0], e_bwd[1], e_bwd[2]]
+        bwd_specs = [rspec_m, rspec_d, rspec_d, rspec_d]
     post = pl.pallas_call(
-        functools.partial(_bwd_kernel, use_lut),
+        functools.partial(_bwd_kernel, use_lut, emit_window, use_rle),
         grid=(nblk,),
-        in_specs=[rspec_m, rspec_d, rspec_d, rspec_d, full2(4), full2(9),
-                  full2(3), full2(1), rspec_o],
+        in_specs=bwd_specs + [full2(4), full2(9),
+                              full2(3), full2(1), rspec_o],
         out_specs=rspec_o,
         out_shape=jax.ShapeDtypeStruct((D, 3, W, B), dtype),
         scratch_shapes=[pltpu.VMEM((3, W, B), dtype),
                         pltpu.VMEM((3, W, B), dtype)],
         interpret=interpret,
-    )(meta, e_bwd[0], e_bwd[1], e_bwd[2], lxy, trans, end_w,
-      totals[None, :], fwd)
+    )(*bwd_in, lxy, trans, end_w, totals[None, :], fwd)
     return post, totals
 
 
@@ -430,6 +538,65 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     return grids(0), grids(1)
 
 
+@functools.partial(jax.jit, static_argnames=("w_pad", "use_rle"))
+def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
+                  w_pad: int, use_rle: bool):
+    """Window-mode prep: the packed (D, W+2, B) symbol windows plus (RLE)
+    the (D, W, B) repeat-matrix grids — the irreducible gathers of
+    `_emission_grids`, with every select-sum left to the Pallas kernels
+    (`_kernel_emissions`). Same windowing/fill semantics as
+    `_emission_grids`, so kernel-built emissions are float-identical."""
+    B, Lp = xs.shape
+    D = x_base.shape[1]
+    W = w_pad
+    W2 = W + 2
+    k = jnp.arange(W2)[None, :, None]
+    lx = lxs[None, None, :]
+    ly = lys[None, None, :]
+    boff = (jnp.arange(B, dtype=jnp.int32) * Lp)[None, None, :]
+    xb_t = jnp.transpose(x_base, (1, 0))[:, None, :]   # (D, 1, B)
+    yb_t = jnp.transpose(y_base, (1, 0))[:, None, :]
+
+    if use_rle:
+        px_tab = xs + 8 * rep_x
+        py_tab = ys + 8 * rep_y
+    else:
+        px_tab, py_tab = xs, ys
+
+    def wide_window(tab, idx, in_range):
+        g = jnp.take(tab.reshape(-1),
+                     (jnp.clip(idx, 0, Lp - 1) + boff).reshape(-1),
+                     mode="clip").reshape(D, W2, B)
+        return jnp.where(in_range, g, 4)  # fill: symbol 4, repeat 0
+
+    px_idx = (xb_t - 1) + k
+    py_idx = (yb_t + 1) - k
+    px = wide_window(px_tab, px_idx, (px_idx >= 0) & (px_idx < lx))
+    py = wide_window(py_tab, py_idx, (py_idx >= 0) & (py_idx < ly))
+    if not use_rle:
+        return px, py, None, None
+
+    sx = px & 7
+    n = 51
+    base = jnp.where(sx >= 4, 0, sx)
+    ridx = base * (n * n) + (px >> 3) * n + (py >> 3)
+    rboff = (jnp.arange(B, dtype=jnp.int32)
+             * rep_tab.shape[1])[None, None, :]
+    rfw = jnp.take(rep_tab.reshape(-1), (ridx + rboff).reshape(-1),
+                   mode="clip").reshape(D, W2, B)
+    s2 = jnp.concatenate(
+        [x_base[:, 2:] - x_base[:, :-2],
+         jnp.zeros((B, 2), x_base.dtype)], axis=1)
+    s2 = jnp.transpose(s2, (1, 0))[:, None, :]         # (D, 1, B)
+    r2 = jnp.concatenate(
+        [rfw[2:], jnp.zeros((2, W2, B), rfw.dtype)], axis=0)
+    rep_fwd = rfw[:, 1:W + 1, :]
+    rep_bwd = jnp.where(
+        s2 == 0, r2[:, 2:W + 2, :],
+        jnp.where(s2 == 1, r2[:, 1:W + 1, :], r2[:, 0:W, :]))
+    return px, py, rep_fwd, rep_bwd
+
+
 def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
                         expansion: int, use_lut: bool, dynamic: bool,
                         use_rle: bool):
@@ -518,16 +685,25 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
 
     import time as _time
     dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
+    emit_window = _emit_in_kernel()
     t0 = _time.perf_counter()
-    e_fwd, e_bwd = _emission_grids(
-        m_tab, gx_tab, gy_tab, rep_tab,
+    prep_args = (
         jnp.asarray(xs), jnp.asarray(ys),
         jnp.asarray(np.ascontiguousarray(meta[:, M_XBASE, :].T)),
         jnp.asarray(np.ascontiguousarray(meta[:, M_YBASE, :].T)),
         jnp.asarray(lxs), jnp.asarray(lys),
         None if rx is None else jnp.asarray(rx),
-        None if ry is None else jnp.asarray(ry),
-        w_pad=w_pad, use_rle=use_rle)
+        None if ry is None else jnp.asarray(ry))
+    if emit_window:
+        px, py, rep_f, rep_b = _window_grids(
+            rep_tab, *prep_args, w_pad=w_pad, use_rle=use_rle)
+        tabs = jnp.concatenate([m_tab.T, gx_tab.T, gy_tab.T]).astype(dtype)
+        e_fwd = (px, py, tabs) + ((rep_f,) if use_rle else ())
+        e_bwd = (rep_b,) if use_rle else ()
+    else:
+        e_fwd, e_bwd = _emission_grids(
+            m_tab, gx_tab, gy_tab, rep_tab, *prep_args,
+            w_pad=w_pad, use_rle=use_rle)
     if dbg:
         jax.block_until_ready(e_fwd)
         t1 = _time.perf_counter()
@@ -537,12 +713,14 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         jnp.asarray(lxy), jnp.asarray(tr_np.T, dtype=dtype),
         jnp.asarray(init_cell, dtype=dtype), jnp.asarray(end_w, dtype=dtype),
         d_pad=d_use, w_pad=w_pad, use_lut=use_lut, block_d=block_d,
-        interpret=_interpret_mode())
+        interpret=_interpret_mode(), emit_window=emit_window,
+        use_rle=use_rle)
     if dbg:
         jax.block_until_ready(post)
         print(f"  [fb] prep+emissions {t1-t0:.2f}s pallas "
               f"{_time.perf_counter()-t1:.2f}s (D={d_use} blk={block_d} "
-              f"B={b_pad})", flush=True)
+              f"B={b_pad} emit={'window' if emit_window else 'grids'})",
+              flush=True)
     # (D, 3, W, B) -> (B, D, 3, W) for the shared extraction path
     # post stays in the kernel's native (D, 3, W, B) layout — transposing
     # to problem-major pads the (3, W) tail dims up to 8x in HBM; the
