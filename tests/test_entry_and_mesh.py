@@ -111,3 +111,23 @@ def test_executor_mesh_scores_match():
         np.testing.assert_allclose(sums, host, rtol=1e-6)
     finally:
         executor.disable_mesh()
+
+
+def test_dryrun_self_sufficient_platform_forcing():
+    """dryrun_multichip must build the n-device virtual CPU mesh in a bare
+    interpreter: the sandbox pins the accelerator platform at startup, so
+    env vars alone (the driver's invocation) never reach backend selection.
+    Strip XLA_FLAGS/JAX_PLATFORMS to prove the function forces it itself."""
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["MARGIN_TPU_DRYRUN_KERNEL_ONLY"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK')"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+        env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
