@@ -946,13 +946,27 @@ def split_sub_items(item, split_bigger_than: int):
 _MONSTER_CELLS = 30_000_000
 
 
+# on the CPU backend (no accelerator), mid-size bands above this route to
+# the native kernel by default: the native FB is much faster per cell than
+# the jax-CPU scan, and outputs on the reference polish region are
+# byte-identical (warm 6kb polish: 67s scan-only -> 59s)
+_NATIVE_SCAN_CELLS_CPU = 50_000
+
+
 def _native_scan_cells() -> int:
-    """Scan-path native-routing threshold. Defaults to the monster policy;
-    MARGIN_TPU_NATIVE_SCAN_CELLS lowers it on CPU-only deployments (the
-    native kernel is ~10x the jax-CPU scan for mid-size bands, at a small
-    cross-backend low-bit consistency cost)."""
+    """Scan-path native-routing threshold. MARGIN_TPU_NATIVE_SCAN_CELLS
+    overrides; otherwise CPU-backend processes use the low mid-size
+    threshold and accelerator backends keep the monster-only policy (their
+    scan path only sees degenerate-geometry fallback items)."""
     v = os.environ.get("MARGIN_TPU_NATIVE_SCAN_CELLS")
-    return int(v) if v else _MONSTER_CELLS
+    if v:
+        return int(v)
+    try:
+        if jax.default_backend() == "cpu":
+            return _NATIVE_SCAN_CELLS_CPU
+    except Exception:
+        pass
+    return _MONSTER_CELLS
 
 
 def _true_band_cells(geom: BandGeometry) -> int:
