@@ -185,15 +185,22 @@ def forward_total(tables: PairHmmTables, batch: PairBatch,
     no anchor pairs — the band then covers the full rectangle, so the dense
     recurrence matches cell-for-cell. Returns (B,) log probs.
 
-    Layout: anti-diagonal d scans 0..Lx+Ly. The diagonal slab is indexed by
-    y (W = Ly+1 lanes); cell (x=d-y, y). Dependencies:
-      gapX(x,y)  <- diag d-1 at lane y      (cell (x-1, y))
-      gapY(x,y)  <- diag d-1 at lane y-1    (cell (x, y-1))
-      match(x,y) <- diag d-2 at lane y-1    (cell (x-1, y-1))
-    The x-symbol consumed at lane y of diag d is X[d-1-y]: a contiguous
-    window of reversed-X, fetched with one dynamic_slice per step.
+    Layout: anti-diagonal d scans 0..Lx+Ly. The diagonal slab is (W, B):
+    row y holds cell (x=d-y, y), and the BATCH axis rides the 128-wide lane
+    dimension (W is a few dozen at most — putting it on lanes wastes ~10x
+    in padding; measured 4x throughput from this orientation alone).
+    Dependencies:
+      gapX(x,y)  <- diag d-1 at row y      (cell (x-1, y))
+      gapY(x,y)  <- diag d-1 at row y-1    (cell (x, y-1))
+      match(x,y) <- diag d-2 at row y-1    (cell (x-1, y-1))
+    The x-symbol consumed at row y of diag d is X[d-1-y]: a contiguous
+    window of reversed-X, fetched with one dynamic_slice per step. All
+    emission lookups are one-hot select-sums (gather-free — per-step
+    gathers were ~15x slower than the whole remaining kernel).
     """
-    log_add = logmath.log_add_lut if use_lut else logmath.log_add_exact
+    # all in-kernel values are clamped finite (LOG_ZERO), so the LUT flavor
+    # can skip its isinf/isnan guards
+    log_add = logmath.log_add_lut_finite if use_lut else logmath.log_add_exact
     B, Lx = batch.xs.shape
     Ly = batch.ys.shape[1]
     W = Ly + 1
@@ -202,98 +209,105 @@ def forward_total(tables: PairHmmTables, batch: PairBatch,
 
     use_rle = tables.repeat is not None and batch.rep_x is not None
 
-    # per-item tables (gathered once; (B, ...) )
+    # per-item tables (gathered once from the tiny strand-stacked tables)
     m_tab = tables.match[batch.strands]      # (B, 25)
     gx_tab = tables.gap_x[batch.strands]     # (B, 5)
     gy_tab = tables.gap_y[batch.strands]     # (B, 5)
     tr = tables.trans[batch.strands]         # (B, 9)
-    trc = {i: tr[:, i:i + 1] for i in range(9)}  # (B,1) broadcastable
+    trc = {i: tr[:, i] for i in range(9)}    # (B,) broadcastable over (W,B)
 
-    y_iota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    lys_r = batch.lys[None, :]               # (1, B)
+    lxs_r = batch.lxs[None, :]
 
-    # y-symbols per lane: cY at lane y is Y[y-1]; lane 0 -> N(4)
-    cy = jnp.concatenate([jnp.full((B, 1), 4, jnp.uint8), batch.ys], axis=1)  # (B, W)
-    cy = cy.astype(jnp.int32)
-    e_gy = jnp.take_along_axis(gy_tab, cy, axis=1)  # (B, W) constant over d
+    # y-symbols per row: cY at row y is Y[y-1]; row 0 -> N(4)
+    cy = jnp.concatenate([jnp.full((B, 1), 4, jnp.uint8), batch.ys],
+                         axis=1).astype(jnp.int32).T  # (W, B)
+    e_gy = jnp.take_along_axis(gy_tab, cy.T, axis=1).T  # (W, B), once
+    # m_rows[i]: match emission at row y if cx == i  (5, W, B)
+    cy1h = [(cy == j) for j in range(5)]
+    m_rows = jnp.stack([
+        sum(jnp.where(cy1h[j], m_tab[None, :, i * 5 + j], 0.0)
+            for j in range(5))
+        for i in range(5)])  # (5, W, B)
+    gx_rows = [gx_tab[None, :, i] for i in range(5)]  # (1,B) each
 
-    # Padded-reversed X for the sliding window: the x-symbol consumed at lane
+    # Padded-reversed X for the sliding window: the x-symbol consumed at row
     # y of diag d is X[d-1-y]; with xpad = [N*Ly, reverse(X), N*W] that is
-    # xpad[Lx+Ly-d+y] — one dynamic_slice per scan step.
+    # xpad[Lx+Ly-d+y] — one dynamic_slice per scan step. (L, B) layout.
     xpad = jnp.concatenate([jnp.full((B, Ly), 4, jnp.uint8),
                             jnp.flip(batch.xs, axis=1),
-                            jnp.full((B, W), 4, jnp.uint8)], axis=1).astype(jnp.int32)
+                            jnp.full((B, W), 4, jnp.uint8)],
+                           axis=1).astype(jnp.int32).T  # (Lx+Ly+W, B)
     if use_rle:
-        ry = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), batch.rep_y], axis=1)
+        ry = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), batch.rep_y],
+                             axis=1).T  # (W, B)
         rxpad = jnp.concatenate([jnp.zeros((B, Ly), jnp.int32),
                                  jnp.flip(batch.rep_x, axis=1),
-                                 jnp.zeros((B, W), jnp.int32)], axis=1)
+                                 jnp.zeros((B, W), jnp.int32)], axis=1).T
         rep_tab = tables.repeat[batch.strands]  # (B, 4*51*51)
 
     neg = jnp.asarray(LOG_ZERO, dtype)
 
-    # start cell (0,0) at diag 0, lane 0 (stateMachine.c:521-530)
-    rl = batch.ragged_left[:, None]
-    init_cell = jnp.stack([
-        jnp.where(rl, neg, 0.0).astype(dtype),       # match
-        jnp.where(rl, 0.0, neg).astype(dtype),       # gapX
-        jnp.where(rl, 0.0, neg).astype(dtype),       # gapY
-    ], axis=1)  # (B, 3, 1)
-    lane0 = (y_iota == 0)[:, None, :]  # (B,1,W)
-    diag0 = jnp.where(lane0, jnp.concatenate(
-        [init_cell, jnp.full((B, 3, W - 1), neg, dtype)], axis=2), neg)
+    # start cell (0,0) at diag 0, row 0 (stateMachine.c:521-530)
+    rl = batch.ragged_left[None, :]
+    row0 = (y_iota == 0)
+    m0 = jnp.where(row0 & ~rl, 0.0, neg).astype(dtype)
+    g0 = jnp.where(row0 & rl, 0.0, neg).astype(dtype)
+    diag0 = (m0, g0, g0)  # (match, gapX, gapY), each (W, B)
 
-    def shift_lane(a):  # lane y <- lane y-1 (prepend LOG_ZERO)
-        return jnp.concatenate([jnp.full(a.shape[:-1] + (1,), neg, dtype),
-                                a[..., :-1]], axis=-1)
+    def shift_row(a):  # row y <- row y-1 (prepend LOG_ZERO row)
+        return jnp.concatenate([jnp.full((1, B), neg, dtype), a[:-1]], axis=0)
 
     def step(carry, d):
-        prev1, prev2, result = carry  # (B,3,W), (B,3,W), (B,)
-        cx = jax.lax.dynamic_slice_in_dim(xpad, Lx + Ly - d, W, axis=1)
-        e_m = jnp.take_along_axis(m_tab, cx * 5 + cy, axis=1)
-        e_gx = jnp.take_along_axis(gx_tab, cx, axis=1)
+        (p1m, p1x, p1y), (p2m, p2x, p2y), result = carry
+        cx = jax.lax.dynamic_slice_in_dim(xpad, Lx + Ly - d, W, axis=0)
+        # gather-free emissions: one-hot select over the 5-symbol alphabet
+        cx1h = [(cx == i) for i in range(5)]
+        e_m = sum(jnp.where(cx1h[i], m_rows[i], 0.0) for i in range(5))
+        e_gx = sum(jnp.where(cx1h[i], gx_rows[i], 0.0) for i in range(5))
         if use_rle:
-            rxw = jax.lax.dynamic_slice_in_dim(rxpad, Lx + Ly - d, W, axis=1)
+            rxw = jax.lax.dynamic_slice_in_dim(rxpad, Lx + Ly - d, W, axis=0)
             base = jnp.where(cx >= 4, 0, cx)  # N -> A (repeatSubMatrix.c:16-27)
             n = MAXIMUM_REPEAT_LENGTH
             rep_idx = base * (n * n) + rxw * n + ry
-            e_m = e_m + jnp.take_along_axis(rep_tab, rep_idx, axis=1)
+            e_m = e_m + jnp.take_along_axis(rep_tab, rep_idx.T, axis=1).T
 
-        p1m, p1x, p1y = prev1[:, MATCH], prev1[:, GAPX], prev1[:, GAPY]
-        p2 = shift_lane(prev2)  # diag d-2 at lane y-1
-        u1 = shift_lane(prev1)  # diag d-1 at lane y-1
+        s2m, s2x, s2y = shift_row(p2m), shift_row(p2x), shift_row(p2y)
+        u1m, u1x, u1y = shift_row(p1m), shift_row(p1x), shift_row(p1y)
 
         new_gx = e_gx + _log_add3(p1m + trc[T_OPEN_X], p1x + trc[T_EXT_X],
                                   p1y + trc[T_SW_X], log_add)
-        new_m = e_m + _log_add3(p2[:, MATCH] + trc[T_MM],
-                                p2[:, GAPX] + trc[T_M_FROM_GX],
-                                p2[:, GAPY] + trc[T_M_FROM_GY], log_add)
-        new_gy = e_gy + _log_add3(u1[:, MATCH] + trc[T_OPEN_Y],
-                                  u1[:, GAPY] + trc[T_EXT_Y],
-                                  u1[:, GAPX] + trc[T_SW_Y], log_add)
+        new_m = e_m + _log_add3(s2m + trc[T_MM], s2x + trc[T_M_FROM_GX],
+                                s2y + trc[T_M_FROM_GY], log_add)
+        new_gy = e_gy + _log_add3(u1m + trc[T_OPEN_Y], u1y + trc[T_EXT_Y],
+                                  u1x + trc[T_SW_Y], log_add)
 
-        cur = jnp.stack([new_m, new_gx, new_gy], axis=1)  # (B,3,W)
         x_pos = d - y_iota
-        valid = ((y_iota <= batch.lys[:, None]) & (x_pos >= 0)
-                 & (x_pos <= batch.lxs[:, None]))[:, None, :]
-        cur = jnp.where(valid, cur, neg)
-        cur = jnp.maximum(cur, neg)  # clamp accumulated underflow
+        valid = (y_iota <= lys_r) & (x_pos >= 0) & (x_pos <= lxs_r)
+        # clamp accumulated underflow to the finite LOG_ZERO
+        new_m = jnp.maximum(jnp.where(valid, new_m, neg), neg)
+        new_gx = jnp.maximum(jnp.where(valid, new_gx, neg), neg)
+        new_gy = jnp.maximum(jnp.where(valid, new_gy, neg), neg)
 
-        # harvest total when d == lx+ly at lane y=ly
-        final_cell = jnp.take_along_axis(
-            cur, batch.lys[:, None, None].astype(jnp.int32), axis=2)[:, :, 0]  # (B,3)
-        rr = batch.ragged_right[:, None]
-        end_w = jnp.where(
-            rr,
-            jnp.stack([(tr[:, T_OPEN_X] + tr[:, T_OPEN_Y]) / 2.0,
-                       tr[:, T_EXT_X], tr[:, T_EXT_Y]], axis=1),
-            jnp.stack([tr[:, T_MM], tr[:, T_M_FROM_GX], tr[:, T_M_FROM_GY]],
-                      axis=1))
-        tot = final_cell + end_w
-        tot = log_add(log_add(tot[:, 0], tot[:, 1]), tot[:, 2])
+        # harvest total when d == lx+ly at row y=ly (masked reduce: exactly
+        # one row matches lys)
+        final_row = (y_iota == lys_r)
+        fm = jnp.sum(jnp.where(final_row, new_m, 0.0), axis=0)  # (B,)
+        fx = jnp.sum(jnp.where(final_row, new_gx, 0.0), axis=0)
+        fy = jnp.sum(jnp.where(final_row, new_gy, 0.0), axis=0)
+        rr = batch.ragged_right
+        tot = log_add(
+            log_add(
+                fm + jnp.where(rr, (trc[T_OPEN_X] + trc[T_OPEN_Y]) / 2.0,
+                               trc[T_MM]),
+                fx + jnp.where(rr, trc[T_EXT_X], trc[T_M_FROM_GX])),
+            fy + jnp.where(rr, trc[T_EXT_Y], trc[T_M_FROM_GY]))
         result = jnp.where(d == batch.lxs + batch.lys, tot, result)
-        return (cur, prev1, result), None
+        return ((new_m, new_gx, new_gy), (p1m, p1x, p1y), result), None
 
-    init = (diag0, jnp.full((B, 3, W), neg, dtype), jnp.full((B,), neg, dtype))
+    negdiag = (jnp.full((W, B), neg, dtype),) * 3
+    init = (diag0, negdiag, jnp.full((B,), neg, dtype))
     (_, _, result), _ = jax.lax.scan(step, init, jnp.arange(1, D + 1),
                                      unroll=unroll)
     # trivial case lx+ly == 0 returns LOG_ONE (pairwiseAligner.c:860-862)
