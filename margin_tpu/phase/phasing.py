@@ -52,13 +52,20 @@ def phase_bubble_graph(bg: BubbleGraph, ref: Reference,
         if ps is not None and id(ps) not in discarded_ids:
             (fwd if r.forward_strand else rev).append(ps)
 
-    tp_f = rphmm.get_rp_hmms(fwd, ref, params.phase)
-    tp_r = rphmm.get_rp_hmms(rev, ref, params.phase)
+    # native C++ merge-tree engine (native/marginrp.cc) mirrors the Python
+    # oracle below operation-for-operation; safe because the depth filter
+    # above already bounds coverage <= maxCoverageDepth <= 64
+    from margin_tpu.phase import native_rp
+    hmm = native_rp.phase_fused_hmm(fwd, rev, ref, params.phase)
+    if hmm is None:
+        tp_f = rphmm.get_rp_hmms(fwd, ref, params.phase)
+        tp_r = rphmm.get_rp_hmms(rev, ref, params.phase)
 
-    merged = rphmm.merge_two_tiling_paths(tp_f, tp_r, include_ancestor=False)
-    hmm = rphmm.fuse_tiling_path(merged)
+        merged = rphmm.merge_two_tiling_paths(tp_f, tp_r,
+                                              include_ancestor=False)
+        hmm = rphmm.fuse_tiling_path(merged)
 
-    hmm.forward_backward(include_ancestor=True)
+        hmm.forward_backward(include_ancestor=True)
     path = hmm.forward_traceback()
 
     gf = construct_genome_fragment(hmm, path)
