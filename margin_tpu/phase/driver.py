@@ -324,11 +324,13 @@ def phase_one_chunk(chunk, reader, fasta, vcf_entries, chunkr, params, tables,
                                                         chunk_ref, params)
 
     with profiler.chunk_stage(ci, "readextract"):
+        from margin_tpu.phase.readextract import PrefetchedChunkReader
+        chunk_reader = PrefetchedChunkReader(reader, chunk)
         reads, filtered_reads = extract_read_substrings_sv_aware(
-            chunk, primary, reader, params)
+            chunk, primary, chunk_reader, params)
         if not params.phase.phasePrimaryVariantsOnly:
             reads_for_filtered, _ = extract_read_substrings_sv_aware(
-                chunk, filtered_entries, reader, params)
+                chunk, filtered_entries, chunk_reader, params)
         else:
             reads_for_filtered = []
 

@@ -79,6 +79,28 @@ def _seq_index_at(t, r_begin, ref_starts, ref_ends, seq_starts, is_match, total_
     return out
 
 
+class PrefetchedChunkReader:
+    """One BAM region scan shared by every extraction pass of a chunk.
+
+    The driver extracts substrings for primary variants, filtered variants,
+    and (with SV handling) small/SV splits — four scans of the same region
+    (htsIntegration.c re-streams per call too, but its htslib iterator hits
+    the OS page cache; here each scan re-inflates BGZF blocks). Fetching the
+    records once removes ~75% of the readextract wall time."""
+
+    def __init__(self, reader: bamio.BamReader, bam_chunk: BamChunk):
+        self.records = list(reader.fetch(
+            bam_chunk.ref_name,
+            max(bam_chunk.chunk_overlap_start - 1, 0),
+            bam_chunk.chunk_overlap_end))
+        # per-record derived data shared across passes
+        self.op_cache: dict = {}
+        self.seq_cache: dict = {}
+
+    def fetch(self, contig: str, start: int, end: int):
+        return iter(self.records)
+
+
 def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
                             reader: bamio.BamReader, params: Params,
                             keep_filtered: bool = True):
@@ -92,6 +114,8 @@ def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
     filtered_reads: List[ReadVcfSubstrings] = []
     if not vcf_entries:
         return reads, filtered_reads
+    op_cache = getattr(reader, "op_cache", None)
+    seq_cache = getattr(reader, "seq_cache", None)
 
     positions = np.array([e.ref_pos for e in vcf_entries], dtype=np.int64)  # 1-based POA
     win_starts = np.array([e.ref_aln_start for e in vcf_entries], dtype=np.int64)
@@ -139,8 +163,14 @@ def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
             (filtered_reads if is_filtered else reads).append(bcr)
             continue
 
-        ref_starts, ref_ends, seq_starts, is_match, total_query = _op_tables(
-            rec, bam_chunk.chunk_overlap_start)
+        if op_cache is not None:
+            tables = op_cache.get(id(rec))
+            if tables is None:
+                tables = op_cache[id(rec)] = _op_tables(
+                    rec, bam_chunk.chunk_overlap_start)
+        else:
+            tables = _op_tables(rec, bam_chunk.chunk_overlap_start)
+        ref_starts, ref_ends, seq_starts, is_match, total_query = tables
 
         sel = np.arange(lo, hi)
         t_start = win_starts[sel]
@@ -158,8 +188,13 @@ def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
         bcr = ReadVcfSubstrings(get_read_name(rec, bam_chunk.ref_name),
                                 not rec.is_reverse, aln_len)
         if np.any(keep):
-            seq = rec.seq()
-            quals = rec.quals()
+            if seq_cache is not None:
+                cached = seq_cache.get(id(rec))
+                if cached is None:
+                    cached = seq_cache[id(rec)] = (rec.seq(), rec.quals())
+                seq, quals = cached
+            else:
+                seq, quals = rec.seq(), rec.quals()
             for k in np.flatnonzero(keep):
                 a = int(seq_s[k]) + start_sc
                 b = int(seq_e[k]) + start_sc

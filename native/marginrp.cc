@@ -79,29 +79,74 @@ inline double np_logaddexp(double x, double y) {
     return tmp;  // NaN
 }
 
+// Open-addressing u64 -> i32 map (linear probing, splitmix64 hash).
+// The merge tree performs millions of tiny lookups/dedups per chunk;
+// std::unordered_map's node allocations dominated the engine profile.
+struct U64Map {
+    std::vector<u64> keys;
+    std::vector<i32> vals;
+    std::vector<uint8_t> used;
+    u64 mask = 0;
+
+    static inline u64 mix(u64 x) {  // splitmix64 finalizer
+        x += 0x9E3779B97F4A7C15ULL;
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+        return x ^ (x >> 31);
+    }
+    void reset(size_t n) {
+        size_t cap = 16;
+        while (cap < n * 2) cap <<= 1;
+        if (cap > keys.size()) {
+            keys.resize(cap);
+            vals.resize(cap);
+            used.assign(cap, 0);
+        } else {
+            std::fill(used.begin(), used.begin() + cap, 0);
+        }
+        mask = cap - 1;
+    }
+    // insert if absent; returns true if inserted
+    inline bool insert(u64 k, i32 v) {
+        u64 i = mix(k) & mask;
+        while (used[i]) {
+            if (keys[i] == k) return false;
+            i = (i + 1) & mask;
+        }
+        used[i] = 1;
+        keys[i] = k;
+        vals[i] = v;
+        return true;
+    }
+    inline i32 get(u64 k) const {
+        u64 i = mix(k) & mask;
+        while (used[i]) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        return -1;
+    }
+};
+
 struct Merge {
     u64 mask_from = 0, mask_to = 0;
     std::vector<u64> from_parts, to_parts;
-    std::unordered_map<u64, i32> from_index, to_index;
+    U64Map from_index, to_index;
     std::vector<double> fwd, bwd;
 
     void build_index() {
-        from_index.clear();
-        to_index.clear();
-        from_index.reserve(from_parts.size() * 2);
-        to_index.reserve(to_parts.size() * 2);
+        from_index.reset(from_parts.size());
+        to_index.reset(to_parts.size());
         for (size_t i = 0; i < from_parts.size(); i++)
-            from_index.emplace(from_parts[i], (i32)i);
+            from_index.insert(from_parts[i], (i32)i);
         for (size_t i = 0; i < to_parts.size(); i++)
-            to_index.emplace(to_parts[i], (i32)i);
+            to_index.insert(to_parts[i], (i32)i);
     }
     i32 next_idx(u64 part) const {  // mergeColumn.c:63-70; -1 if absent
-        auto it = from_index.find(part & mask_from);
-        return it == from_index.end() ? -1 : it->second;
+        return from_index.get(part & mask_from);
     }
     i32 prev_idx(u64 part) const {  // mergeColumn.c:72-79
-        auto it = to_index.find(part & mask_to);
-        return it == to_index.end() ? -1 : it->second;
+        return to_index.get(part & mask_to);
     }
 };
 
@@ -275,15 +320,16 @@ struct Engine {
         }
     }
 
+    U64Map dedup_set;  // reused scratch
+
     // order-preserving dedup of an interleaved {p, ~p} stream
     // (reproduces rphmm.py's np.unique(return_index) + sort(first))
-    static void dedup_keep_first(const std::vector<u64>& vals,
-                                 std::vector<i64>& keep) {
-        std::unordered_set<u64> seen;
-        seen.reserve(vals.size() * 2);
+    void dedup_keep_first(const std::vector<u64>& vals,
+                          std::vector<i64>& keep) {
+        dedup_set.reset(vals.size());
         keep.clear();
         for (size_t i = 0; i < vals.size(); i++)
-            if (seen.insert(vals[i]).second) keep.push_back((i64)i);
+            if (dedup_set.insert(vals[i], 0)) keep.push_back((i64)i);
     }
 
     Hmm* cross_product(Hmm* h1, Hmm* h2) {  // hmm.c:534-750
@@ -386,17 +432,33 @@ struct Engine {
         i64 a0 = ref.allele_offset[col.ref_start];
         i64 a1 = ref.allele_offset[col.ref_start + col.length];
         i64 width = a1 - a0;
-        // s1[c][a] = sum over member reads of prob; s2 = complement
-        std::vector<i64> s1(n_cells * width, 0), s2(n_cells * width, 0);
-        // per-read rows gathered once
-        for (int i = 0; i < d; i++) {
-            i32 sidx = col.seqs[i];
-            const uint8_t* row = ps.probs + ps.probs_offset[sidx]
-                                 + (a0 - ps.allele_offset[sidx]);
+        // s1[c][a] = sum over member reads of prob; s2 = complement.
+        // Bit-plane popcounts (the reference's own trick, emissions.c:77-138):
+        // pack bit k of every read's uint8 prob into a u64 whose lanes are
+        // reads, then a partition's sum is sum_k popcount(plane_k & mask)<<k
+        // — 8 popcounts per (cell, allele) instead of depth adds.
+        std::vector<i64> s1(n_cells * width), s2(n_cells * width);
+        u64 planes[8];
+        u64 accept = accept_mask(d);
+        for (i64 a = 0; a < width; a++) {
+            for (int k = 0; k < 8; k++) planes[k] = 0;
+            for (int i = 0; i < d; i++) {
+                i32 sidx = col.seqs[i];
+                uint8_t v = ps.probs[ps.probs_offset[sidx]
+                                     + (a0 - ps.allele_offset[sidx]) + a];
+                for (int k = 0; k < 8; k++)
+                    planes[k] |= (u64)((v >> k) & 1) << i;
+            }
             for (size_t c = 0; c < n_cells; c++) {
-                i64* dst = ((col.parts[c] >> i) & 1) ? &s1[c * width]
-                                                     : &s2[c * width];
-                for (i64 a = 0; a < width; a++) dst[a] += row[a];
+                u64 m = col.parts[c];
+                u64 inv = ~m & accept;
+                i64 v1 = 0, v2 = 0;
+                for (int k = 0; k < 8; k++) {
+                    v1 += (i64)__builtin_popcountll(planes[k] & m) << k;
+                    v2 += (i64)__builtin_popcountll(planes[k] & inv) << k;
+                }
+                s1[c * width + a] = v1;
+                s2[c * width + a] = v2;
             }
         }
         std::vector<i64> total(n_cells, 0);
@@ -642,10 +704,10 @@ struct Engine {
                 links[k] = forwards ? m->next_idx(col.parts[k])
                                     : m->prev_idx(col.parts[k]);
             // dedup preserving first-occurrence order
-            std::unordered_set<i64> seen;
+            dedup_set.reset(links.size());
             std::vector<i64> chosen;
             for (i64 l : links)
-                if (seen.insert(l).second) chosen.push_back(l);
+                if (dedup_set.insert((u64)l, 0)) chosen.push_back(l);
             if (forwards) {
                 double next_total = h->cols[ci + 1].total;
                 keys.resize(chosen.size());
