@@ -37,7 +37,9 @@ def _enable_jax_compilation_cache():
         import hashlib
         import platform
 
-        import jax
+        # configured via env (read by jax at its own import) rather than
+        # jax.config.update: importing jax here would defeat the package's
+        # lazy-jax policy — IPC worker processes never need it
         # key the cache by host CPU: the XLA:CPU AOT loader tolerates
         # machine-feature mismatches with warnings but can SIGSEGV when
         # deserializing an executable compiled on a different machine
@@ -53,8 +55,16 @@ def _enable_jax_compilation_cache():
             pass
         cache_dir = loc or _os.path.join(
             _os.path.expanduser("~"), ".cache", f"margin_tpu_jax_{sig}")
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+        _os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+        if "jax" in __import__("sys").modules:
+            # jax already imported (e.g. the device-owning parent): the env
+            # defaults above are too late — apply directly
+            import jax
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
     except Exception:
         pass
 

@@ -111,11 +111,20 @@ class BgzfReader:
 
 
 class BgzfWriter:
-    """Streaming BGZF writer (64 KB blocks, zlib level 6)."""
+    """Streaming BGZF writer (64 KB blocks; level from MARGIN_TPU_BGZF_LEVEL,
+    default 1 — same speed-oriented default as the native writer)."""
 
     MAX_BLOCK = 0xFF00
 
-    def __init__(self, path: str, level: int = 6):
+    def __init__(self, path: str, level: int = None):
+        if level is None:
+            import os
+            try:
+                level = int(os.environ.get("MARGIN_TPU_BGZF_LEVEL", "1"))
+            except ValueError:
+                level = 1
+            if not 0 <= level <= 9:
+                level = 1
         self._fh = open(path, "wb")
         self._buf = bytearray()
         self._level = level

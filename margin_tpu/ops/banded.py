@@ -22,12 +22,13 @@ import os
 import time
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from margin_tpu.utils.lazyjax import jax, jnp, lazy_jit
 
 from margin_tpu.ops import logmath
 from margin_tpu.ops.pairhmm import (GAPX, GAPY, LOG_ZERO, MATCH, PairHmmTables,
+                                    _ensure_registered,
                                     T_EXT_X, T_EXT_Y, T_MM, T_M_FROM_GX,
                                     T_M_FROM_GY, T_OPEN_X, T_OPEN_Y, T_SW_X,
                                     T_SW_Y, _log_add3)
@@ -158,8 +159,7 @@ def _precompute_policy(b: int, d_pad: int, w_pad: int) -> bool:
     return b * d_pad * w_pad * 4 * 10 <= 4e9
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
+@lazy_jit(static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
                                     "compute_expectations",
                                     "precompute_emissions", "pm1"))
 def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
@@ -179,8 +179,7 @@ def _banded_fb(tables_match, tables_gapx, tables_gapy, trans,
                            pm1, k_lo)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
+@lazy_jit(static_argnames=("d_pad", "w_pad", "use_lut", "use_rle",
                                     "precompute_emissions", "pm1"))
 def _banded_fb_many(tables_match, tables_gapx, tables_gapy, trans,
                     x_sym, y_sym, lx, ly,
@@ -544,6 +543,7 @@ def banded_posteriors_split(tables: PairHmmTables, x_sym, y_sym, anchors,
     (pairwiseAligner.c:984-1040): run banded_posteriors per sub-rectangle
     and merge pair lists with coordinate correction. Returns the same
     ((matches, gapx, gapy), total-sum) shape as banded_posteriors."""
+    _ensure_registered()
     lx, ly = len(x_sym), len(y_sym)
     anchors = [] if anchors is None else [tuple(int(v) for v in a)
                                           for a in anchors]
@@ -585,7 +585,7 @@ def banded_posteriors_split(tables: PairHmmTables, x_sym, y_sym, anchors,
     return (cat(out_m), cat(out_gx), cat(out_gy)), total
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@lazy_jit(static_argnames=("K",))
 def _device_extract(post, x_base, y_base, threshold, K: int):
     """Device-side addPosteriorProb thresholding: compact the (D, 3, W)
     posterior grid into per-state (prob, x-1, y-1) candidate arrays of
@@ -618,7 +618,7 @@ def _device_extract(post, x_base, y_base, threshold, K: int):
             jnp.stack(counts))
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@lazy_jit(static_argnames=("K",))
 def _device_extract_many(post, x_base, y_base, threshold, K: int):
     """vmapped _device_extract over a batch: post (B, D, 3, W)."""
     return jax.vmap(lambda p, xb, yb: _device_extract(p, xb, yb, threshold,
@@ -646,7 +646,7 @@ def _extract_cap(d_pad: int) -> int:
     return 2 * d_pad
 
 
-@jax.jit
+@lazy_jit()
 def _device_count_flat(post, x_base, y_base, valid_b, threshold):
     """Per-(problem, state) above-threshold cell counts for a (D, 3, W, B)
     posterior batch (the Pallas FB's native, lane-last layout) — the cheap
@@ -664,7 +664,7 @@ def _device_count_flat(post, x_base, y_base, valid_b, threshold):
     return jnp.transpose(jnp.sum(sel, axis=(0, 2)), (1, 0))  # (B, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
+@lazy_jit(static_argnames=("K",))
 def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     """Flat batched addPosteriorProb extraction: ALL above-threshold cells
     of the (D, 3, W, B) batch compacted into ONE K-sized int64 array with
@@ -731,6 +731,7 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     lists of (prob_int, x, y) with prob scaled by PAIR_ALIGNMENT_PROB_1
     and >= threshold. gapX pairs are reference-consuming (deletes in the
     POA's frame); gapY are read-consuming (inserts)."""
+    _ensure_registered()
     lx, ly = len(x_sym), len(y_sym)
     if lx + ly == 0:
         empty = np.zeros((0, 3), dtype=np.int64)
@@ -1066,6 +1067,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
 
     On accelerators the groups are solved by the Pallas wavefront kernel
     (ops.pallas_banded) instead of the lax.scan path."""
+    _ensure_registered()
     from margin_tpu.ops import pallas_banded
     if pallas_banded.use_pallas():
         return _posteriors_many_pallas(tables, items, expansion, threshold,
@@ -1189,6 +1191,7 @@ def banded_expectations(tables: PairHmmTables, x_sym: np.ndarray,
     """getExpectationsUsingAnchors (pairwiseAligner.c:1193-1209): Baum-Welch
     transition expectations over the banded forward-backward. Returns
     (E (3,3) [from, to] expected transition counts, total log prob)."""
+    _ensure_registered()
     lx, ly = len(x_sym), len(y_sym)
     if lx + ly == 0:
         return np.zeros((3, 3)), 0.0

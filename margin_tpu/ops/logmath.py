@@ -11,9 +11,9 @@ Both forms are jittable and accept arrays.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from margin_tpu.utils.lazyjax import jax, jnp
 
 LOG_ZERO = -np.inf
 LOG_ONE = 0.0

@@ -31,11 +31,10 @@ import functools
 from dataclasses import dataclass
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from margin_tpu.ops import logmath
+from margin_tpu.utils.lazyjax import jax, jnp, lazy_jit
 from margin_tpu.params import StateMachineParams, RepeatSubMatrix, MAXIMUM_REPEAT_LENGTH
 
 MATCH, GAPX, GAPY = 0, 1, 2
@@ -67,7 +66,7 @@ class PairHmmTables:
     def from_params(sm_fwd: StateMachineParams,
                     sm_rev: Optional[StateMachineParams] = None,
                     repeat: Optional[RepeatSubMatrix] = None,
-                    dtype=jnp.float32) -> "PairHmmTables":
+                    dtype=np.float32) -> "PairHmmTables":
         if sm_rev is None:
             sm_rev = sm_fwd.reverse_complement()
         def clamp(a):
@@ -80,15 +79,21 @@ class PairHmmTables:
         tr = np.stack([clamp(sm_fwd.transition_vector()),
                        clamp(sm_rev.transition_vector())])
         rep = None
+        np_dtype = np.dtype(dtype)
         if repeat is not None:
             n = MAXIMUM_REPEAT_LENGTH
             # slot for (base b, strand s): s ? b : 3-b  (repeatSubMatrix.c:28-31)
             fwd = repeat.log_probs.reshape(4, n * n)          # slot == base
             rev = repeat.log_probs[::-1].reshape(4, n * n)    # base b -> slot 3-b
-            rep = jnp.asarray(2.3025 * np.stack([fwd, rev]).reshape(2, 4 * n * n),
-                              dtype=dtype)
-        return PairHmmTables(jnp.asarray(match, dtype), jnp.asarray(gx, dtype),
-                             jnp.asarray(gy, dtype), jnp.asarray(tr, dtype), rep)
+            rep = np.asarray(2.3025 * np.stack([fwd, rev]).reshape(2, 4 * n * n),
+                             dtype=np_dtype)
+        # plain numpy: tables are tiny (the kernels upload them per launch),
+        # and worker processes that only relay batches over IPC must not
+        # import jax just to hold them
+        return PairHmmTables(np.asarray(match, np_dtype),
+                             np.asarray(gx, np_dtype),
+                             np.asarray(gy, np_dtype),
+                             np.asarray(tr, np_dtype), rep)
 
 
 @dataclass(frozen=True)
@@ -176,9 +181,17 @@ def _log_add3(a, b, c, log_add):
     return log_add(log_add(a, b), c)
 
 
-@functools.partial(jax.jit, static_argnames=("use_lut", "unroll"))
 def forward_total(tables: PairHmmTables, batch: PairBatch,
-                  use_lut: bool = False, unroll: int = 4) -> jnp.ndarray:
+                  use_lut: bool = False, unroll: int = 4):
+    """Lazy-jit entry for `_forward_total` (see its docstring); registers
+    the batch dataclasses as pytrees on first use."""
+    _ensure_registered()
+    return _forward_total(tables, batch, use_lut=use_lut, unroll=unroll)
+
+
+@lazy_jit(static_argnames=("use_lut", "unroll"))
+def _forward_total(tables: PairHmmTables, batch: PairBatch,
+                   use_lut: bool = False, unroll: int = 4):
     """Batched total forward log-probability.
 
     Parity: computeForwardProbability (pairwiseAligner.c:849-903) called with
@@ -315,12 +328,23 @@ def forward_total(tables: PairHmmTables, batch: PairBatch,
     return result
 
 
-jax.tree_util.register_dataclass(
-    PairHmmTables,
-    data_fields=["match", "gap_x", "gap_y", "trans", "repeat"],
-    meta_fields=[])
-jax.tree_util.register_dataclass(
-    PairBatch,
-    data_fields=["xs", "ys", "lxs", "lys", "strands", "ragged_left",
-                 "ragged_right", "rep_x", "rep_y"],
-    meta_fields=[])
+_REGISTERED = False
+
+
+def _ensure_registered():
+    """Pytree-register the batch dataclasses on first device use (deferred
+    so worker processes that only ship batches over IPC never import jax)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    import jax as _jax
+    _jax.tree_util.register_dataclass(
+        PairHmmTables,
+        data_fields=["match", "gap_x", "gap_y", "trans", "repeat"],
+        meta_fields=[])
+    _jax.tree_util.register_dataclass(
+        PairBatch,
+        data_fields=["xs", "ys", "lxs", "lys", "strands", "ragged_left",
+                     "ragged_right", "rep_x", "rep_y"],
+        meta_fields=[])
+    _REGISTERED = True

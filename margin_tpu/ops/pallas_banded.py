@@ -41,8 +41,7 @@ from __future__ import annotations
 import functools
 import os
 
-import jax
-import jax.numpy as jnp
+from margin_tpu.utils.lazyjax import jax, jnp, lazy_jit
 import numpy as np
 
 from margin_tpu.ops import logmath
@@ -347,7 +346,7 @@ def _bwd_kernel(use_lut: bool, emit_window: bool, use_rle: bool, *refs):
 # host/XLA prep + driver
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("d_pad", "w_pad", "use_lut",
+@lazy_jit(static_argnames=("d_pad", "w_pad", "use_lut",
                                              "block_d", "interpret",
                                              "emit_window", "use_rle"))
 def _fb_pallas(e_fwd, e_bwd, meta, lxy, trans, init_cell, end_w,
@@ -438,7 +437,7 @@ def _fb_pallas(e_fwd, e_bwd, meta, lxy, trans, init_cell, end_w,
     return post, totals
 
 
-@functools.partial(jax.jit, static_argnames=("w_pad", "use_rle"))
+@lazy_jit(static_argnames=("w_pad", "use_rle"))
 def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
                     lxs, lys, rep_x, rep_y, w_pad: int, use_rle: bool):
     """(D, W, B) emission stacks for the forward (offset 0,0) and backward
@@ -538,7 +537,7 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     return grids(0), grids(1)
 
 
-@functools.partial(jax.jit, static_argnames=("w_pad", "use_rle"))
+@lazy_jit(static_argnames=("w_pad", "use_rle"))
 def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
                   w_pad: int, use_rle: bool):
     """Window-mode prep: the packed (D, W+2, B) symbol windows plus (RLE)

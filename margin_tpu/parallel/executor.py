@@ -305,6 +305,10 @@ def install_ipc_client(client) -> None:
     _IPC_CLIENT = client
 
 
+def has_ipc_client() -> bool:
+    return _IPC_CLIENT is not None
+
+
 def score_pairs(tables, pairs, strands, rep_pairs=None, use_lut: bool = False,
                 batch_max: int = 32768) -> np.ndarray:
     """Score a list of (x_sym, y_sym) pairs, coalescing concurrent callers

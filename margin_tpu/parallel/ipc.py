@@ -217,6 +217,16 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
     env = dict(os.environ)
     env.update(server.env())
     env["MARGIN_TPU_PLATFORM"] = "cpu"
+    # workers never touch a device: skip the sitecustomize accelerator-plugin
+    # registration (it imports jax at interpreter startup, ~2 s per worker)
+    # and point any stray jax use at the CPU backend
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the sandbox sets PYTHONDONTWRITEBYTECODE=1, so every worker recompiles
+    # numpy/margin_tpu source on import; a /tmp bytecode cache makes worker
+    # startup ~4x faster from the second spawn on
+    env.pop("PYTHONDONTWRITEBYTECODE", None)
+    env.setdefault("PYTHONPYCACHEPREFIX", "/tmp/margin_tpu_pycache")
     env.setdefault("PYTHONPATH", "")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))

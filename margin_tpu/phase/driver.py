@@ -127,9 +127,11 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
 
     # multi-chip: shard scoring batches over a ("dp","sp") mesh
     # (SURVEY §2.3; an explicitly enabled mesh — e.g. the CPU-device
-    # dryrun/test harness — is left in place)
+    # dryrun/test harness — is left in place). IPC workers skip this: their
+    # scoring rides the socket to the device-owning parent, and importing
+    # jax just to ask for a backend costs ~2 s per worker process.
     from margin_tpu.parallel import executor
-    if executor.context().mesh is None:
+    if executor.context().mesh is None and not executor.has_ipc_client():
         try:
             import jax
             if jax.default_backend() != "cpu" and jax.device_count() > 1:

@@ -126,11 +126,25 @@ struct BgzfReader {
 // Deflate one <=0xFF00-byte payload into a complete BGZF block (header +
 // compressed payload + crc/isize trailer). Output bytes are identical
 // whether blocks are compressed sequentially or by the thread pool.
+// Output compression level: BGZF blocks stay valid at any zlib level; the
+// haplotagged rewrite is a pure data sink that downstream tools re-read, so
+// the default trades ~15% file size for ~3x deflate speed (the rewrite of a
+// whole-genome BAM is deflate-bound even with the thread pool).
+static int bgzf_level() {
+    static int lvl = -2;
+    if (lvl == -2) {
+        const char* e = getenv("MARGIN_TPU_BGZF_LEVEL");
+        lvl = e ? atoi(e) : 1;
+        if (lvl < 0 || lvl > 9) lvl = 1;
+    }
+    return lvl;
+}
+
 static void bgzf_compress_block(const uint8_t* data, size_t n,
                                 std::vector<uint8_t>& out) {
     std::vector<uint8_t> comp(compressBound(n) + 64);
     z_stream zs{};
-    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    deflateInit2(&zs, bgzf_level(), Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
     zs.next_in = const_cast<uint8_t*>(data);
     zs.avail_in = n;
     zs.next_out = comp.data();
