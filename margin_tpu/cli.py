@@ -60,6 +60,16 @@ def _add_common(p):
                    help="random stream: 'st' replays the reference "
                         "binary's glibc rand() stream exactly (golden "
                         "parity); 'python' uses random.Random(seed)")
+    p.add_argument("--hosts", type=int, default=None, metavar="N",
+                   help="multi-host scale-out: total number of host "
+                        "processes in the jax.distributed group (phase "
+                        "only; pair with --host-id and --coordinator)")
+    p.add_argument("--host-id", type=int, default=None, metavar="I",
+                   help="this process's id in the --hosts group (0-based; "
+                        "host 0 writes outputs)")
+    p.add_argument("--coordinator", default="127.0.0.1:8476",
+                   metavar="HOST:PORT",
+                   help="jax.distributed coordinator address for --hosts")
     p.add_argument("--profile", action="store_true",
                    help="write structured per-chunk/per-stage timing to "
                         "<outputBase>.profile.json")
@@ -181,28 +191,34 @@ def main(argv=None):
                 top.error("BAM does not appear to be indexed: "
                           f"{args.trueReferenceBam}")
 
-    # late imports keep CLI startup fast
-    try:
-        import jax
-        # the sandbox's sitecustomize pins JAX_PLATFORMS at interpreter
-        # startup; MARGIN_TPU_PLATFORM=cpu|axon|tpu overrides it here
-        plat = os.environ.get("MARGIN_TPU_PLATFORM")
-        if plat:
-            jax.config.update("jax_platforms", plat)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/margin_tpu_jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Backend probe — skipped when (a) this process is an IPC scoring
+    # worker (device work rides the socket to the parent; importing jax
+    # costs ~2 s for nothing) or (b) --hosts is set (jax.distributed must
+    # initialize before anything touches the backend; run_phase does it).
+    is_ipc_worker = bool(os.environ.get("MARGIN_TPU_SCORE_SERVER"))
+    if not is_ipc_worker and getattr(args, "hosts", None) is None:
         try:
-            jax.devices()
-        except RuntimeError as e:
-            # an unreachable accelerator backend would otherwise surface as
-            # a cryptic error at the first device op, minutes into the run
-            print(f"margin_tpu: accelerator backend unavailable ({e}); "
-                  "falling back to CPU", file=sys.stderr)
-            jax.config.update("jax_platforms", "cpu")
-            jax.devices()
-    except Exception:
-        pass
+            import jax
+            # the sandbox's sitecustomize pins JAX_PLATFORMS at interpreter
+            # startup; MARGIN_TPU_PLATFORM=cpu|axon|tpu overrides it here
+            plat = os.environ.get("MARGIN_TPU_PLATFORM")
+            if plat:
+                jax.config.update("jax_platforms", plat)
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/margin_tpu_jax"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            try:
+                jax.devices()
+            except RuntimeError as e:
+                # an unreachable accelerator backend would otherwise surface
+                # as a cryptic error at the first device op, minutes in
+                print(f"margin_tpu: accelerator backend unavailable ({e}); "
+                      "falling back to CPU", file=sys.stderr)
+                jax.config.update("jax_platforms", "cpu")
+                jax.devices()
+        except Exception:
+            pass
     # worker processes spawned by --workers process route their device
     # scoring back to the parent over a socket
     from margin_tpu.parallel.ipc import maybe_install_client
@@ -258,6 +274,11 @@ def main(argv=None):
                                 resume=args.checkpoint, log=log)
             shard = ("merge",)
             threads = 1
+        hosts = None
+        if args.hosts is not None:
+            if args.host_id is None:
+                top.error("--hosts requires --host-id")
+            hosts = (args.coordinator, args.hosts, args.host_id)
         from margin_tpu.phase.driver import run_phase
         with trace_ctx:
             run_phase(args.bam, args.reference, args.vcf, params,
@@ -266,7 +287,8 @@ def main(argv=None):
                       write_vcf=not args.skipPhasedVCF, seed=args.seed,
                       use_lut=args.lut_logadd, checkpoint=args.checkpoint,
                       shard=shard, profiler=profiler,
-                      rng_mode=args.rngMode, threads=threads, log=log)
+                      rng_mode=args.rngMode, threads=threads, hosts=hosts,
+                      log=log)
         profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
         from margin_tpu.polish.driver import run_polish

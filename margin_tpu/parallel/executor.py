@@ -24,12 +24,50 @@ plain single-device jit path, byte-identical to the sharded one.
 from __future__ import annotations
 
 import threading
+import time
 import warnings
 from typing import Optional
 
 import numpy as np
 
 from margin_tpu.ops import pairhmm
+
+
+class DeviceStats:
+    """Cheap global accounting of device launches for the bench/profiler:
+    launches, pair/cell counts, and wall seconds spent blocked on device
+    dispatch+readback (an upper bound on device-busy time — the tunnel's
+    block_until_ready is unreliable, so the synchronous readback wait is
+    the observable)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.launches = 0
+        self.pairs = 0
+        self.cells = 0          # padded B*D*W cell-lanes actually computed
+        self.wait_s = 0.0
+
+    def add(self, pairs: int, cells: int, wait_s: float):
+        with self._lock:
+            self.launches += 1
+            self.pairs += pairs
+            self.cells += cells
+            self.wait_s += wait_s
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {"launches": self.launches, "pairs": self.pairs,
+                    "cells": self.cells, "device_wait_s": round(self.wait_s, 3)}
+
+    def reset(self):
+        with self._lock:
+            self.launches = 0
+            self.pairs = 0
+            self.cells = 0
+            self.wait_s = 0.0
+
+
+DEVICE_STATS = DeviceStats()
 
 
 def _shard_map():
@@ -94,12 +132,19 @@ class DeviceContext:
                     use_lut: bool = False) -> np.ndarray:
         """Total forward log-probs for a batch; sharded over the mesh when
         one is configured. Returns a host (B,) float array."""
+        t0 = time.perf_counter()
         if self.mesh is None:
-            return np.asarray(
+            out = np.asarray(
                 pairhmm.forward_total(tables, batch, use_lut=use_lut))
-        b0 = batch.xs.shape[0]
-        batch = pad_batch(batch, self.n_shards)
-        return np.asarray(self._forward_fn(use_lut)(tables, batch))[:b0]
+        else:
+            b0 = batch.xs.shape[0]
+            batch = pad_batch(batch, self.n_shards)
+            out = np.asarray(self._forward_fn(use_lut)(tables, batch))[:b0]
+        b, lx = batch.xs.shape
+        ly = batch.ys.shape[1]
+        DEVICE_STATS.add(b, b * (lx + ly) * (ly + 1),
+                         time.perf_counter() - t0)
+        return out
 
     def score_slot_sums(self, tables, batch: pairhmm.PairBatch, slot_idx,
                         n_slots: int, use_lut: bool = False):

@@ -50,6 +50,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
               profiler: profiling.Profiler = profiling.NULL,
               rng_mode: str = "st",
               threads: int = 1,
+              hosts: Optional[tuple] = None,
               log=print) -> PhaseOutputs:
     """End-to-end phase pipeline (phase.c:56-570). With checkpoint=True,
     per-chunk results are persisted under <output_base>.checkpoint/ and a
@@ -79,6 +80,17 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     bamio.set_cram_reference(reference_fasta)
     from margin_tpu.utils.strandom import GlibcRandom, make_rng
     rng = make_rng(rng_mode, seed)
+    # multi-host scale-out (SURVEY §7.8): hosts=(coordinator, N, host_id)
+    # partitions chunks by index across a jax.distributed process group;
+    # per-chunk results are all-gathered post-loop (the one collective) and
+    # host 0 writes outputs. Chunk-seeded RNG keeps any partitioning
+    # byte-identical to a single-host run.
+    mh = None
+    if hosts is not None:
+        from margin_tpu.parallel import multihost as mh
+        coordinator, n_hosts, host_id = hosts
+        mh.init(coordinator, int(n_hosts), int(host_id))
+        log(f"> Multi-host: host {host_id}/{n_hosts} via {coordinator}")
     shard_idx = shard_n = None
     if shard is not None:
         checkpoint = True
@@ -87,7 +99,7 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             if not 0 <= shard_idx < shard_n:
                 raise ValueError(f"bad shard {shard}")
     threads = max(int(threads), 1)
-    per_chunk_rng = shard is not None or threads > 1
+    per_chunk_rng = shard is not None or threads > 1 or hosts is not None
     t0 = time.time()
     out = PhaseOutputs()
 
@@ -167,6 +179,9 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
     if shard_idx is not None:
         ordered_chunks = [c for c in ordered_chunks
                           if c.chunk_idx % shard_n == shard_idx]
+    if mh is not None:
+        ordered_chunks = [c for c in ordered_chunks
+                          if c.chunk_idx % mh.num_hosts() == mh.host_id()]
 
     def make_chunk_rng(chunk_idx: int):
         if not per_chunk_rng:
@@ -244,6 +259,34 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             f"checkpointed; run once more without a shard index to merge")
         return out
 
+    if mh is not None:
+        # the one collective of the pipeline: all-gather each host's chunk
+        # results + VCF interior snapshots (stitching.c:1573-1588's merge
+        # inputs), then every host holds the global state and host 0 writes
+        with profiler.stage("host_gather"):
+            payload = {
+                "results": results,
+                "vcf": [(c.ref_name,
+                         snapshot_vcf_entries(vcf_entries, c.ref_name,
+                                              c.chunk_start, c.chunk_end))
+                        for c in ordered_chunks],
+            }
+            gathered = mh.allgather_objects(payload)
+        results = []
+        for hid, p in enumerate(gathered):
+            if hid == mh.host_id():
+                results.extend(p["results"])
+                continue
+            results.extend(p["results"])
+            for ref_name, snap in p["vcf"]:
+                apply_vcf_snapshot(vcf_entries, ref_name, snap)
+        log(f"> Gathered {len(results)} chunk results from "
+            f"{mh.num_hosts()} hosts")
+        if mh.host_id() != 0:
+            # outputs are host 0's job; keep the process group in sync
+            mh.barrier("phase-outputs")
+            return out
+
     # stitch (stitching.c:1558-1693) — results back in genomic chunk order
     results.sort(key=lambda r: r.chunk_idx)
     with profiler.stage("stitch"):
@@ -291,6 +334,8 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
                 f"avg:{total // len(lengths)}, min:{lengths[0]}, "
                 f"max:{lengths[-1]}, N50:{n50}")
 
+    if mh is not None:
+        mh.barrier("phase-outputs")
     if ckpt.enabled:
         log(f"> {ckpt.report()}")
     ckpt.finalize()

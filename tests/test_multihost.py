@@ -1,0 +1,96 @@
+"""Multi-host scale-out (margin_tpu/parallel/multihost.py): a 2-process
+jax.distributed CPU group must produce byte-identical outputs to a
+single-process run of the same per-chunk-RNG configuration.
+
+SURVEY §7.8 / stitching.c:1573-1588: hosts are data-parallel over chunks;
+the only collective is the all-gather of chunk summaries before the stitch.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import reference_path
+
+DATA = reference_path("tests", "data", "realData")
+BAM = os.path.join(DATA, "HG002.r94g360.chr20_59M_100k.bam")
+FASTA = os.path.join(DATA, "hg38.chr20_59M_100k.fa")
+VCF = os.path.join(DATA, "HG002.r94g360.chr20_59M_100k.vcf")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    return env
+
+
+def _vcf_body(path):
+    with open(path) as fh:
+        return [ln for ln in fh if not ln.startswith("##")]
+
+
+@pytest.mark.slow
+def test_two_host_group_matches_single_process(tmp_path):
+    # chunked params so the 100 kb region splits across hosts
+    params_file = tmp_path / "params.json"
+    params_file.write_text(json.dumps({
+        "include": str(reference_path(
+            "params", "phase", "allParams.haplotag.ont-r94g507.json")),
+        "polish": {"chunkSize": 30000, "chunkBoundary": 2000},
+    }))
+
+    base_argv = ["phase", BAM, FASTA, str(params_file), VCF,
+                 "-a", "CRITICAL"]
+
+    # single-process baseline with the same per-chunk RNG streams
+    # (-t 2 switches to chunk-seeded RNG exactly like multi-host mode)
+    single = tmp_path / "single"
+    r = subprocess.run(
+        [sys.executable, "-m", "margin_tpu"] + base_argv
+        + ["-o", str(single), "-t", "2"],
+        env=_worker_env(), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    multi = tmp_path / "multi"
+    procs = []
+    for hid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "margin_tpu"] + base_argv
+            + ["-o", str(multi), "--hosts", "2", "--host-id", str(hid),
+               "--coordinator", f"127.0.0.1:{port}"],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    # byte-identical outputs (vcf body + bam records + phaseset bed)
+    assert _vcf_body(f"{multi}.phased.vcf") == _vcf_body(f"{single}.phased.vcf")
+    with open(f"{multi}.phaseset.bed") as a, open(f"{single}.phaseset.bed") as b:
+        assert a.read() == b.read()
+    from margin_tpu.io import bam as bamio
+
+    def dump(path):
+        recs = []
+        with bamio.BamReader(path) as br:
+            for rec in br:
+                recs.append(rec.raw)
+        return recs
+
+    assert dump(f"{multi}.haplotagged.bam") == dump(f"{single}.haplotagged.bam")
