@@ -285,7 +285,7 @@ def bench_kernel():
             "mfu_vs_chip_peak": tflops / PEAK_BF16_TFLOPS}
 
 
-def _device_reachable(timeout_s: int = 240) -> bool:
+def _device_reachable(timeout_s: int = 540) -> bool:
     """Probe the accelerator in a subprocess with a hard timeout: the dev
     tunnel sometimes wedges so that any device op blocks forever, which
     would otherwise hang the whole benchmark run."""

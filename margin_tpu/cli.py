@@ -249,10 +249,12 @@ def main(argv=None):
     profiler = profiling.Profiler(enabled=args.profile)
     trace_ctx = profiling.maybe_jax_trace(args.jaxTrace)
 
-    if args.command == "polish" and args.workers == "process":
-        top.error("--workers process is phase-only: polish's device work "
-                  "is the banded FB posteriors, which do not route over "
-                  "the scoring socket (use -t N thread workers)")
+    # polish process workers: each worker is a standalone CPU shard process
+    # (banded FB runs on the worker's native/scan CPU path; pair scoring
+    # rides the socket to this device-owning parent like phase), followed by
+    # the ordinary shard-merge pass. polish.c:475-478's omp-for, GIL-free.
+    polish_process = (args.command == "polish" and args.workers == "process"
+                      and args.threads > 1 and shard is None)
 
     if args.command == "phase":
         threads = args.threads
@@ -291,6 +293,25 @@ def main(argv=None):
                       log=log)
         profiler.write(f"{args.outputBase}.profile.json")
     elif args.command == "polish":
+        threads = args.threads
+        if polish_process:
+            from margin_tpu.parallel.ipc import run_process_workers
+            # the worker command is this invocation minus the worker/thread
+            # flags (all other polish flags pass through verbatim)
+            skip_with_value = {"--workers", "-t", "--threads", "--jaxTrace"}
+            wargv, it = [], iter(argv)
+            for tok in it:
+                if tok in skip_with_value:
+                    next(it, None)
+                    continue
+                if tok == "--profile":
+                    continue
+                wargv.append(tok)
+            wargv += ["-t", "1", "-a", "CRITICAL"]
+            run_process_workers(wargv, args.threads, args.outputBase,
+                                resume=args.checkpoint, log=log)
+            shard = ("merge",)
+            threads = 1
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType
         if feature_type is None and args.produceFeatures:
@@ -314,7 +335,7 @@ def main(argv=None):
                    skip_realignment=args.skipRealignment,
                    skip_haplotype_bam=args.skipHaplotypeBAM,
                    checkpoint=args.checkpoint, shard=shard,
-                   profiler=profiler, threads=args.threads, log=log)
+                   profiler=profiler, threads=threads, log=log)
         profiler.write(f"{args.outputBase}.profile.json")
         profiler.log_summary(log)
     return 0

@@ -1063,10 +1063,18 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     x_sym, y_sym, anchors, strand, and optional rep_x/rep_y. Problems are
     grouped by padded shape + strand and solved with one vmapped kernel
     launch per group. Returns a list of ((matches, gapx, gapy), total) in
-    input order — numerically identical to per-item banded_posteriors.
+    input order.
 
-    On accelerators the groups are solved by the Pallas wavefront kernel
-    (ops.pallas_banded) instead of the lax.scan path."""
+    Backend routing: on accelerators the groups are solved by the Pallas
+    wavefront kernel (ops.pallas_banded); on the CPU backend items above
+    ~50K exact band cells route to the native C++ FB kernel
+    (native/marginfb.cc) and the rest take the lax.scan path, so CPU
+    results for mid-size bands come from the native kernel BY DEFAULT —
+    tests/test_native_fb.py asserts they match the scan path exactly on
+    the covered sizes (pair sets identical, probs exact). Per-item
+    banded_posteriors always uses the scan path; set
+    MARGIN_TPU_NATIVE_SCAN_CELLS=30000000 to restore scan-only mid-size
+    behavior (the monster-only policy)."""
     _ensure_registered()
     from margin_tpu.ops import pallas_banded
     if pallas_banded.use_pallas():
@@ -1088,6 +1096,7 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
     monster_items, monster_idx = [], []
     if smooth is None:
         smooth = _smooth_policy()
+    native_cells_thresh = _native_scan_cells()  # loop-invariant
     for idx, it in enumerate(items):
         lx, ly = len(it["x_sym"]), len(it["y_sym"])
         if lx + ly == 0:
@@ -1097,7 +1106,7 @@ def _posteriors_many_scan(tables: PairHmmTables, items, expansion: int,
         geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
                                   dynamic=dynamic, smooth=smooth)
         if (native_fb.lib() is not None
-                and _true_band_cells(geom) > _native_scan_cells()):
+                and _true_band_cells(geom) > native_cells_thresh):
             monster_items.append(it)
             monster_idx.append(idx)
             continue

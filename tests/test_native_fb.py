@@ -112,3 +112,31 @@ def test_native_cap_overflow_retry(tables):
             assert arr[:, 1].min() >= -1 and arr[:, 1].max() < 300
             assert (np.diff(arr[:, 1]) >= 0).all()
     assert m[:, 1].min() >= 0  # matches always consume a base
+
+
+def test_cpu_midsize_default_native_matches_scan(tables):
+    """ADVICE r2: the CPU backend routes >50K-cell mid-size bands to the
+    native kernel BY DEFAULT (banded_posteriors_many), while the per-item
+    banded_posteriors always takes the scan path — the two must agree
+    exactly on such an item (pair sets, probs, and bit-equal totals)."""
+    import os
+    assert "MARGIN_TPU_NATIVE_SCAN_CELLS" not in os.environ
+    rng = np.random.default_rng(5)
+    lx = ly = 800
+    x = rng.integers(0, 4, lx).astype(np.uint8)
+    y = x.copy()
+    mut = rng.random(ly) < 0.12
+    y[mut] = rng.integers(0, 4, mut.sum()).astype(np.uint8)
+    anchors = [(i, i) for i in range(0, lx, 50)]
+    geom = banded.BandGeometry.build(anchors, lx, ly, 20)
+    assert banded._true_band_cells(geom) > banded._NATIVE_SCAN_CELLS_CPU
+    # the default-thresholded many path must route this item native on CPU
+    import jax
+    assert jax.default_backend() == "cpu"
+    (m1, g1x, g1y), t1 = banded.banded_posteriors(tables, x, y, anchors,
+                                                  20, 0)
+    [((m2, g2x, g2y), t2)] = banded.banded_posteriors_many(
+        tables, [dict(x_sym=x, y_sym=y, anchors=anchors, strand=0)], 20)
+    assert t1 == t2
+    for a, b in ((m1, m2), (g1x, g2x), (g1y, g2y)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
