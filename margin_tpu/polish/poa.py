@@ -448,6 +448,24 @@ def _max_common_suffix(ref: RleString, length1: int, s: RleString,
     return i
 
 
+def _make_poa_builder(reference: RleString, max_rc: int,
+                      params: PolishParams):
+    """Native C++ augmentation engine when built (native/marginpoa.cc,
+    bit-identical bookkeeping at C speed); the Python Poa otherwise."""
+    try:
+        from margin_tpu.polish import native_poa
+        if native_poa.lib() is not None:
+            return native_poa.NativePoaBuilder(reference, max_rc, params)
+    except Exception:
+        pass
+    return Poa(reference, max_rc)
+
+
+def _finish_poa(poa):
+    """Collapse a NativePoaBuilder into the ordinary Poa (no-op for Poa)."""
+    return poa.finish() if hasattr(poa, "finish") else poa
+
+
 # -- realign drivers (poa.c:612-716, 1876-1975) ------------------------------
 
 def _crop_item(reference: RleString, read: PoaRead, anchors,
@@ -509,7 +527,7 @@ def poa_realign_only_anchor_alignments(reads: List[PoaRead], anchor_alignments,
     if params.useRunLengthEncoding:
         max_rc = (params.repeat_sub_matrix.max_repeat
                   if params.repeat_sub_matrix is not None else 51)
-    poa = Poa(reference, max_rc)
+    poa = _make_poa_builder(reference, max_rc, params)
     for i, read in enumerate(reads):
         aln = anchor_alignments[i]
         aln = [] if aln is None else [tuple(int(v) for v in a) for a in aln]
@@ -535,7 +553,7 @@ def poa_realign_only_anchor_alignments(reads: List[PoaRead], anchor_alignments,
                     np.array(matches, dtype=np.int64).reshape(-1, 3),
                     np.array(inserts, dtype=np.int64).reshape(-1, 3),
                     np.array(deletes, dtype=np.int64).reshape(-1, 3), params)
-    return poa
+    return _finish_poa(poa)
 
 
 def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
@@ -553,7 +571,7 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
     if params.useRunLengthEncoding:
         max_rc = (params.repeat_sub_matrix.max_repeat
                   if params.repeat_sub_matrix is not None else 51)
-    poa = Poa(reference, max_rc)
+    poa = _make_poa_builder(reference, max_rc, params)
     if batched:
         items = []
         firsts = []
@@ -609,11 +627,11 @@ def poa_realign(reads: List[PoaRead], anchor_alignments, reference: RleString,
                     arr[:, 1] += firsts[i]
             poa.augment(read.rle_read, read.forward_strand, i, m, gy, gx,
                         params)
-        return poa
+        return _finish_poa(poa)
     for i, read in enumerate(reads):
         anchors = anchor_alignments[i] if anchor_alignments is not None else []
         matches, inserts, deletes = get_aligned_pairs_cropping_reference(
             reference, read, anchors, params, tables, use_lut)
         poa.augment(read.rle_read, read.forward_strand, i,
                     matches, inserts, deletes, params)
-    return poa
+    return _finish_poa(poa)

@@ -1,0 +1,427 @@
+// Native POA augmentation engine.
+//
+// Parity: poa_augment and helpers (poa.c:269-543) by way of the Python
+// implementation in margin_tpu/polish/poa.py, which this mirrors
+// operation-for-operation (same run grouping, left-shift/common-suffix
+// rotation, observation order, float64 accumulation order). The graph
+// bookkeeping is pointer-heavy host work — ~40% of a polish chunk's wall
+// in Python — while the DP posteriors it consumes stay on the device.
+//
+// Handle API: mpoa_create -> mpoa_augment per read (strict read order) ->
+// mpoa_export (serialized graph; margin_tpu/polish/native_poa.py rebuilds
+// the ordinary Python Poa) -> mpoa_free.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+typedef int64_t i64;
+typedef int32_t i32;
+typedef uint8_t u8;
+
+struct Rle {
+    std::vector<u8> bases;   // ASCII
+    std::vector<i64> counts;
+    i64 len() const { return (i64)bases.size(); }
+    bool operator==(const Rle& o) const {
+        return bases == o.bases && counts == o.counts;
+    }
+};
+
+struct Obs {  // (readNo, offset, weight)
+    i32 read_no;
+    i64 offset;
+    double weight;
+};
+
+struct Insert {
+    Rle s;
+    double wf = 0.0, wr = 0.0;
+    std::vector<Obs> obs;
+};
+
+struct Delete {
+    i64 length;
+    double wf = 0.0, wr = 0.0;
+    std::vector<Obs> obs;
+};
+
+struct Node {
+    std::vector<Insert> inserts;
+    std::vector<Delete> deletes;
+    std::vector<Obs> obs;
+};
+
+// symbol codes matching margin_tpu.alphabet.seq_to_symbols
+inline int sym_of(u8 b) {
+    switch (b) {
+        case 'A': case 'a': return 0;
+        case 'C': case 'c': return 1;
+        case 'G': case 'g': return 2;
+        case 'T': case 't': return 3;
+        default: return 4;
+    }
+}
+
+struct Poa {
+    Rle ref;
+    i64 max_rc;
+    bool compare_rc;   // poaConstructCompareRepeatCounts
+    bool merge_ends;   // useRunLengthEncoding (rotate merge semantics)
+    i64 n_nodes;       // ref.len() + 1
+    std::vector<double> bw;  // (n_nodes, 5)
+    std::vector<double> rw;  // (n_nodes, max_rc)
+    std::vector<Node> nodes;
+};
+
+// getShift helpers (poa.c:269-315 via polish/poa.py)
+bool has_internal_repeat(const Rle& s, i64 rep_len, bool rc) {
+    if (s.len() % rep_len != 0) return false;
+    for (i64 i = rep_len; i < s.len(); i += rep_len)
+        for (i64 j = 0; j < rep_len; j++) {
+            if (s.bases[j] != s.bases[j + i]) return false;
+            if (rc && s.counts[j] != s.counts[j + i]) return false;
+        }
+    return true;
+}
+
+bool matches_ref_substring(const Rle& ref, i64 ref_start, const Rle& s,
+                           i64 length, bool rc) {
+    for (i64 l = 0; l < length; l++) {
+        if (ref.bases[ref_start + l] != s.bases[l]) return false;
+        if (rc && ref.counts[ref_start + l] != s.counts[l]) return false;
+    }
+    return true;
+}
+
+i64 get_shift(const Rle& ref, i64 ref_start, const Rle& s, bool rc) {
+    i64 min_rep = 1;
+    while (min_rep < s.len()) {
+        if (has_internal_repeat(s, min_rep, rc)) break;
+        min_rep += 1;
+    }
+    i64 k = ref_start - min_rep;
+    while (k >= 0) {
+        if (!matches_ref_substring(ref, k, s, min_rep, rc)) break;
+        ref_start = k;
+        k -= min_rep;
+    }
+    if (s.len() == 1 && rc && ref_start > 0
+        && ref.bases[ref_start - 1] == s.bases[0])
+        ref_start -= 1;
+    return ref_start;
+}
+
+i64 max_common_suffix(const Rle& ref, i64 length1, const Rle& s, bool rc) {
+    i64 i = 0;
+    while (length1 - i - 1 >= 0 && s.len() - i - 1 >= 0) {
+        if (ref.bases[length1 - 1 - i] != s.bases[s.len() - 1 - i]) break;
+        if (rc && ref.counts[length1 - 1 - i] != s.counts[s.len() - 1 - i])
+            break;
+        i += 1;
+    }
+    return i;
+}
+
+Rle substring(const Rle& s, i64 start, i64 length) {
+    Rle out;
+    out.bases.assign(s.bases.begin() + start, s.bases.begin() + start + length);
+    out.counts.assign(s.counts.begin() + start,
+                      s.counts.begin() + start + length);
+    return out;
+}
+
+void rotate(Rle& s, i64 rot, bool merge) {  // rle.c:157-176
+    i64 n = s.len();
+    if (n == 0) return;
+    std::vector<u8> rb(n);
+    std::vector<i64> rc(n);
+    for (i64 i = 0; i < n; i++) {
+        i64 j = ((i - rot) % n + n) % n;
+        rb[i] = s.bases[j];
+        rc[i] = s.counts[j];
+    }
+    if (!merge) {
+        s.bases.swap(rb);
+        s.counts.swap(rc);
+        return;
+    }
+    Rle out;
+    for (i64 i = 0; i < n; i++) {
+        if (i > 0 && rb[i] == out.bases.back())
+            out.counts.back() += rc[i];
+        else {
+            out.bases.push_back(rb[i]);
+            out.counts.push_back(rc[i]);
+        }
+    }
+    s = out;
+}
+
+void add_insert(Poa* p, i64 pos, Rle&& insert, double weight, bool strand,
+                const Obs& obs) {
+    Node& node = p->nodes[pos];
+    Insert* pi = nullptr;
+    for (Insert& cand : node.inserts)
+        if (cand.s == insert) {
+            pi = &cand;
+            break;
+        }
+    if (!pi) {
+        node.inserts.emplace_back();
+        pi = &node.inserts.back();
+        pi->s = std::move(insert);
+    }
+    if (strand)
+        pi->wf += weight;
+    else
+        pi->wr += weight;
+    pi->obs.push_back(obs);
+}
+
+void add_delete(Poa* p, i64 pos, i64 length, double weight, bool strand,
+                const Obs& obs) {
+    Node& node = p->nodes[pos];
+    Delete* pd = nullptr;
+    for (Delete& cand : node.deletes)
+        if (cand.length == length) {
+            pd = &cand;
+            break;
+        }
+    if (!pd) {
+        node.deletes.emplace_back();
+        pd = &node.deletes.back();
+        pd->length = length;
+    }
+    if (strand)
+        pd->wf += weight;
+    else
+        pd->wr += weight;
+    pd->obs.push_back(obs);
+}
+
+struct PairHash {
+    size_t operator()(const std::pair<i64, i64>& p) const {
+        uint64_t x = (uint64_t)p.first * 0x9E3779B97F4A7C15ULL
+                     ^ (uint64_t)p.second;
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        return (size_t)(x ^ (x >> 27));
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mpoa_create(const u8* ref_bases, const i64* ref_counts, i64 ref_len,
+                  i64 max_rc, i32 compare_rc, i32 merge_ends) {
+    Poa* p = new Poa();
+    p->ref.bases.assign(ref_bases, ref_bases + ref_len);
+    p->ref.counts.assign(ref_counts, ref_counts + ref_len);
+    p->max_rc = max_rc;
+    p->compare_rc = compare_rc != 0;
+    p->merge_ends = merge_ends != 0;
+    p->n_nodes = ref_len + 1;
+    p->bw.assign(p->n_nodes * 5, 0.0);
+    p->rw.assign(p->n_nodes * max_rc, 0.0);
+    p->nodes.resize(p->n_nodes);
+    return p;
+}
+
+void mpoa_free(void* h) { delete (Poa*)h; }
+
+// matches/inserts/deletes: (n, 3) int64 rows of (weight, x, y), in the same
+// order the Python augment receives them.
+void mpoa_augment(void* h, const u8* read_bases, const i64* read_counts,
+                  i64 read_len, i32 strand, i32 read_no,
+                  const i64* matches, i64 n_m,
+                  const i64* inserts, i64 n_i,
+                  const i64* deletes, i64 n_d) {
+    Poa* p = (Poa*)h;
+    Rle read;
+    read.bases.assign(read_bases, read_bases + read_len);
+    read.counts.assign(read_counts, read_counts + read_len);
+    const bool rc = p->compare_rc;
+
+    // match accumulation (input order == (x, y)-sorted, like the batched
+    // extraction produces)
+    for (i64 m = 0; m < n_m; m++) {
+        double w = (double)matches[3 * m];
+        i64 x = matches[3 * m + 1];
+        i64 y = matches[3 * m + 2];
+        int sym = sym_of(read.bases[y]);
+        i64 rcnt = std::min(read.counts[y], p->max_rc - 1);
+        p->bw[(x + 1) * 5 + sym] += w;
+        p->rw[(x + 1) * p->max_rc + rcnt] += w;
+        p->nodes[x + 1].obs.push_back(Obs{read_no, y, w});
+    }
+
+    std::unordered_set<std::pair<i64, i64>, PairHash> match_set;
+    match_set.reserve((size_t)n_m * 2);
+    for (i64 m = 0; m < n_m; m++)
+        match_set.insert({matches[3 * m + 1], matches[3 * m + 2]});
+    auto is_match = [&](i64 x, i64 y) {
+        return match_set.count({x, y}) != 0;
+    };
+
+    // complete inserts (poa.c:352-449): runs with equal ref coord and
+    // consecutive read coords; stable sort by (x, y)
+    std::vector<i64> order(n_i);
+    for (i64 k = 0; k < n_i; k++) order[k] = k;
+    std::stable_sort(order.begin(), order.end(), [&](i64 a, i64 b) {
+        if (inserts[3 * a + 1] != inserts[3 * b + 1])
+            return inserts[3 * a + 1] < inserts[3 * b + 1];
+        return inserts[3 * a + 2] < inserts[3 * b + 2];
+    });
+    auto iw = [&](i64 k) { return inserts[3 * order[k]]; };
+    auto ix = [&](i64 k) { return inserts[3 * order[k] + 1]; };
+    auto iy = [&](i64 k) { return inserts[3 * order[k] + 2]; };
+    i64 i = 0;
+    while (i < n_i) {
+        i64 j = i + 1;
+        while (j < n_i && ix(j) == ix(i) && iy(i) + j - i == iy(j)) j++;
+        for (i64 k = i; k < j; k++) {
+            if (!is_match(ix(i), iy(i) + k - i - 1)
+                && iy(i) + k - i - 1 > -1)
+                continue;
+            for (i64 l = k; l < j; l++) {
+                if (!is_match(ix(i) + 1, iy(i) + l - i + 1)
+                    && iy(i) + l - i + 1 < read.len())
+                    continue;
+                Rle ins_s = substring(read, iy(k), l + 1 - k);
+                i64 weight = iw(k);
+                for (i64 m = k + 1; m <= l; m++)
+                    weight = std::min(weight, iw(m));
+                i64 pos = ix(i) + 1;
+                pos = get_shift(p->ref, pos, ins_s, rc);
+                i64 suffix = max_common_suffix(p->ref, pos, ins_s, rc);
+                if (suffix > 0) {
+                    rotate(ins_s, suffix, p->merge_ends);
+                    pos -= suffix;
+                }
+                Obs o{read_no, iy(k), (double)weight};
+                add_insert(p, pos, std::move(ins_s), (double)weight,
+                           strand != 0, o);
+            }
+        }
+        i = j;
+    }
+
+    // complete deletes (poa.c:451-539): runs with equal read coord and
+    // consecutive ref coords; stable sort by (y, x)
+    order.resize(n_d);
+    for (i64 k = 0; k < n_d; k++) order[k] = k;
+    std::stable_sort(order.begin(), order.end(), [&](i64 a, i64 b) {
+        if (deletes[3 * a + 2] != deletes[3 * b + 2])
+            return deletes[3 * a + 2] < deletes[3 * b + 2];
+        return deletes[3 * a + 1] < deletes[3 * b + 1];
+    });
+    auto dw = [&](i64 k) { return deletes[3 * order[k]]; };
+    auto dx = [&](i64 k) { return deletes[3 * order[k] + 1]; };
+    auto dy = [&](i64 k) { return deletes[3 * order[k] + 2]; };
+    i = 0;
+    while (i < n_d) {
+        i64 j = i + 1;
+        while (j < n_d && dy(j) == dy(i) && dx(i) + j - i == dx(j)) j++;
+        for (i64 k = i; k < j; k++) {
+            if (!is_match(dx(i) + k - i - 1, dy(i))
+                && dx(i) + k - i - 1 > -1)
+                continue;
+            for (i64 l = k; l < j; l++) {
+                if (!is_match(dx(i) + l - i + 1, dy(i) + 1)
+                    && dx(i) + l - i + 1 < p->ref.len())
+                    continue;
+                i64 delete_length = l - k + 1;
+                i64 weight = dw(k);
+                for (i64 m = k + 1; m <= l; m++)
+                    weight = std::min(weight, dw(m));
+                i64 pos = dx(i) + k - i;
+                Rle dstr = substring(p->ref, pos, delete_length);
+                pos = get_shift(p->ref, pos, dstr, rc);
+                pos -= max_common_suffix(p->ref, pos, dstr, rc);
+                Obs o{read_no, dy(i), (double)weight};
+                add_delete(p, pos, delete_length, (double)weight,
+                           strand != 0, o);
+            }
+        }
+        i = j;
+    }
+}
+
+// Serialized export (margin_tpu/polish/native_poa.py parses):
+//   [n_nodes][max_rc] bw(n*5 f64) rw(n*max_rc f64)
+//   per node: [n_obs] obs(read_no i64, offset i64, weight f64)*
+//             [n_inserts] per insert: [len] bases(u8, pad8) counts(i64*)
+//                                     wf wr [n_obs] obs*
+//             [n_deletes] per delete: [length] wf wr [n_obs] obs*
+int64_t mpoa_export(void* h, u8** out) {
+    Poa* p = (Poa*)h;
+    auto al8 = [](size_t n) { return (n + 7) & ~size_t(7); };
+    size_t bytes = 16 + p->bw.size() * 8 + p->rw.size() * 8;
+    for (const Node& n : p->nodes) {
+        bytes += 8 + n.obs.size() * 24;
+        bytes += 8;
+        for (const Insert& pi : n.inserts)
+            bytes += 8 + al8(pi.s.bases.size()) + pi.s.counts.size() * 8
+                     + 16 + 8 + pi.obs.size() * 24;
+        bytes += 8;
+        for (const Delete& pd : n.deletes)
+            bytes += 8 + 16 + 8 + pd.obs.size() * 24;
+    }
+    u8* buf = (u8*)malloc(bytes);
+    if (!buf) return -1;
+    u8* q = buf;
+    auto put_i64 = [&](i64 v) { memcpy(q, &v, 8); q += 8; };
+    auto put_f64 = [&](double v) { memcpy(q, &v, 8); q += 8; };
+    auto put_obs = [&](const std::vector<Obs>& obs) {
+        put_i64((i64)obs.size());
+        for (const Obs& o : obs) {
+            put_i64(o.read_no);
+            put_i64(o.offset);
+            put_f64(o.weight);
+        }
+    };
+    put_i64(p->n_nodes);
+    put_i64(p->max_rc);
+    memcpy(q, p->bw.data(), p->bw.size() * 8);
+    q += p->bw.size() * 8;
+    memcpy(q, p->rw.data(), p->rw.size() * 8);
+    q += p->rw.size() * 8;
+    for (const Node& n : p->nodes) {
+        put_obs(n.obs);
+        put_i64((i64)n.inserts.size());
+        for (const Insert& pi : n.inserts) {
+            put_i64(pi.s.len());
+            memcpy(q, pi.s.bases.data(), pi.s.bases.size());
+            q += al8(pi.s.bases.size());
+            memcpy(q, pi.s.counts.data(), pi.s.counts.size() * 8);
+            q += pi.s.counts.size() * 8;
+            put_f64(pi.wf);
+            put_f64(pi.wr);
+            put_obs(pi.obs);
+        }
+        put_i64((i64)n.deletes.size());
+        for (const Delete& pd : n.deletes) {
+            put_i64(pd.length);
+            put_f64(pd.wf);
+            put_f64(pd.wr);
+            put_obs(pd.obs);
+        }
+    }
+    if ((size_t)(q - buf) != bytes) {
+        free(buf);
+        return -1;
+    }
+    *out = buf;
+    return (i64)bytes;
+}
+
+void mpoa_buf_free(u8* p) { free(p); }
+
+}  // extern "C"
