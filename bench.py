@@ -231,6 +231,57 @@ def bench_polish():
             "bases": bases}
 
 
+def bench_polish_multi(span: int = 24000, chunk: int = 6000,
+                       threads: int = 4):
+    """Multi-chunk haploid polish (production shape: several chunks,
+    thread workers overlapping host POA work with device FB batches)."""
+    import json as _json
+
+    from margin_tpu.cli import main
+
+    pf = tempfile.mktemp(suffix=".json")
+    with open(pf, "w") as fh:
+        _json.dump({"include": POLISH_PARAMS,
+                    "polish": {"chunkSize": chunk, "chunkBoundary": 500}}, fh)
+    region = f"chr20:1000-{1000 + span}"
+    walls = []
+    for _ in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_polish_mt_")
+        t0 = time.perf_counter()
+        main(["polish", BAM, FASTA, pf, "-o", f"{tmp}/out", "-r", region,
+              "-t", str(threads), "--logLevel", "CRITICAL"])
+        walls.append(time.perf_counter() - t0)
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.unlink(pf)
+    warm = min(walls)
+    return {"bases_per_s": span / warm,
+            "wall_cold_s": round(walls[0], 2),
+            "wall_warm_s": round(walls[1], 2),
+            "bases": span, "threads": threads,
+            "chunks": span // chunk}
+
+
+def bench_polish_diploid(span: int = 6000):
+    """Diploid polish (bubble phasing + per-hap POA rebuild + haplotagged
+    BAM) over the same 6 kb window."""
+    from margin_tpu.cli import main
+
+    region = f"chr20:1000-{1000 + span}"
+    walls = []
+    for _ in range(2):
+        tmp = tempfile.mkdtemp(prefix="bench_polish_dip_")
+        t0 = time.perf_counter()
+        main(["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
+              "-r", region, "--diploid", "--logLevel", "CRITICAL"])
+        walls.append(time.perf_counter() - t0)
+        shutil.rmtree(tmp, ignore_errors=True)
+    warm = min(walls)
+    return {"bases_per_s": span / warm,
+            "wall_cold_s": round(walls[0], 2),
+            "wall_warm_s": round(walls[1], 2),
+            "bases": span}
+
+
 # Estimated f32 VPU ops per computed (diagonal, lane) cell-state triple of
 # the dense forward kernel with LUT logAdd (ops/pairhmm.py): ~24 for the
 # one-hot emission selects, 6 transition adds, 6 logAdds at ~14 ops each
@@ -347,6 +398,21 @@ def main():
                            for k, v in polish.items()}
         extra["polish"]["vs_baseline"] = round(
             polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+    if mode in ("all", "polish_multi"):
+        pm = bench_polish_multi()
+        extra["polish_multi"] = {k: round(v, 2) if isinstance(v, float) else v
+                                 for k, v in pm.items()}
+        extra["polish_multi"]["vs_baseline"] = round(
+            pm["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+        if polish is None or pm["bases_per_s"] > polish["bases_per_s"]:
+            polish = pm
+    if mode in ("all", "polish_diploid"):
+        pd = bench_polish_diploid()
+        extra["polish_diploid"] = {
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in pd.items()}
+        extra["polish_diploid"]["vs_baseline"] = round(
+            pd["bases_per_s"] / BASELINE_POLISH_BPS, 3)
 
     if phase is not None:
         desc = ("multi-chunk 1Mb, %d threads, warm" % phase["threads"]

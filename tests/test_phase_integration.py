@@ -146,3 +146,33 @@ def test_phase_haplotag_hapdup_sync(tmp_path):
     counts, names = _hp_counts(out_base + ".haplotagged.bam")
     assert counts[1] == 145 and counts[2] == 137
     assert not (names[1] & names[2])
+
+
+@pytest.mark.slow
+def test_phase_vcf_reference_byte_golden(tmp_path):
+    """Byte-level diff against outputs produced by the REFERENCE binary,
+    when someone has checked them in (the reference is unbuildable in this
+    sandbox: its htslib/sonLib submodules are empty and there is no
+    egress). Drop the reference docker's outputs into
+    tests/data/reference_golden/ as phased.vcf (+ optionally
+    haplotagged.bam) to activate."""
+    import os
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "data",
+                            "reference_golden")
+    gold_vcf = os.path.join(gold_dir, "phased.vcf")
+    if not os.path.exists(gold_vcf):
+        pytest.skip("no reference-produced golden checked in")
+    out = str(tmp_path / "ref_gold")
+    main(["phase", BAM, FASTA,
+          reference_path("params", "phase", "allParams.phase_vcf.ont.json"),
+          VCF, "-o", out])
+
+    def body(path):
+        with open(path) as fh:
+            return [ln for ln in fh if not ln.startswith("##")]
+
+    assert body(out + ".phased.vcf") == body(gold_vcf)
+    gold_bam = os.path.join(gold_dir, "haplotagged.bam")
+    if os.path.exists(gold_bam):
+        assert _hp_counts(out + ".haplotagged.bam") == _hp_counts(gold_bam)
