@@ -640,6 +640,11 @@ def _pairs_from_compact(vals, xs, ys, counts, K: int, post, geom, threshold):
     return tuple(out)
 
 
+# running pairs-per-problem average per w_pad bucket: sizes the
+# single-phase flat extraction's K guess (overflow retried exactly)
+_FLAT_PAIRS_HINT: dict = {}
+
+
 def _extract_cap(d_pad: int) -> int:
     # pairs >= 1% threshold cluster near the alignment path: a handful per
     # diagonal at most; 2*D is a generous static cap with overflow fallback
@@ -699,7 +704,10 @@ def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     lo = probs | (k_i.astype(jnp.int32) << 24)
     hi = d_i.astype(jnp.int32) | (tag << 18)
     invalid = jnp.int32(0x7FFFFFFF)
-    return jnp.where(valid, lo, invalid), jnp.where(valid, hi, invalid)
+    # total rides along so a single-phase caller can guess K and detect
+    # overflow without a separate count pass over the grid
+    return (jnp.where(valid, lo, invalid), jnp.where(valid, hi, invalid),
+            total.astype(jnp.int32))
 
 
 def _unpack_extract(lo: np.ndarray, hi: np.ndarray, xb_np: np.ndarray,
@@ -867,21 +875,31 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             yb = jnp.asarray(yb_np)
             valid_b = jnp.asarray(np.arange(b_pad) < len(geoms))
             t1 = time.perf_counter()
-            # two-phase flat extraction: exact counts (tiny readback) size
-            # the gather, so only real result pairs cross the tunnel
-            counts = np.asarray(_device_count_flat(post, xb, yb, valid_b,
-                                                   threshold))[:len(chunk)]
-            t2 = time.perf_counter()
-            total = int(counts.sum())
+            # single-phase flat extraction: K guessed from the running
+            # pairs-per-problem average (the counting pass re-reads the
+            # whole posterior grid and costs a full launch round-trip; a
+            # generous K with overflow-retry makes the common case ONE
+            # sync). Only real result pairs + K-total padding cross the
+            # tunnel.
+            ppp = _FLAT_PAIRS_HINT.get(w_pad, 4096.0)
             K = 1024
-            while K < total:
+            while K < 1.5 * ppp * len(chunk):
                 K *= 2
             # bit-pack capacity of the flat extraction word
             assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
                 and b_pad * 3 < (1 << 10), post.shape
-            lo, hi = (np.asarray(a) for a in
-                      _device_extract_flat(post, xb, yb, valid_b,
-                                           threshold, K))
+            lo, hi, tot_dev = _device_extract_flat(post, xb, yb, valid_b,
+                                                   threshold, K)
+            total = int(tot_dev)
+            if total > K:  # rare: guess too small, rerun with exact pow2
+                K2 = 1024
+                while K2 < total:
+                    K2 *= 2
+                lo, hi, tot_dev = _device_extract_flat(
+                    post, xb, yb, valid_b, threshold, K2)
+            lo, hi = np.asarray(lo), np.asarray(hi)
+            _FLAT_PAIRS_HINT[w_pad] = (0.5 * ppp
+                                       + 0.5 * total / max(len(chunk), 1))
             t3 = time.perf_counter()
             vals, pxs, pys, tags = _unpack_extract(lo, hi, xb_np, yb_np,
                                                    total)
@@ -900,8 +918,8 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                 results[idx] = (tuple(out), float(totals[k]))
             if dbg:
                 print(f"[pallas] group d={d_pad} w={w_pad} B={len(chunk)} "
-                      f"rle={use_rle}: fb {t1-t0:.2f}s counts {t2-t1:.2f}s "
-                      f"extract({total}/{K}) {t3-t2:.2f}s "
+                      f"rle={use_rle}: fb {t1-t0:.2f}s "
+                      f"extract({total}/{K}) {t3-t1:.2f}s "
                       f"host {time.perf_counter()-t3:.2f}s", flush=True)
     if fb_future is not None:
         for idx, r in zip(fallback, fb_future.result()):

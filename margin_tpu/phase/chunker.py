@@ -139,16 +139,52 @@ def construct_chunker(bam_file: str, region: Optional[str],
                                  record_filtered_reads)
 
 
+def _scan_cached(bam_file: str):
+    """The native whole-BAM scan is param-independent — cache it on disk
+    keyed by file identity so worker processes and the shard-merge pass
+    don't re-inflate the BAM (htsIntegration.c re-streams per process too,
+    but its htslib pass rides the OS page cache; here the inflate itself
+    is the cost). ~0.5 s per scan of a 40 MB BAM."""
+    import hashlib
+    import os
+    import pickle
+    import tempfile
+
+    from margin_tpu.io import native
+
+    st = os.stat(bam_file)
+    key = hashlib.sha256(
+        f"{os.path.abspath(bam_file)}|{st.st_size}|{st.st_mtime_ns}|v1"
+        .encode()).hexdigest()[:24]
+    cache = os.path.join(tempfile.gettempdir(), "margin_tpu_scan_cache")
+    path = os.path.join(cache, key + ".pkl")
+    try:
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    except Exception:
+        pass
+    with native.NativeBam(bam_file) as nb:
+        scan = nb.scan()
+        ref_names = nb.ref_names
+    try:
+        os.makedirs(cache, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            pickle.dump((scan, ref_names), fh,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)  # atomic: concurrent workers race safely
+    except Exception:
+        pass
+    return scan, ref_names
+
+
 def _construct_chunker_native(bam_file, region, valid_contigs, params,
                               record_filtered_reads) -> BamChunker:
-    from margin_tpu.io import native
     region_contig, region_start, region_end = parse_region(region)
     chunk_size, margin = params.chunkSize, params.chunkBoundary
     chunker = BamChunker(bam_file, chunk_size, margin)
 
-    with native.NativeBam(bam_file) as nb:
-        scan = nb.scan()
-        ref_names = nb.ref_names
+    scan, ref_names = _scan_cached(bam_file)
 
     tid = scan["tid"]
     pos = scan["pos"]

@@ -82,6 +82,7 @@ def test_native_matches_scan_rle(tables_rle, use_lut):
         _compare(tables_rle, item, use_lut)
 
 
+@pytest.mark.slow  # ~70s: a genuinely monster-sized band
 def test_monster_routing(tables):
     """banded_posteriors_many must produce the native result for items
     above the monster-cell policy (consistent on every backend)."""
