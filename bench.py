@@ -150,6 +150,21 @@ def _make_tiled_dataset(tiles: int = 10):
     return bam, fa, vcf
 
 
+def _read_profile(path: str) -> dict:
+    """Stage breakdown written by --profile (utils/profiling.py), trimmed
+    to the top stages for the bench JSON line."""
+    try:
+        with open(path) as fh:
+            s = json.load(fh)
+    except Exception:
+        return {}
+    out = {"wall_s": s.get("wall_s")}
+    for key in ("stages_s", "chunk_stage_totals_s"):
+        items = sorted((s.get(key) or {}).items(), key=lambda kv: -kv[1])
+        out[key] = dict(items[:8])
+    return out
+
+
 def _device_report(dev: dict, wall_s: float) -> dict:
     """Roofline accounting for an end-to-end run from the executor's launch
     stats. device_wait_frac (time the pipeline sat blocked on device
@@ -178,6 +193,7 @@ def bench_phase_mt(tiles: int = 10, threads: int = 4):
     bam, fa, vcf = _make_tiled_dataset(tiles)
     walls = []
     hets = 0
+    profile = {}
     for i in range(2):
         if i == 1:
             DEVICE_STATS.reset()
@@ -185,7 +201,7 @@ def bench_phase_mt(tiles: int = 10, threads: int = 4):
         out = f"{tmp}/out"
         t0 = time.perf_counter()
         main(["phase", bam, fa, PHASE_PARAMS, vcf, "-o", out,
-              "-t", str(threads), "--workers", "process",
+              "-t", str(threads), "--workers", "process", "--profile",
               "--logLevel", "CRITICAL"])
         walls.append(time.perf_counter() - t0)
         if i == 1:
@@ -195,6 +211,7 @@ def bench_phase_mt(tiles: int = 10, threads: int = 4):
                         continue
                     gt = line.rstrip("\n").split("\t")[9].split(":")[0]
                     hets += gt in ("0|1", "1|0")
+            profile = _read_profile(f"{out}.profile.json")
         shutil.rmtree(tmp, ignore_errors=True)
     warm = min(walls)
     span_kb = 100.0 * tiles
@@ -206,7 +223,8 @@ def bench_phase_mt(tiles: int = 10, threads: int = 4):
             "wall_cold_s": round(walls[0], 2),
             "wall_warm_s": round(walls[1], 2),
             "span_kb": span_kb,
-            "device": _device_report(dev, walls[1])}
+            "device": _device_report(dev, walls[1]),
+            "profile": profile}
 
 
 def bench_polish():
@@ -214,21 +232,31 @@ def bench_polish():
     realign + consensus), the second north-star metric."""
     from margin_tpu.cli import main
 
+    from margin_tpu.parallel.executor import DEVICE_STATS
+
     lo, hi = POLISH_REGION.split(":")[1].split("-")
     bases = int(hi) - int(lo)
     walls = []
-    for _ in range(2):
+    profile = {}
+    for i in range(2):
+        if i == 1:
+            DEVICE_STATS.reset()
         tmp = tempfile.mkdtemp(prefix="bench_polish_")
         t0 = time.perf_counter()
         main(["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
-              "-r", POLISH_REGION, "--logLevel", "CRITICAL"])
+              "-r", POLISH_REGION, "--profile", "--logLevel", "CRITICAL"])
         walls.append(time.perf_counter() - t0)
+        if i == 1:
+            profile = _read_profile(f"{tmp}/out.profile.json")
         shutil.rmtree(tmp, ignore_errors=True)
     warm = min(walls)
+    dev = DEVICE_STATS.snapshot()
     return {"bases_per_s": bases / warm,
             "wall_cold_s": round(walls[0], 2),
             "wall_warm_s": round(walls[1], 2),
-            "bases": bases}
+            "bases": bases,
+            "device": _device_report(dev, walls[1]),
+            "profile": profile}
 
 
 def bench_polish_multi(span: int = 24000, chunk: int = 6000,

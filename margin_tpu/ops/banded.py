@@ -901,6 +901,9 @@ def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
             _FLAT_PAIRS_HINT[w_pad] = (0.5 * ppp
                                        + 0.5 * total / max(len(chunk), 1))
             t3 = time.perf_counter()
+            from margin_tpu.parallel.executor import DEVICE_STATS
+            DEVICE_STATS.add(len(chunk), d_pad * w_pad * post.shape[-1],
+                             t3 - t0)
             vals, pxs, pys, tags = _unpack_extract(lo, hi, xb_np, yb_np,
                                                    total)
             # order pairs by (tag, x, y) and split into per-(problem,

@@ -26,6 +26,7 @@ from margin_tpu.polish import bubbles_poa, repeats, stitcher
 from margin_tpu.polish.poa import Poa, PoaRead, poa_realign
 from margin_tpu.polish.reads import convert_to_reads_and_alignments
 from margin_tpu.rle import RleString
+from margin_tpu.utils import profiling
 
 
 @dataclass
@@ -42,28 +43,35 @@ class PolishOutputs:
 def poa_realign_iterative(poa: Poa, reads: List[PoaRead], params: Params,
                           tables, hmm_not_realign: bool,
                           min_iterations: int, max_iterations: int,
-                          use_lut: bool = False) -> Poa:
+                          use_lut: bool = False, profiler=profiling.NULL,
+                          chunk_idx: int = 0) -> Poa:
     """poa_realignIterative (poa.c:1876-1952)."""
     pp = params.polish
     score = poa.total_match_weight() - poa.total_error_weight()
     i = 0
     while i < max_iterations:
         i += 1
-        if hmm_not_realign:
-            reference, poa_to_consensus = poa.get_consensus(pp)
-        else:
-            bg = bubbles_poa.bubble_graph_from_poa(poa, reads, None, params,
-                                                   tables, use_lut=use_lut)
-            path = bubbles_poa.get_consensus_path(bg)
-            reference, poa_to_consensus = bubbles_poa.get_consensus_string(bg, path, pp)
+        with profiler.chunk_stage(chunk_idx, "consensus"):
+            if hmm_not_realign:
+                reference, poa_to_consensus = poa.get_consensus(pp)
+            else:
+                bg = bubbles_poa.bubble_graph_from_poa(
+                    poa, reads, None, params, tables, use_lut=use_lut)
+                path = bubbles_poa.get_consensus_path(bg)
+                reference, poa_to_consensus = \
+                    bubbles_poa.get_consensus_string(bg, path, pp)
         if reference == poa.ref_string:
             break
-        anchor_alignments = poa.get_anchor_alignments(poa_to_consensus,
-                                                      len(reads), pp)
-        poa2 = poa_realign(reads, anchor_alignments, reference, pp, tables,
-                           use_lut=use_lut)
+        with profiler.chunk_stage(chunk_idx, "anchors"):
+            anchor_alignments = poa.get_anchor_alignments(poa_to_consensus,
+                                                          len(reads), pp)
+        with profiler.chunk_stage(chunk_idx, "realign"):
+            poa2 = poa_realign(reads, anchor_alignments, reference, pp,
+                               tables, use_lut=use_lut)
         if pp.useRunLengthEncoding:
-            repeats.estimate_repeat_counts(poa2, reads, pp.repeat_sub_matrix)
+            with profiler.chunk_stage(chunk_idx, "repeat_counts"):
+                repeats.estimate_repeat_counts(poa2, reads,
+                                               pp.repeat_sub_matrix)
         score2 = poa2.total_match_weight() - poa2.total_error_weight()
         if score2 <= score and i > min_iterations:
             break
@@ -73,18 +81,23 @@ def poa_realign_iterative(poa: Poa, reads: List[PoaRead], params: Params,
 
 
 def poa_realign_all(reads: List[PoaRead], alignments, reference: RleString,
-                    params: Params, tables, use_lut: bool = False) -> Poa:
+                    params: Params, tables, use_lut: bool = False,
+                    profiler=profiling.NULL, chunk_idx: int = 0) -> Poa:
     """poa_realignAll (poa.c:1955-1975)."""
     pp = params.polish
-    poa = poa_realign(reads, alignments, reference, pp, tables, use_lut=use_lut)
+    with profiler.chunk_stage(chunk_idx, "realign"):
+        poa = poa_realign(reads, alignments, reference, pp, tables,
+                          use_lut=use_lut)
     if pp.maxPoaConsensusIterations > 0:
         poa = poa_realign_iterative(poa, reads, params, tables, True,
                                     pp.minPoaConsensusIterations,
-                                    pp.maxPoaConsensusIterations, use_lut)
+                                    pp.maxPoaConsensusIterations, use_lut,
+                                    profiler, chunk_idx)
     if pp.maxRealignmentPolishIterations > 0:
         poa = poa_realign_iterative(poa, reads, params, tables, False,
                                     pp.minRealignmentPolishIterations,
-                                    pp.maxRealignmentPolishIterations, use_lut)
+                                    pp.maxRealignmentPolishIterations,
+                                    use_lut, profiler, chunk_idx)
     return poa
 
 
@@ -240,7 +253,7 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                 reads, alignments = kept_r, kept_a
         with profiler.chunk_stage(chunk.chunk_idx, "poa_realign"):
             poa = poa_realign_all(reads, alignments, rle_ref, params, tables,
-                                  use_lut)
+                                  use_lut, profiler, chunk.chunk_idx)
         if pp.useRunLengthEncoding:
             with profiler.chunk_stage(chunk.chunk_idx, "repeat_counts"):
                 repeats.estimate_repeat_counts(poa, reads,

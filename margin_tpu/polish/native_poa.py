@@ -124,10 +124,10 @@ class NativePoaBuilder:
         buf = np.frombuffer(raw, dtype=np.uint8)
         pos = 0
 
-        def i64():
+        def i64s(count):
             nonlocal pos
-            v = int(buf[pos:pos + 8].view(np.int64)[0])
-            pos += 8
+            v = buf[pos:pos + count * 8].view(np.int64)
+            pos += count * 8
             return v
 
         def f64s(count):
@@ -136,55 +136,80 @@ class NativePoaBuilder:
             pos += count * 8
             return v
 
-        def obs_list():
-            nonlocal pos
-            k = i64()
-            tr = buf[pos:pos + k * 24].view(np.int64).reshape(k, 3)
-            ws = buf[pos:pos + k * 24].view(np.float64).reshape(k, 3)
-            pos += k * 24
-            return list(zip(tr[:, 0].tolist(), tr[:, 1].tolist(),
-                            ws[:, 2].tolist()))
+        def obs_lists(counts_arr, total):
+            """All observation tuples in one zip, sliced per owner."""
+            rn = i64s(total).tolist()
+            off = i64s(total).tolist()
+            wt = f64s(total).tolist()
+            flat = list(zip(rn, off, wt))
+            out = []
+            a = 0
+            for c in counts_arr.tolist():
+                out.append(flat[a:a + c])
+                a += c
+            return out
 
-        n_nodes = i64()
-        max_rc = i64()
+        (n_nodes, max_rc, n_obs, n_ins, ins_bases_pad, n_ins_counts,
+         n_ins_obs, n_del, n_del_obs, _rsv) = i64s(10).tolist()
         poa = Poa.__new__(Poa)
         poa.ref_string = self.reference.copy()
         poa.max_repeat_count = max_rc
         poa._bw = f64s(n_nodes * 5).reshape(n_nodes, 5).copy()
         poa._rw = f64s(n_nodes * max_rc).reshape(n_nodes, max_rc).copy()
+
+        node_obs_counts = i64s(n_nodes)
+        node_obs = obs_lists(node_obs_counts, n_obs)
+        node_ins_counts = i64s(n_nodes)
+        ins_len = i64s(n_ins)
+        ins_bases = buf[pos:pos + ins_bases_pad]
+        pos += ins_bases_pad
+        ins_counts = i64s(n_ins_counts)
+        ins_wf = f64s(n_ins).tolist()
+        ins_wr = f64s(n_ins).tolist()
+        ins_obs_counts = i64s(n_ins)
+        ins_obs = obs_lists(ins_obs_counts, n_ins_obs)
+        node_del_counts = i64s(n_nodes)
+        del_len = i64s(n_del).tolist()
+        del_wf = f64s(n_del).tolist()
+        del_wr = f64s(n_del).tolist()
+        del_obs_counts = i64s(n_del)
+        del_obs = obs_lists(del_obs_counts, n_del_obs)
+
+        inserts = []
+        b0 = c0 = 0
+        for j, ln in enumerate(ins_len.tolist()):
+            bases = ins_bases[b0:b0 + ln].tobytes().decode("ascii")
+            pi = PoaInsert(RleString(bases, ins_counts[c0:c0 + ln].copy()),
+                           ins_wf[j], ins_wr[j])
+            pi.observations = ins_obs[j]
+            inserts.append(pi)
+            b0 += ln
+            c0 += ln
+        deletes = []
+        for j in range(n_del):
+            pd = PoaDelete(int(del_len[j]), del_wf[j], del_wr[j])
+            pd.observations = del_obs[j]
+            deletes.append(pd)
+
         nodes = []
         ref = self.reference
+        ref_bases = ref.bases.upper()
+        ins_at = del_at = 0
+        nic = node_ins_counts.tolist()
+        ndc = node_del_counts.tolist()
         for idx in range(n_nodes):
-            base = "N" if idx == 0 else ref.bases[idx - 1].upper()
+            base = "N" if idx == 0 else ref_bases[idx - 1]
             if base not in "ACGT":
                 base = "N"
             repeat = 1 if idx == 0 else int(ref.counts[idx - 1])
             node = poa._make_node(base, repeat, idx)
-            node.observations = obs_list()
-            n_ins = i64()
-            for _ in range(n_ins):
-                ln = i64()
-                nonlocal_pos = pos
-                bases = buf[nonlocal_pos:nonlocal_pos + ln].tobytes() \
-                    .decode("ascii")
-                pos_aligned = (ln + 7) & ~7
-                counts = buf[nonlocal_pos + pos_aligned:
-                             nonlocal_pos + pos_aligned + ln * 8] \
-                    .view(np.int64).copy()
-                pos = nonlocal_pos + pos_aligned + ln * 8
-                wf = f64s(1)[0]
-                wr = f64s(1)[0]
-                pi = PoaInsert(RleString(bases, counts), float(wf), float(wr))
-                pi.observations = obs_list()
-                node.inserts.append(pi)
-            n_del = i64()
-            for _ in range(n_del):
-                ln = i64()
-                wf = f64s(1)[0]
-                wr = f64s(1)[0]
-                pd = PoaDelete(int(ln), float(wf), float(wr))
-                pd.observations = obs_list()
-                node.deletes.append(pd)
+            node.observations = node_obs[idx]
+            k = nic[idx]
+            node.inserts = inserts[ins_at:ins_at + k]
+            ins_at += k
+            k = ndc[idx]
+            node.deletes = deletes[del_at:del_at + k]
+            del_at += k
             nodes.append(node)
         poa.nodes = nodes
         return poa

@@ -10,10 +10,13 @@
 
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <map>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -31,18 +34,60 @@ struct BgzfReader {
     int64_t block_coffset = -1;   // compressed offset of current block
     int64_t next_coffset = 0;
     size_t within = 0;
+    // one-block-ahead prefetch: sequential scans (region iterators, whole
+    // BAM walks) overlap the next block's fread+inflate with the caller's
+    // record processing. Random seeks simply miss the prefetch and fall
+    // back to the synchronous path.
+    std::thread pf_thread;
+    bool pf_valid = false;          // pf_* fields hold a completed block
+    bool pf_ok = false;
+    int64_t pf_coffset = -1;
+    int64_t pf_next = 0;
+    std::vector<uint8_t> pf_block;
 
     bool open(const char* path) {
         fh = fopen(path, "rb");
         return fh != nullptr;
     }
     ~BgzfReader() {
+        join_prefetch();
         if (fh) fclose(fh);
+    }
+
+    void join_prefetch() {
+        if (pf_thread.joinable()) pf_thread.join();
     }
 
     // Load block at compressed offset; false at EOF.
     bool load_block(int64_t coffset) {
         if (coffset == block_coffset) return true;
+        join_prefetch();
+        if (pf_valid && pf_coffset == coffset) {
+            pf_valid = false;
+            if (!pf_ok) return false;
+            block.swap(pf_block);
+            block_coffset = coffset;
+            next_coffset = pf_next;
+            start_prefetch();
+            return !block.empty() || next_coffset - coffset > 28;
+        }
+        pf_valid = false;
+        bool ok = load_block_sync(coffset);
+        if (ok) start_prefetch();
+        return ok;
+    }
+
+    void start_prefetch() {
+        // the file handle is exclusively the prefetch thread's until join
+        pf_coffset = next_coffset;
+        pf_thread = std::thread([this]() {
+            pf_ok = prefetch_into(pf_coffset, pf_block, pf_next);
+            pf_valid = true;
+        });
+    }
+
+    bool prefetch_into(int64_t coffset, std::vector<uint8_t>& dst,
+                       int64_t& next_out) {
         if (fseeko(fh, coffset, SEEK_SET) != 0) return false;
         uint8_t header[18];
         if (fread(header, 1, 18, fh) != 18) return false;
@@ -74,21 +119,26 @@ struct BgzfReader {
         if (fread(tail, 1, 8, fh) != 8) return false;
         uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
                          ((uint32_t)tail[7] << 24);
-        block.resize(isize);
+        dst.resize(isize);
         if (isize > 0) {
             z_stream zs{};
             inflateInit2(&zs, -15);
             zs.next_in = payload.data();
             zs.avail_in = payload_len;
-            zs.next_out = block.data();
+            zs.next_out = dst.data();
             zs.avail_out = isize;
             int ret = inflate(&zs, Z_FINISH);
             inflateEnd(&zs);
             if (ret != Z_STREAM_END) return false;
         }
-        block_coffset = coffset;
-        next_coffset = coffset + bsize;
+        next_out = coffset + bsize;
         return isize > 0 || bsize > 28;
+    }
+
+    bool load_block_sync(int64_t coffset) {
+        bool ok = prefetch_into(coffset, block, next_coffset);
+        if (ok) block_coffset = coffset;
+        return ok;
     }
 
     void seek_virtual(int64_t voffset) {
@@ -172,15 +222,29 @@ static void bgzf_compress_block(const uint8_t* data, size_t n,
 struct BgzfWriter {
     // BGZF blocks are independent deflate streams, so compression
     // parallelizes the way htslib's hts_tpool does it
-    // (htsIntegration.c:1369-1380): full blocks accumulate into a batch,
-    // the pool compresses the batch in parallel, and blocks are written
-    // in order — the output bytes match the sequential writer exactly.
+    // (htsIntegration.c:1369-1380): a persistent worker pool compresses
+    // blocks out-of-band while the caller keeps producing records, and a
+    // writer thread emits them strictly in sequence — the output bytes
+    // match the sequential writer exactly (fixed block boundaries, one
+    // zlib level). Backpressure caps in-flight blocks so memory is
+    // bounded on fast producers.
     FILE* fh = nullptr;
     std::vector<uint8_t> buf;
-    std::vector<std::vector<uint8_t>> pending;  // full uncompressed blocks
     int n_threads = 1;
     static constexpr size_t MAX_BLOCK = 0xFF00;
-    static constexpr size_t BATCH_BLOCKS = 32;  // ~2 MB per parallel flush
+    static constexpr size_t MAX_INFLIGHT = 256;  // ~16 MB uncompressed
+
+    std::mutex mu;
+    std::condition_variable cv_work;   // workers wait for jobs
+    std::condition_variable cv_done;   // writer waits for its next seq
+    std::condition_variable cv_space;  // producer waits for queue space
+    std::deque<std::pair<size_t, std::vector<uint8_t>>> work;
+    std::unordered_map<size_t, std::vector<uint8_t>> done;
+    size_t next_seq = 0;    // next block id to enqueue
+    size_t write_seq = 0;   // next block id the writer thread emits
+    bool stopping = false;
+    std::vector<std::thread> pool;
+    std::thread writer_thread;
 
     bool open(const char* path, int threads = 0) {
         if (threads <= 0) {
@@ -189,54 +253,97 @@ struct BgzfWriter {
         }
         n_threads = threads;
         fh = fopen(path, "wb");
-        return fh != nullptr;
+        if (!fh) return false;
+        for (int t = 0; t < n_threads; t++)
+            pool.emplace_back([this]() { worker_loop(); });
+        writer_thread = std::thread([this]() { writer_loop(); });
+        return true;
     }
 
-    void flush_pending() {
-        if (pending.empty()) return;
-        size_t nb = pending.size();
-        std::vector<std::vector<uint8_t>> comp(nb);
-        int nt = (int)std::min((size_t)n_threads, nb);
-        if (nt <= 1) {
-            for (size_t i = 0; i < nb; i++)
-                bgzf_compress_block(pending[i].data(), pending[i].size(),
-                                    comp[i]);
-        } else {
-            std::atomic<size_t> next(0);
-            auto worker = [&]() {
-                for (;;) {
-                    size_t i = next.fetch_add(1);
-                    if (i >= nb) break;
-                    bgzf_compress_block(pending[i].data(), pending[i].size(),
-                                        comp[i]);
-                }
-            };
-            std::vector<std::thread> pool;
-            for (int t = 1; t < nt; t++) pool.emplace_back(worker);
-            worker();
-            for (auto& th : pool) th.join();
+    void worker_loop() {
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+            cv_work.wait(lk, [&]() { return stopping || !work.empty(); });
+            if (work.empty()) {
+                if (stopping) return;
+                continue;
+            }
+            size_t seq = work.front().first;
+            std::vector<uint8_t> raw = std::move(work.front().second);
+            work.pop_front();
+            lk.unlock();
+            cv_space.notify_one();
+            std::vector<uint8_t> comp;
+            bgzf_compress_block(raw.data(), raw.size(), comp);
+            lk.lock();
+            done.emplace(seq, std::move(comp));
+            cv_done.notify_all();
         }
-        for (size_t i = 0; i < nb; i++)
-            fwrite(comp[i].data(), 1, comp[i].size(), fh);
-        pending.clear();
+    }
+
+    void writer_loop() {
+        std::unique_lock<std::mutex> lk(mu);
+        for (;;) {
+            cv_done.wait(lk, [&]() {
+                return done.count(write_seq) ||
+                       (stopping && work.empty() && done.empty() &&
+                        write_seq == next_seq);
+            });
+            auto it = done.find(write_seq);
+            if (it == done.end()) return;  // drained + stopping
+            std::vector<uint8_t> comp = std::move(it->second);
+            done.erase(it);
+            lk.unlock();
+            cv_space.notify_one();
+            fwrite(comp.data(), 1, comp.size(), fh);
+            lk.lock();
+            write_seq++;
+            cv_done.notify_all();  // wakes drain()/close() waiters too
+        }
+    }
+
+    void enqueue_block(std::vector<uint8_t>&& raw) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&]() {
+            return work.size() + done.size() < MAX_INFLIGHT;
+        });
+        work.emplace_back(next_seq++, std::move(raw));
+        cv_work.notify_one();
+    }
+
+    void drain() {
+        // complete all queued blocks (writer catches up to next_seq)
+        std::unique_lock<std::mutex> lk(mu);
+        cv_done.wait(lk, [&]() {
+            return write_seq == next_seq && work.empty() && done.empty();
+        });
     }
 
     void write(const uint8_t* data, size_t n) {
         buf.insert(buf.end(), data, data + n);
         while (buf.size() >= MAX_BLOCK) {
-            pending.emplace_back(buf.begin(), buf.begin() + MAX_BLOCK);
+            enqueue_block(std::vector<uint8_t>(buf.begin(),
+                                               buf.begin() + MAX_BLOCK));
             buf.erase(buf.begin(), buf.begin() + MAX_BLOCK);
-            if (pending.size() >= BATCH_BLOCKS) flush_pending();
         }
     }
 
     void close() {
         if (!fh) return;
         if (!buf.empty()) {
-            pending.emplace_back(buf.begin(), buf.end());
+            enqueue_block(std::move(buf));
             buf.clear();
         }
-        flush_pending();
+        drain();
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            stopping = true;
+        }
+        cv_work.notify_all();
+        cv_done.notify_all();
+        for (auto& th : pool) th.join();
+        pool.clear();
+        if (writer_thread.joinable()) writer_thread.join();
         static const uint8_t kEof[28] = {
             0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
             0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,

@@ -354,66 +354,108 @@ void mpoa_augment(void* h, const u8* read_bases, const i64* read_counts,
     }
 }
 
-// Serialized export (margin_tpu/polish/native_poa.py parses):
-//   [n_nodes][max_rc] bw(n*5 f64) rw(n*max_rc f64)
-//   per node: [n_obs] obs(read_no i64, offset i64, weight f64)*
-//             [n_inserts] per insert: [len] bases(u8, pad8) counts(i64*)
-//                                     wf wr [n_obs] obs*
-//             [n_deletes] per delete: [length] wf wr [n_obs] obs*
+// Columnar serialized export (margin_tpu/polish/native_poa.py parses with
+// numpy views — the round-2 per-node stream made the Python rebuild the
+// hot path at ~25us/node). All sections are 8-byte aligned:
+//   header (10 i64): n_nodes max_rc n_obs n_ins ins_bases_pad8
+//                    n_ins_counts n_ins_obs n_del n_del_obs reserved
+//   bw (n_nodes*5 f64), rw (n_nodes*max_rc f64)
+//   node_obs_counts (n_nodes i64)
+//   obs columns: read_no (n_obs i64), offset (n_obs i64), weight (n_obs f64)
+//   node_ins_counts (n_nodes i64), ins_len (n_ins i64),
+//   ins_bases (concat u8 pad8), ins_counts (n_ins_counts i64),
+//   ins_wf (n_ins f64), ins_wr (n_ins f64), ins_obs_counts (n_ins i64),
+//   ins obs columns (n_ins_obs: i64, i64, f64)
+//   node_del_counts (n_nodes i64), del_len (n_del i64),
+//   del_wf (n_del f64), del_wr (n_del f64), del_obs_counts (n_del i64),
+//   del obs columns (n_del_obs: i64, i64, f64)
 int64_t mpoa_export(void* h, u8** out) {
     Poa* p = (Poa*)h;
     auto al8 = [](size_t n) { return (n + 7) & ~size_t(7); };
-    size_t bytes = 16 + p->bw.size() * 8 + p->rw.size() * 8;
+    i64 n_obs = 0, n_ins = 0, ins_bases = 0, n_ins_counts = 0;
+    i64 n_ins_obs = 0, n_del = 0, n_del_obs = 0;
     for (const Node& n : p->nodes) {
-        bytes += 8 + n.obs.size() * 24;
-        bytes += 8;
-        for (const Insert& pi : n.inserts)
-            bytes += 8 + al8(pi.s.bases.size()) + pi.s.counts.size() * 8
-                     + 16 + 8 + pi.obs.size() * 24;
-        bytes += 8;
-        for (const Delete& pd : n.deletes)
-            bytes += 8 + 16 + 8 + pd.obs.size() * 24;
+        n_obs += (i64)n.obs.size();
+        n_ins += (i64)n.inserts.size();
+        for (const Insert& pi : n.inserts) {
+            ins_bases += pi.s.len();
+            n_ins_counts += (i64)pi.s.counts.size();
+            n_ins_obs += (i64)pi.obs.size();
+        }
+        n_del += (i64)n.deletes.size();
+        for (const Delete& pd : n.deletes) n_del_obs += (i64)pd.obs.size();
     }
+    size_t bytes = 10 * 8 + (p->bw.size() + p->rw.size()) * 8
+        + (size_t)p->n_nodes * 8 + (size_t)n_obs * 24
+        + (size_t)p->n_nodes * 8 + (size_t)n_ins * 8 + al8(ins_bases)
+        + (size_t)n_ins_counts * 8 + (size_t)n_ins * 24
+        + (size_t)n_ins_obs * 24
+        + (size_t)p->n_nodes * 8 + (size_t)n_del * 32
+        + (size_t)n_del_obs * 24;
     u8* buf = (u8*)malloc(bytes);
     if (!buf) return -1;
     u8* q = buf;
     auto put_i64 = [&](i64 v) { memcpy(q, &v, 8); q += 8; };
-    auto put_f64 = [&](double v) { memcpy(q, &v, 8); q += 8; };
-    auto put_obs = [&](const std::vector<Obs>& obs) {
-        put_i64((i64)obs.size());
-        for (const Obs& o : obs) {
-            put_i64(o.read_no);
-            put_i64(o.offset);
-            put_f64(o.weight);
-        }
+    i64 header[10] = {p->n_nodes, p->max_rc, n_obs, n_ins, (i64)al8(ins_bases),
+                      n_ins_counts, n_ins_obs, n_del, n_del_obs, 0};
+    memcpy(q, header, sizeof header); q += sizeof header;
+    memcpy(q, p->bw.data(), p->bw.size() * 8); q += p->bw.size() * 8;
+    memcpy(q, p->rw.data(), p->rw.size() * 8); q += p->rw.size() * 8;
+    // three passes over obs vectors write the columnar blocks in place
+    auto put_obs_cols = [&](auto&& for_each, i64 count) {
+        u8* rn = q; u8* off = q + count * 8; u8* wt = q + count * 16;
+        for_each([&](const std::vector<Obs>& obs) {
+            for (const Obs& o : obs) {
+                i64 r = o.read_no;
+                memcpy(rn, &r, 8); rn += 8;
+                memcpy(off, &o.offset, 8); off += 8;
+                memcpy(wt, &o.weight, 8); wt += 8;
+            }
+        });
+        q += count * 24;
     };
-    put_i64(p->n_nodes);
-    put_i64(p->max_rc);
-    memcpy(q, p->bw.data(), p->bw.size() * 8);
-    q += p->bw.size() * 8;
-    memcpy(q, p->rw.data(), p->rw.size() * 8);
-    q += p->rw.size() * 8;
-    for (const Node& n : p->nodes) {
-        put_obs(n.obs);
-        put_i64((i64)n.inserts.size());
+    for (const Node& n : p->nodes) put_i64((i64)n.obs.size());
+    put_obs_cols([&](auto emit) {
+        for (const Node& n : p->nodes) emit(n.obs);
+    }, n_obs);
+    for (const Node& n : p->nodes) put_i64((i64)n.inserts.size());
+    for (const Node& n : p->nodes)
+        for (const Insert& pi : n.inserts) put_i64(pi.s.len());
+    for (const Node& n : p->nodes)
         for (const Insert& pi : n.inserts) {
-            put_i64(pi.s.len());
             memcpy(q, pi.s.bases.data(), pi.s.bases.size());
-            q += al8(pi.s.bases.size());
+            q += pi.s.bases.size();
+        }
+    memset(q, 0, al8(ins_bases) - ins_bases);
+    q += al8(ins_bases) - ins_bases;
+    for (const Node& n : p->nodes)
+        for (const Insert& pi : n.inserts) {
             memcpy(q, pi.s.counts.data(), pi.s.counts.size() * 8);
             q += pi.s.counts.size() * 8;
-            put_f64(pi.wf);
-            put_f64(pi.wr);
-            put_obs(pi.obs);
         }
-        put_i64((i64)n.deletes.size());
-        for (const Delete& pd : n.deletes) {
-            put_i64(pd.length);
-            put_f64(pd.wf);
-            put_f64(pd.wr);
-            put_obs(pd.obs);
-        }
-    }
+    for (const Node& n : p->nodes)
+        for (const Insert& pi : n.inserts) { memcpy(q, &pi.wf, 8); q += 8; }
+    for (const Node& n : p->nodes)
+        for (const Insert& pi : n.inserts) { memcpy(q, &pi.wr, 8); q += 8; }
+    for (const Node& n : p->nodes)
+        for (const Insert& pi : n.inserts) put_i64((i64)pi.obs.size());
+    put_obs_cols([&](auto emit) {
+        for (const Node& n : p->nodes)
+            for (const Insert& pi : n.inserts) emit(pi.obs);
+    }, n_ins_obs);
+    for (const Node& n : p->nodes) put_i64((i64)n.deletes.size());
+    for (const Node& n : p->nodes)
+        for (const Delete& pd : n.deletes) put_i64(pd.length);
+    for (const Node& n : p->nodes)
+        for (const Delete& pd : n.deletes) { memcpy(q, &pd.wf, 8); q += 8; }
+    for (const Node& n : p->nodes)
+        for (const Delete& pd : n.deletes) { memcpy(q, &pd.wr, 8); q += 8; }
+    for (const Node& n : p->nodes)
+        for (const Delete& pd : n.deletes) put_i64((i64)pd.obs.size());
+    put_obs_cols([&](auto emit) {
+        for (const Node& n : p->nodes)
+            for (const Delete& pd : n.deletes) emit(pd.obs);
+    }, n_del_obs);
     if ((size_t)(q - buf) != bytes) {
         free(buf);
         return -1;
