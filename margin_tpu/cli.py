@@ -249,6 +249,20 @@ def main(argv=None):
     profiler = profiling.Profiler(enabled=args.profile)
     trace_ctx = profiling.maybe_jax_trace(args.jaxTrace)
 
+    def write_profile():
+        """Fold any process-worker profiles back in, then write. Workers
+        write to MARGIN_TPU_PROFILE_OUT (set by run_process_workers), so
+        `--workers process` runs still account their per-chunk stages."""
+        import glob
+        for wp in sorted(glob.glob(f"{args.outputBase}.profile.worker*.json")):
+            profiler.merge_file(wp)
+            try:
+                os.remove(wp)
+            except OSError:
+                pass
+        profiler.write(os.environ.get("MARGIN_TPU_PROFILE_OUT")
+                       or f"{args.outputBase}.profile.json")
+
     # polish process workers: each worker is a standalone CPU shard process
     # (banded FB runs on the worker's native/scan CPU path; pair scoring
     # rides the socket to this device-owning parent like phase), followed by
@@ -273,7 +287,8 @@ def main(argv=None):
             if not args.lut_logadd:
                 wargv += ["--exact-logadd"]
             run_process_workers(wargv, args.threads, args.outputBase,
-                                resume=args.checkpoint, log=log)
+                                resume=args.checkpoint, log=log,
+                                profile=args.profile)
             shard = ("merge",)
             threads = 1
         hosts = None
@@ -291,7 +306,7 @@ def main(argv=None):
                       shard=shard, profiler=profiler,
                       rng_mode=args.rngMode, threads=threads, hosts=hosts,
                       log=log)
-        profiler.write(f"{args.outputBase}.profile.json")
+        write_profile()
     elif args.command == "polish":
         threads = args.threads
         if polish_process:
@@ -309,7 +324,8 @@ def main(argv=None):
                 wargv.append(tok)
             wargv += ["-t", "1", "-a", "CRITICAL"]
             run_process_workers(wargv, args.threads, args.outputBase,
-                                resume=args.checkpoint, log=log)
+                                resume=args.checkpoint, log=log,
+                                profile=args.profile)
             shard = ("merge",)
             threads = 1
         from margin_tpu.polish.driver import run_polish
@@ -336,7 +352,7 @@ def main(argv=None):
                    skip_haplotype_bam=args.skipHaplotypeBAM,
                    checkpoint=args.checkpoint, shard=shard,
                    profiler=profiler, threads=threads, log=log)
-        profiler.write(f"{args.outputBase}.profile.json")
+        write_profile()
         profiler.log_summary(log)
     return 0
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -640,7 +641,7 @@ def _pairs_from_compact(vals, xs, ys, counts, K: int, post, geom, threshold):
     return tuple(out)
 
 
-# running pairs-per-problem average per w_pad bucket: sizes the
+# running pairs-per-diagonal average per w_pad bucket: sizes the
 # single-phase flat extraction's K guess (overflow retried exactly)
 _FLAT_PAIRS_HINT: dict = {}
 
@@ -793,141 +794,382 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
     return pairs, float(total)
 
 
+class _FbItemRef:
+    """One banded problem bound to its result slot. `out[idx]` receives the
+    ((matches, gapx, gapy), total) tuple; `req` (funnel requests only) is
+    decremented so the issuing thread unblocks when all its items land."""
+    __slots__ = ("item", "out", "idx", "req")
+
+    def __init__(self, item, out, idx, req=None):
+        self.item = item
+        self.out = out
+        self.idx = idx
+        self.req = req
+
+
+class _PackHandle:
+    """An in-flight pack: FB + flat-extraction launches dispatched, readback
+    deferred. Holding the handle keeps the posterior grid alive for the
+    overflow-retry path."""
+    __slots__ = ("refs", "post", "xb", "yb", "valid_b", "lo", "hi", "tot_dev",
+                 "K", "geoms", "xb_np", "yb_np", "totals", "d_pad", "w_pad",
+                 "threshold", "t_launch", "sum_d")
+
+
+# pack width: lanes pad to 128 anyway, so problems of different depth merge
+# freely; kernel+gather cost per launch is set by the pack's max d
+_PACK_MAX_B = 128
+
+
+def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
+                 expansion: int, use_lut: bool, dynamic: bool,
+                 threshold: float) -> _PackHandle:
+    """Dispatch the Pallas FB + single-phase flat extraction for one pack
+    WITHOUT reading anything back: launches enqueue on the device while the
+    host goes on to prep the next pack (the tunnel executes them in order,
+    so a depth-2 pipeline hides one full launch latency)."""
+    from margin_tpu.ops import pallas_banded
+
+    t0 = time.perf_counter()
+    post, totals, geoms, xb, yb = pallas_banded.fb_posteriors_group(
+        tables, [r.item for r in refs], d_pad, w_pad, expansion,
+        use_lut, dynamic, use_rle)
+    b_pad = post.shape[-1]
+    # pad lanes replicate the last geometry; valid_b masks them
+    xb_np = np.stack([g.x_base for g in geoms]
+                     + [geoms[-1].x_base] * (b_pad - len(geoms)))
+    yb_np = np.stack([g.y_base for g in geoms]
+                     + [geoms[-1].y_base] * (b_pad - len(geoms)))
+    valid_b = jnp.asarray(np.arange(b_pad) < len(geoms))
+    # single-phase flat extraction: K guessed from the running
+    # pairs-per-DIAGONAL average (pairs >= threshold cluster near the
+    # alignment path, so they scale with the pack's total diagonal count,
+    # not its problem count — a per-problem hint gets poisoned by small
+    # packs). A counting pass would re-read the whole posterior grid and
+    # cost a full launch round-trip; a generous K with overflow-retry
+    # makes the common case ONE sync. Only real result pairs + K-total
+    # padding cross the tunnel.
+    sum_d = sum(g.lx + g.ly + 1 for g in geoms)
+    ppd = _FLAT_PAIRS_HINT.get(w_pad, 2.0)
+    # K is a STATIC shape of the extraction jit: quantize to powers of 4
+    # with a floor so hint drift between runs can't force a recompile per
+    # new K (a fresh axon compile costs seconds; K slots are 8 bytes each,
+    # so over-sizing is far cheaper than re-tracing)
+    K = 16384
+    while K < 1.5 * ppd * sum_d:
+        K *= 4
+    # bit-pack capacity of the flat extraction word
+    assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
+        and b_pad * 3 < (1 << 10), post.shape
+    lo, hi, tot_dev = _device_extract_flat(post, xb, yb, valid_b,
+                                           threshold, K)
+    h = _PackHandle()
+    h.refs = refs
+    h.post, h.xb, h.yb, h.valid_b = post, xb, yb, valid_b
+    h.lo, h.hi, h.tot_dev, h.K = lo, hi, tot_dev, K
+    h.geoms, h.xb_np, h.yb_np = geoms, xb_np, yb_np
+    h.totals, h.d_pad, h.w_pad = totals, d_pad, w_pad
+    h.threshold = threshold
+    h.sum_d = sum_d
+    h.t_launch = time.perf_counter() - t0
+    return h
+
+
+def _finish_pack(h: _PackHandle):
+    """Read back one pack's extraction, unpack pairs, and store every ref's
+    result. The `int(tot_dev)` readback is the synchronization point."""
+    t0 = time.perf_counter()
+    total = int(h.tot_dev)
+    lo, hi = h.lo, h.hi
+    if total > h.K:  # rare: guess too small, rerun with the exact need
+        K2 = 16384
+        while K2 < total:
+            K2 *= 4
+        lo, hi, _ = _device_extract_flat(h.post, h.xb, h.yb, h.valid_b,
+                                         h.threshold, K2)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    t1 = time.perf_counter()
+    n = len(h.refs)
+    ppd = _FLAT_PAIRS_HINT.get(h.w_pad, 2.0)
+    _FLAT_PAIRS_HINT[h.w_pad] = 0.5 * ppd + 0.5 * total / max(h.sum_d, 1)
+    from margin_tpu.parallel.executor import DEVICE_STATS
+    DEVICE_STATS.add(n, h.d_pad * h.w_pad * h.post.shape[-1],
+                     (t1 - t0) + h.t_launch)
+    vals, pxs, pys, tags = _unpack_extract(lo, hi, h.xb_np, h.yb_np, total)
+    # order pairs by (tag, x, y) and split into per-(problem, state) runs —
+    # same (x, y) lexsort the per-item path used
+    order = np.lexsort((pys, pxs, tags))
+    vals, pxs, pys, tags = (a[order] for a in (vals, pxs, pys, tags))
+    bounds = np.searchsorted(tags, np.arange(3 * n + 1))
+    totals_np = np.asarray(h.totals, dtype=np.float64)
+    for k, ref in enumerate(h.refs):
+        out = []
+        for s in range(3):
+            a, b = bounds[3 * k + s], bounds[3 * k + s + 1]
+            out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
+                                axis=1).astype(np.int64))
+        ref.out[ref.idx] = (tuple(out), float(totals_np[k]))
+    if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1":
+        print(f"[pallas] pack d={h.d_pad} w={h.w_pad} B={n}: launch "
+              f"{h.t_launch:.2f}s wait {t1-t0:.2f}s extract({total}/{h.K}) "
+              f"host {time.perf_counter()-t1:.2f}s", flush=True)
+
+
+# shared pool for monster/degenerate fallback items: the native C++ kernel
+# drops the GIL, so these overlap the device pack launches
+_FB_FALLBACK_POOL = None
+
+
+def _fallback_pool():
+    global _FB_FALLBACK_POOL
+    if _FB_FALLBACK_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _FB_FALLBACK_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="fb-fallback")
+    return _FB_FALLBACK_POOL
+
+
+class _PallasRun:
+    """Pipelined pack scheduler over a stream of classified items.
+
+    Items are bucketed by (w_pad, use_rle); packs of up to _PACK_MAX_B lanes
+    launch with depth-2 pipelining (pack k+1's FB dispatches before pack k's
+    readback), and an optional `refill` hook injects freshly queued items
+    between packs so concurrent chunk threads' reads merge into full-lane
+    launches (the cross-chunk funnel). complete_cb fires once per stored
+    ref (the funnel uses it to release waiting threads early)."""
+
+    def __init__(self, tables, expansion: int, threshold: float,
+                 use_lut: bool, dynamic: bool, complete_cb=None):
+        self.tables = tables
+        self.expansion = expansion
+        self.threshold = threshold
+        self.use_lut = use_lut
+        self.dynamic = dynamic
+        self.complete_cb = complete_cb
+        self.buckets: dict = {}     # (w_pad, use_rle) -> [(d_pad, ref)]
+        self.fallback: list = []    # refs for the native/scan side pool
+        self.fb_futures: list = []  # (future, [refs])
+        self.inflight: _PackHandle | None = None
+
+    def add(self, refs):
+        dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
+        for ref in refs:
+            it = ref.item
+            lx, ly = len(it["x_sym"]), len(it["y_sym"])
+            if lx + ly == 0:
+                empty = np.zeros((0, 3), dtype=np.int64)
+                self._store(ref, ((empty, empty, empty), 0.0))
+                continue
+            geom = BandGeometry.build(it["anchors"], lx, ly, self.expansion,
+                                      dynamic=self.dynamic, smooth=True)
+            d_pad = _bucket_dpad(geom.d_pad)
+            # few storage buckets (every distinct (D, W) combination costs
+            # a fresh accelerator compile and fragments the batch into
+            # smaller lane groups): W=16 fits the dense-anchor realign
+            # passes, W=64 covers k-mer-anchored first passes, 128 the
+            # SV-ish outliers
+            w_pad = (16 if geom.w_pad <= 16
+                     else (64 if geom.w_pad <= 64 else 128))
+            # guard: smoothed storage blows up when anchors are wildly
+            # non-colinear — the ~12 (D, W, 128) f32 working buffers must
+            # fit comfortably in HBM, else use the scan path for this item
+            if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 12e9:
+                if dbg:
+                    print(f"[pallas] fallback item lx={lx} ly={ly} "
+                          f"d={geom.d_pad} w={geom.w_pad} "
+                          f"anchors={len(it['anchors'])}", flush=True)
+                self.fallback.append(ref)
+                continue
+            use_rle = (it.get("rep_x") is not None
+                       and self.tables.repeat is not None)
+            self.buckets.setdefault((w_pad, use_rle), []).append(
+                (d_pad, ref))
+
+    def _store(self, ref, result):
+        ref.out[ref.idx] = result
+        if self.complete_cb is not None:
+            self.complete_cb(ref)
+
+    def _flush_fallback(self):
+        if not self.fallback:
+            return
+        refs, self.fallback = self.fallback, []
+        fut = _fallback_pool().submit(
+            _solve_fallback_items, self.tables, [r.item for r in refs],
+            self.expansion, self.threshold, self.use_lut, self.dynamic)
+        self.fb_futures.append((fut, refs))
+
+    def _finish_inflight(self):
+        if self.inflight is None:
+            return
+        h, self.inflight = self.inflight, None
+        _finish_pack(h)
+        if self.complete_cb is not None:
+            for ref in h.refs:
+                self.complete_cb(ref)
+
+    def _next_pack(self):
+        """Pop up to _PACK_MAX_B items from the fullest bucket (largest-d
+        first keeps deep problems together: the pack's compiled D is its
+        max d)."""
+        key = max(self.buckets, key=lambda k: len(self.buckets[k]))
+        lst = self.buckets[key]
+        lst.sort(key=lambda t: -t[0])
+        pack, rest = lst[:_PACK_MAX_B], lst[_PACK_MAX_B:]
+        if rest:
+            self.buckets[key] = rest
+        else:
+            del self.buckets[key]
+        return key, pack
+
+    def drain(self, refill=None):
+        """Launch/finish until no work remains; `refill()` may return more
+        refs to absorb between packs."""
+        self._flush_fallback()
+        while True:
+            if refill is not None:
+                self.add(refill())
+                self._flush_fallback()
+            if not self.buckets:
+                self._finish_inflight()
+                if refill is not None:
+                    # one more look: items may have queued during the last
+                    # pack's flight
+                    self.add(refill())
+                    self._flush_fallback()
+                    if self.buckets:
+                        continue
+                break
+            (w_pad, use_rle), pack = self._next_pack()
+            d_pad = pack[0][0]
+            h = _launch_pack(self.tables, [r for _, r in pack], d_pad,
+                             w_pad, use_rle, self.expansion, self.use_lut,
+                             self.dynamic, self.threshold)
+            self._finish_inflight()
+            self.inflight = h
+        for fut, refs in self.fb_futures:
+            for ref, r in zip(refs, fut.result()):
+                self._store(ref, r)
+        self.fb_futures = []
+
+
 def _posteriors_many_pallas(tables: PairHmmTables, items, expansion: int,
                             threshold: float, use_lut: bool, dynamic: bool):
     """Pallas-wavefront batched solve (ops.pallas_banded): items grouped by
     padded (D, W) bucket only — strands mix within a launch via per-problem
-    transition vectors. Groups are chunked to bound per-launch memory."""
-    from margin_tpu.ops import pallas_banded
-
+    transition vectors. Packs launch with depth-2 pipelining."""
     results = [None] * len(items)
-    groups = {}
-    fallback = []
-    for idx, it in enumerate(items):
-        lx, ly = len(it["x_sym"]), len(it["y_sym"])
-        if lx + ly == 0:
-            empty = np.zeros((0, 3), dtype=np.int64)
-            results[idx] = ((empty, empty, empty), 0.0)
-            continue
-        geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                  dynamic=dynamic, smooth=True)
-        d_pad = _bucket_dpad(geom.d_pad)
-        # few storage buckets (every distinct (D, W) combination costs a
-        # fresh accelerator compile and fragments the batch into smaller
-        # lane groups): W=8 fits the dense-anchor realign passes (band
-        # width 7-8 on 30kb+ reads — W=64 would 8x their memory and blow
-        # the HBM guard), W=64 covers k-mer-anchored first passes, 128
-        # the SV-ish outliers
-        w_pad = 16 if geom.w_pad <= 16 else (64 if geom.w_pad <= 64 else 128)
-        # guard: smoothed storage blows up when anchors are wildly
-        # non-colinear — the ~12 (D, W, 128) f32 working buffers must fit
-        # comfortably in HBM, else use the scan path for this item
-        if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 12e9:
-            fallback.append(idx)
-            continue
-        use_rle = it.get("rep_x") is not None and tables.repeat is not None
-        groups.setdefault((w_pad, use_rle), []).append((d_pad, idx))
-
-    fb_future = None
-    if fallback:
-        if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1":
-            for i in fallback:
-                it = items[i]
-                g = BandGeometry.build(it["anchors"], len(it["x_sym"]),
-                                       len(it["y_sym"]), expansion,
-                                       dynamic=dynamic, smooth=True)
-                print(f"[pallas] fallback item lx={len(it['x_sym'])} "
-                      f"ly={len(it['y_sym'])} d={g.d_pad} w={g.w_pad} "
-                      f"anchors={len(it['anchors'])}", flush=True)
-        # overlap the host-side monster/fallback solve with the device
-        # group launches below (the native kernel drops the GIL)
-        from concurrent.futures import ThreadPoolExecutor
-        fb_pool = ThreadPoolExecutor(max_workers=1)
-        fb_future = fb_pool.submit(
-            _solve_fallback_items, tables, [items[i] for i in fallback],
-            expansion, threshold, use_lut, dynamic)
-        fb_pool.shutdown(wait=False)
-
-    dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
-    # pack items into as few launches as possible: lanes pad to 128 anyway,
-    # so problems of different depth merge freely (largest-d first keeps
-    # deep problems together); kernel+gather cost per launch is set by the
-    # pack's max d, one launch beats one-per-d-bucket both on wasted lanes
-    # and on fixed launch/readback latency
-    MAX_B = 128
-    for (w_pad, use_rle), lst in groups.items():
-        lst.sort(key=lambda t: -t[0])
-        for lo in range(0, len(lst), MAX_B):
-            pack = lst[lo:lo + MAX_B]
-            d_pad = pack[0][0]
-            chunk = [idx for _, idx in pack]
-            t0 = time.perf_counter()
-            post, totals, geoms = pallas_banded.fb_posteriors_group(
-                tables, [items[i] for i in chunk], d_pad, w_pad, expansion,
-                use_lut, dynamic, use_rle)
-            b_pad = post.shape[-1]
-            # pad lanes replicate the last geometry; valid_b masks them
-            xb_np = np.stack([g.x_base for g in geoms]
-                             + [geoms[-1].x_base] * (b_pad - len(geoms)))
-            yb_np = np.stack([g.y_base for g in geoms]
-                             + [geoms[-1].y_base] * (b_pad - len(geoms)))
-            xb = jnp.asarray(xb_np)
-            yb = jnp.asarray(yb_np)
-            valid_b = jnp.asarray(np.arange(b_pad) < len(geoms))
-            t1 = time.perf_counter()
-            # single-phase flat extraction: K guessed from the running
-            # pairs-per-problem average (the counting pass re-reads the
-            # whole posterior grid and costs a full launch round-trip; a
-            # generous K with overflow-retry makes the common case ONE
-            # sync). Only real result pairs + K-total padding cross the
-            # tunnel.
-            ppp = _FLAT_PAIRS_HINT.get(w_pad, 4096.0)
-            K = 1024
-            while K < 1.5 * ppp * len(chunk):
-                K *= 2
-            # bit-pack capacity of the flat extraction word
-            assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
-                and b_pad * 3 < (1 << 10), post.shape
-            lo, hi, tot_dev = _device_extract_flat(post, xb, yb, valid_b,
-                                                   threshold, K)
-            total = int(tot_dev)
-            if total > K:  # rare: guess too small, rerun with exact pow2
-                K2 = 1024
-                while K2 < total:
-                    K2 *= 2
-                lo, hi, tot_dev = _device_extract_flat(
-                    post, xb, yb, valid_b, threshold, K2)
-            lo, hi = np.asarray(lo), np.asarray(hi)
-            _FLAT_PAIRS_HINT[w_pad] = (0.5 * ppp
-                                       + 0.5 * total / max(len(chunk), 1))
-            t3 = time.perf_counter()
-            from margin_tpu.parallel.executor import DEVICE_STATS
-            DEVICE_STATS.add(len(chunk), d_pad * w_pad * post.shape[-1],
-                             t3 - t0)
-            vals, pxs, pys, tags = _unpack_extract(lo, hi, xb_np, yb_np,
-                                                   total)
-            # order pairs by (tag, x, y) and split into per-(problem,
-            # state) runs — same (x, y) lexsort the per-item path used
-            order = np.lexsort((pys, pxs, tags))
-            vals, pxs, pys, tags = (a[order] for a in
-                                    (vals, pxs, pys, tags))
-            bounds = np.searchsorted(tags, np.arange(3 * len(chunk) + 1))
-            for k, idx in enumerate(chunk):
-                out = []
-                for s in range(3):
-                    a, b = bounds[3 * k + s], bounds[3 * k + s + 1]
-                    out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
-                                        axis=1).astype(np.int64))
-                results[idx] = (tuple(out), float(totals[k]))
-            if dbg:
-                print(f"[pallas] group d={d_pad} w={w_pad} B={len(chunk)} "
-                      f"rle={use_rle}: fb {t1-t0:.2f}s "
-                      f"extract({total}/{K}) {t3-t1:.2f}s "
-                      f"host {time.perf_counter()-t3:.2f}s", flush=True)
-    if fb_future is not None:
-        for idx, r in zip(fallback, fb_future.result()):
-            results[idx] = r
+    run = _PallasRun(tables, expansion, threshold, use_lut, dynamic)
+    run.add([_FbItemRef(it, results, i) for i, it in enumerate(items)])
+    run.drain()
     return results
+
+
+class _FbRequest:
+    __slots__ = ("items", "results", "remaining", "done", "error")
+
+    def __init__(self, items):
+        self.items = items
+        self.results = [None] * len(items)
+        self.remaining = len(items)
+        self.done = False
+        self.error = None
+
+
+class _FbFunnel:
+    """Cross-chunk combining funnel for batched banded-FB solves.
+
+    The polish driver runs chunks on host threads (polish.c:475-478); each
+    chunk's poa_realign issues a banded_posteriors_many against the one
+    accelerator. Direct calls serialize on the device with under-filled
+    lane groups AND each pays its own synchronous readback. This funnel
+    merges concurrent compatible calls: the thread that finds the device
+    free becomes the dispatcher, runs a _PallasRun whose refill hook keeps
+    absorbing newly queued requests between packs, and releases each waiter
+    as soon as all its items complete. Per-item results are bit-identical
+    to direct calls: lanes never read across problems, and pack composition
+    only changes padding (masked out of every cell)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._queue: list = []  # (key, request)
+        self._busy = False
+
+    def solve(self, tables, items, expansion, threshold, use_lut, dynamic):
+        if not items:
+            return []
+        key = (id(tables), expansion, threshold, use_lut, dynamic)
+        req = _FbRequest(list(items))
+        with self._cond:
+            self._queue.append((key, req))
+            while not req.done:
+                if self._busy:
+                    self._cond.wait()
+                    continue
+                self._busy = True
+                self._cond.release()
+                try:
+                    self._dispatch(tables, key, expansion, threshold,
+                                   use_lut, dynamic)
+                finally:
+                    self._cond.acquire()
+                    self._busy = False
+                    self._cond.notify_all()
+        if req.error is not None:
+            raise req.error
+        return req.results
+
+    def _drain(self, key):
+        """Pop every queued compatible request; returns their item refs."""
+        with self._cond:
+            mine = [r for k, r in self._queue if k == key]
+            if mine:
+                self._queue = [(k, r) for k, r in self._queue if k != key]
+        refs = []
+        for req in mine:
+            refs.extend(_FbItemRef(it, req.results, i, req)
+                        for i, it in enumerate(req.items))
+        return refs
+
+    def _complete(self, ref):
+        req = ref.req
+        if req is None:
+            return
+        with self._cond:
+            req.remaining -= 1
+            if req.remaining == 0 and not req.done:
+                req.done = True
+                self._cond.notify_all()
+
+    def _dispatch(self, tables, key, expansion, threshold, use_lut, dynamic):
+        run = _PallasRun(tables, expansion, threshold, use_lut, dynamic,
+                         complete_cb=self._complete)
+        seen: list = []
+
+        def refill():
+            refs = self._drain(key)
+            seen.extend(refs)
+            return refs
+
+        try:
+            run.drain(refill=refill)
+        except BaseException as e:  # surface on every waiter, avoid hangs
+            with self._cond:
+                for ref in seen:
+                    if ref.req is not None and not ref.req.done:
+                        ref.req.error = e
+                        ref.req.done = True
+                self._cond.notify_all()
+            raise
+
+
+_FB_FUNNEL = _FbFunnel()
+
+
+def _fb_funnel_enabled() -> bool:
+    return os.environ.get("MARGIN_TPU_FB_FUNNEL", "1") != "0"
 
 
 def split_sub_items(item, split_bigger_than: int):
@@ -1099,6 +1341,12 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     _ensure_registered()
     from margin_tpu.ops import pallas_banded
     if pallas_banded.use_pallas():
+        if _fb_funnel_enabled():
+            # cross-chunk funnel: concurrent chunk threads' requests merge
+            # into shared full-lane pipelined launches (polish.c:475-478's
+            # omp-parallel chunks all feed the one accelerator)
+            return _FB_FUNNEL.solve(tables, items, expansion, threshold,
+                                    use_lut, dynamic)
         return _posteriors_many_pallas(tables, items, expansion, threshold,
                                        use_lut, dynamic)
     return _posteriors_many_scan(tables, items, expansion, threshold,

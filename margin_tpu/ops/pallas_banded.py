@@ -456,6 +456,11 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     D = x_base.shape[1]
     W = w_pad
     W2 = W + 2
+    xs = xs.astype(jnp.int32)
+    ys = ys.astype(jnp.int32)
+    if use_rle:
+        rep_x = rep_x.astype(jnp.int32)
+        rep_y = rep_y.astype(jnp.int32)
     # everything is built DIRECTLY in the kernel's (D, W, B) orientation:
     # B=128 rides the lane dim end to end, so no layout-changing
     # transposes exist (XLA's (D,W,B) transpose of a W=16 grid padded the
@@ -537,6 +542,39 @@ def _emission_grids(m_tab, gx_tab, gy_tab, rep_tab, xs, ys, x_base, y_base,
     return grids(0), grids(1)
 
 
+@lazy_jit()
+def _derive_geom(xmy, widths, klo):
+    """Per-diagonal kernel metadata derived ON DEVICE from the compact
+    band track. Every meta row is a function of xmy (the smoothed storage
+    base, BandGeometry.xmy_l), so the host ships 3 compact arrays instead
+    of packing + transferring the full (D, 8, B) meta grid — host->device
+    bytes are the pack-launch bottleneck on a tunneled chip.
+
+    xmy: (B, D) int32; widths/klo: (B, D) int16.
+    Returns (meta (D, N_META, B) int32, x_base (B, D), y_base (B, D))."""
+    B, D = xmy.shape
+    d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]
+    xb = (d_idx + xmy) // 2 - 1
+    yb = (d_idx - xmy) // 2 - 1
+    zero = jnp.zeros((B, 1), jnp.int32)
+    prev1 = jnp.concatenate([zero, xmy[:, :-1]], axis=1)
+    prev2 = jnp.concatenate([zero, zero, xmy[:, :-2]], axis=1)
+    next1 = jnp.concatenate([xmy[:, 1:], zero], axis=1)
+    next2 = jnp.concatenate([xmy[:, 2:], zero, zero], axis=1)
+    s1 = jnp.where(d_idx >= 1, (xmy - 1 - prev1) // 2, 0)
+    s2 = jnp.where(d_idx >= 2, (xmy - prev2) // 2, 0)
+    t1 = jnp.where(d_idx < D - 1, (xmy + 1 - next1) // 2, 0)
+    t2 = jnp.where(d_idx < D - 2, (xmy - next2) // 2, 0)
+    rows = [None] * N_META
+    rows[M_S1], rows[M_S2] = s1, s2
+    rows[M_KLO] = klo.astype(jnp.int32)
+    rows[M_WIDTH] = widths.astype(jnp.int32)
+    rows[M_XBASE], rows[M_YBASE] = xb, yb
+    rows[M_T1], rows[M_T2] = t1, t2
+    meta = jnp.stack(rows, axis=1)            # (B, N_META, D)
+    return jnp.transpose(meta, (2, 1, 0)), xb, yb
+
+
 @lazy_jit(static_argnames=("w_pad", "use_rle"))
 def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
                   w_pad: int, use_rle: bool):
@@ -544,11 +582,14 @@ def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
     the (D, W, B) repeat-matrix grids — the irreducible gathers of
     `_emission_grids`, with every select-sum left to the Pallas kernels
     (`_kernel_emissions`). Same windowing/fill semantics as
-    `_emission_grids`, so kernel-built emissions are float-identical."""
+    `_emission_grids`, so kernel-built emissions are float-identical.
+    xs/ys/rep_x/rep_y may arrive int8 (minimal transfer width)."""
     B, Lp = xs.shape
     D = x_base.shape[1]
     W = w_pad
     W2 = W + 2
+    xs = xs.astype(jnp.int32)
+    ys = ys.astype(jnp.int32)
     k = jnp.arange(W2)[None, :, None]
     lx = lxs[None, None, :]
     ly = lys[None, None, :]
@@ -557,8 +598,8 @@ def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
     yb_t = jnp.transpose(y_base, (1, 0))[:, None, :]
 
     if use_rle:
-        px_tab = xs + 8 * rep_x
-        py_tab = ys + 8 * rep_y
+        px_tab = xs + 8 * rep_x.astype(jnp.int32)
+        py_tab = ys + 8 * rep_y.astype(jnp.int32)
     else:
         px_tab, py_tab = xs, ys
 
@@ -618,14 +659,21 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     block_d = _block_d(w_pad, b_pad)
     d_use = int(np.ceil(d_pad / block_d)) * block_d
 
-    xs = np.full((b_pad, d_use), 4, dtype=np.int32)
-    ys = np.full((b_pad, d_use), 4, dtype=np.int32)
+    # compact host-side pack: symbols/repeats in int8, band widths/k_lo in
+    # int16, one int32 xmy track — every per-diagonal kernel meta row is
+    # derived from xmy on device (`_derive_geom`), so host packing is a few
+    # contiguous row writes and the transfer is ~4x smaller than shipping
+    # the (D, N_META, B) grid
+    xs = np.full((b_pad, d_use), 4, dtype=np.int8)
+    ys = np.full((b_pad, d_use), 4, dtype=np.int8)
     lxs = np.zeros(b_pad, dtype=np.int32)
     lys = np.zeros(b_pad, dtype=np.int32)
-    meta = np.zeros((d_use, N_META, b_pad), dtype=np.int32)
+    xmy_b = np.zeros((b_pad, d_use), dtype=np.int32)
+    widths_b = np.zeros((b_pad, d_use), dtype=np.int16)
+    klo_b = np.zeros((b_pad, d_use), dtype=np.int16)
     strands = np.zeros(b_pad, dtype=np.int32)
-    rx = np.zeros((b_pad, d_use), dtype=np.int32) if use_rle else None
-    ry = np.zeros((b_pad, d_use), dtype=np.int32) if use_rle else None
+    rx = np.zeros((b_pad, d_use), dtype=np.int8) if use_rle else None
+    ry = np.zeros((b_pad, d_use), dtype=np.int8) if use_rle else None
     k_final = np.zeros(b_pad, dtype=np.int32)
     geoms = []
     pad_idx = list(range(B_real)) + [B_real - 1] * (b_pad - B_real)
@@ -643,17 +691,11 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         ys[col, :ly] = it["y_sym"]
         lxs[col], lys[col] = lx, ly
         strands[col] = int(it["strand"])
-        xmy = geom.xmy_l.astype(np.int64)
-        meta[1:, M_S1, col] = (xmy[1:] - 1 - xmy[:-1]) // 2
-        meta[2:, M_S2, col] = (xmy[2:] - xmy[:-2]) // 2
+        xmy_b[col] = geom.xmy_l
+        widths_b[col] = geom.widths
         if geom.k_lo is not None:
-            meta[:, M_KLO, col] = geom.k_lo
-        meta[:, M_WIDTH, col] = geom.widths
-        meta[:, M_XBASE, col] = geom.x_base
-        meta[:, M_YBASE, col] = geom.y_base
-        meta[:-1, M_T1, col] = (xmy[:-1] + 1 - xmy[1:]) // 2
-        meta[:-2, M_T2, col] = (xmy[:-2] - xmy[2:]) // 2
-        k_final[col] = (lx - ly - int(xmy[lx + ly])) // 2
+            klo_b[col] = geom.k_lo
+        k_final[col] = (lx - ly - int(geom.xmy_l[lx + ly])) // 2
         if use_rle:
             rx[col, :lx] = np.minimum(it["rep_x"], 50)
             ry[col, :ly] = np.minimum(it["rep_y"], 50)
@@ -686,10 +728,10 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
     emit_window = _emit_in_kernel()
     t0 = _time.perf_counter()
+    meta_dev, xb_dev, yb_dev = _derive_geom(
+        jnp.asarray(xmy_b), jnp.asarray(widths_b), jnp.asarray(klo_b))
     prep_args = (
-        jnp.asarray(xs), jnp.asarray(ys),
-        jnp.asarray(np.ascontiguousarray(meta[:, M_XBASE, :].T)),
-        jnp.asarray(np.ascontiguousarray(meta[:, M_YBASE, :].T)),
+        jnp.asarray(xs), jnp.asarray(ys), xb_dev, yb_dev,
         jnp.asarray(lxs), jnp.asarray(lys),
         None if rx is None else jnp.asarray(rx),
         None if ry is None else jnp.asarray(ry))
@@ -708,7 +750,7 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         t1 = _time.perf_counter()
 
     post, totals = _fb_pallas(
-        e_fwd, e_bwd, jnp.asarray(meta),
+        e_fwd, e_bwd, meta_dev,
         jnp.asarray(lxy), jnp.asarray(tr_np.T, dtype=dtype),
         jnp.asarray(init_cell, dtype=dtype), jnp.asarray(end_w, dtype=dtype),
         d_pad=d_use, w_pad=w_pad, use_lut=use_lut, block_d=block_d,
@@ -720,8 +762,11 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
               f"{_time.perf_counter()-t1:.2f}s (D={d_use} blk={block_d} "
               f"B={b_pad} emit={'window' if emit_window else 'grids'})",
               flush=True)
-    # (D, 3, W, B) -> (B, D, 3, W) for the shared extraction path
     # post stays in the kernel's native (D, 3, W, B) layout — transposing
     # to problem-major pads the (3, W) tail dims up to 8x in HBM; the
-    # extraction kernels consume this layout directly with a lane mask
-    return post, np.asarray(totals[:B_real], dtype=np.float64), geoms
+    # extraction kernels consume this layout directly with a lane mask.
+    # totals stays a DEVICE array: reading it back here would synchronize
+    # on the FB and defeat the caller's launch/finish pipelining. xb/yb
+    # (the device band bases) ride along so extraction reuses them without
+    # a second transfer.
+    return post, totals[:B_real], geoms, xb_dev, yb_dev

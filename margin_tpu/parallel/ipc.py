@@ -202,11 +202,15 @@ def maybe_install_client() -> bool:
 
 def run_process_workers(worker_argv: List[str], n_workers: int,
                         output_base: str, resume: bool,
-                        log=print) -> None:
+                        log=print, profile: bool = False) -> None:
     """Run `n_workers` CLI subprocesses, each processing shard i/N of the
     chunks into <output_base>.checkpoint/ on the CPU backend with scoring
     routed to this (device-owning) process. Returns when all shards are
-    done; the caller then runs the ordinary shard-merge pass."""
+    done; the caller then runs the ordinary shard-merge pass. With
+    profile=True each worker records its per-chunk stage timings to
+    <output_base>.profile.worker<i>.json for the parent to fold back in
+    (SURVEY §5: structured per-shard timing must survive the process
+    boundary)."""
     if not resume:
         # a stale/partial checkpoint dir would otherwise race the workers'
         # own meta validation at startup
@@ -236,8 +240,14 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
     try:
         for i in range(n_workers):
             argv = list(worker_argv) + ["--shard", f"{i}/{n_workers}"]
+            wenv = env
+            if profile:
+                argv += ["--profile"]
+                wenv = dict(env)
+                wenv["MARGIN_TPU_PROFILE_OUT"] = (
+                    f"{output_base}.profile.worker{i}.json")
             procs.append(subprocess.Popen(
-                [sys.executable, "-m", "margin_tpu"] + argv, env=env,
+                [sys.executable, "-m", "margin_tpu"] + argv, env=wenv,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
         failures = []
         for i, p in enumerate(procs):

@@ -89,6 +89,31 @@ class Profiler:
         with open(path, "w") as fh:
             json.dump(self.summary(), fh, indent=1)
 
+    def merge_file(self, path: str):
+        """Fold a worker process's written profile into this one: chunk
+        stages and counters add directly; the worker's own pipeline stages
+        (its per-process setup) land under a `workers_` prefix. This closes
+        the `--workers process` observability hole — without it, per-chunk
+        stage timing vanished across the process boundary and
+        chunk_stage_totals_s came back empty."""
+        if not self.enabled:
+            return
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            return
+        with self._lock:
+            for k, rec in doc.get("chunks", {}).items():
+                dst = self.chunks.setdefault(int(k), {})
+                for s, v in rec.items():
+                    dst[s] = dst.get(s, 0.0) + v
+            for k, v in doc.get("counters", {}).items():
+                self.counters[k] = self.counters.get(k, 0.0) + v
+            for k, v in doc.get("stages_s", {}).items():
+                key = f"workers_{k}"
+                self.stages[key] = self.stages.get(key, 0.0) + v
+
     def log_summary(self, log=print):
         if not self.enabled:
             return

@@ -21,15 +21,24 @@
 //    verbatim (libm log1p/exp), matching the oracle bit-for-bit on glibc.
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <memory>
+#include <mutex>
+#include <stdexcept>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
+
+#if defined(__AVX512VPOPCNTDQ__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -42,6 +51,52 @@ const double NEG_INF = -INFINITY;
 inline u64 accept_mask(int depth) {
     return depth < 64 ? ((u64(1) << depth) - 1) : ~u64(0);
 }
+
+// Weighted popcount of 8 bit-planes against one mask:
+//   sum_k popcount(planes[k] & m) << k
+// — the emissions inner step (emissions.c:125-138). With AVX-512
+// VPOPCNTDQ the whole 8-plane sweep is one vector popcount.
+inline i64 wpopcnt8(const u64* planes, u64 m) {
+#if defined(__AVX512VPOPCNTDQ__)
+    __m512i p = _mm512_loadu_si512((const void*)planes);
+    __m512i mm = _mm512_set1_epi64((long long)m);
+    __m512i c = _mm512_popcnt_epi64(_mm512_and_si512(p, mm));
+    const __m512i sh = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+    return (i64)_mm512_reduce_add_epi64(_mm512_sllv_epi64(c, sh));
+#else
+    i64 v = 0;
+    for (int k = 0; k < 8; k++)
+        v += (i64)__builtin_popcountll(planes[k] & m) << k;
+    return v;
+#endif
+}
+
+// Extra worker threads the RP engines of this process may hold at once
+// (the reference parallelizes its merge recursion with omp sections,
+// coordination.c:380-396). A process-global budget: concurrent chunk
+// threads naturally exhaust it and run sequentially, while a single-chunk
+// run fans its merge tree over the idle cores. MARGIN_TPU_RP_THREADS
+// overrides the total thread count (1 = fully sequential).
+std::atomic<int> g_thread_budget{0};
+std::once_flag g_budget_once;
+
+void init_thread_budget() {
+    std::call_once(g_budget_once, [] {
+        const char* e = getenv("MARGIN_TPU_RP_THREADS");
+        int n = e ? atoi(e) : (int)std::thread::hardware_concurrency();
+        g_thread_budget.store(n > 1 ? n - 1 : 0);
+    });
+}
+
+bool try_acquire_thread() {
+    int v = g_thread_budget.load(std::memory_order_relaxed);
+    while (v > 0) {
+        if (g_thread_budget.compare_exchange_weak(v, v - 1)) return true;
+    }
+    return false;
+}
+
+void release_thread() { g_thread_budget.fetch_add(1); }
 
 struct Params {
     i64 max_partitions;
@@ -174,9 +229,12 @@ struct Engine {
     PSeqs ps;
     Params prm;
     i64 uid_counter = 0;
-    std::deque<Hmm> arena;
+    std::deque<Hmm> arena;     // deque: pointer-stable under emplace_back
+    std::mutex arena_mu;       // merge-tree tasks allocate concurrently
+    std::atomic<bool> failed{false};
 
     Hmm* new_hmm() {
+        std::lock_guard<std::mutex> lk(arena_mu);
         arena.emplace_back();
         arena.back().uid = uid_counter++;
         return &arena.back();
@@ -320,12 +378,18 @@ struct Engine {
         }
     }
 
-    U64Map dedup_set;  // reused scratch
+    // reused scratch; thread_local so concurrent merge-tree tasks (and
+    // concurrent chunk-level engine calls) never share it
+    static U64Map& dedup_scratch() {
+        static thread_local U64Map s;
+        return s;
+    }
 
     // order-preserving dedup of an interleaved {p, ~p} stream
     // (reproduces rphmm.py's np.unique(return_index) + sort(first))
     void dedup_keep_first(const std::vector<u64>& vals,
                           std::vector<i64>& keep) {
+        U64Map& dedup_set = dedup_scratch();
         dedup_set.reset(vals.size());
         keep.clear();
         for (size_t i = 0; i < vals.size(); i++)
@@ -408,10 +472,9 @@ struct Engine {
                         m.from_parts.push_back(inter_f[k]);
                         m.to_parts.push_back(inter_t[k]);
                     }
-                } else if (prm.include_inverted) {
-                    m.from_parts = fps;
-                    m.to_parts = tps;
                 } else {
+                    // mask_from == 0 (no shared reads): nothing to invert,
+                    // the cross-product pairs pass through unchanged
                     m.from_parts = fps;
                     m.to_parts = tps;
                 }
@@ -432,76 +495,79 @@ struct Engine {
         i64 a0 = ref.allele_offset[col.ref_start];
         i64 a1 = ref.allele_offset[col.ref_start + col.length];
         i64 width = a1 - a0;
-        // s1[c][a] = sum over member reads of prob; s2 = complement.
         // Bit-plane popcounts (the reference's own trick, emissions.c:77-138):
-        // pack bit k of every read's uint8 prob into a u64 whose lanes are
-        // reads, then a partition's sum is sum_k popcount(plane_k & mask)<<k
-        // — 8 popcounts per (cell, allele) instead of depth adds.
-        std::vector<i64> s1(n_cells * width), s2(n_cells * width);
-        u64 planes[8];
-        u64 accept = accept_mask(d);
+        // pack bit k of every member read's uint8 prob into a u64 whose
+        // lanes are reads; a partition's prob-sum for an allele is then
+        // wpopcnt8(planes, mask). Planes for the whole column span are
+        // packed once; the complement sum needs NO second popcount sweep:
+        // planes only carry member-read bits and every partition is a
+        // subset of the accept mask, so sum(~m) = sum(all) - sum(m) exactly.
+        static thread_local std::vector<u64> planes;
+        static thread_local std::vector<i64> tot;
+        planes.assign((size_t)width * 8, 0);
+        tot.resize(width);
         for (i64 a = 0; a < width; a++) {
-            for (int k = 0; k < 8; k++) planes[k] = 0;
+            u64* pl = &planes[(size_t)a * 8];
             for (int i = 0; i < d; i++) {
                 i32 sidx = col.seqs[i];
                 uint8_t v = ps.probs[ps.probs_offset[sidx]
                                      + (a0 - ps.allele_offset[sidx]) + a];
                 for (int k = 0; k < 8; k++)
-                    planes[k] |= (u64)((v >> k) & 1) << i;
+                    pl[k] |= (u64)((v >> k) & 1) << i;
             }
-            for (size_t c = 0; c < n_cells; c++) {
-                u64 m = col.parts[c];
-                u64 inv = ~m & accept;
-                i64 v1 = 0, v2 = 0;
-                for (int k = 0; k < 8; k++) {
-                    v1 += (i64)__builtin_popcountll(planes[k] & m) << k;
-                    v2 += (i64)__builtin_popcountll(planes[k] & inv) << k;
-                }
-                s1[c * width + a] = v1;
-                s2[c * width + a] = v2;
-            }
+            tot[a] = wpopcnt8(pl, ~u64(0));
         }
-        std::vector<i64> total(n_cells, 0);
-        std::vector<i64> anc1, anc2;
-        for (i64 s = col.ref_start; s < col.ref_start + col.length; s++) {
-            i64 off = ref.allele_offset[s] - a0;
-            i64 A = ref.allele_number[s];
-            if (!include_ancestor) {
-                for (size_t c = 0; c < n_cells; c++) {
-                    const i64* h1 = &s1[c * width + off];
-                    const i64* h2 = &s2[c * width + off];
-                    i64 m1 = h1[0], m2 = h2[0];
-                    for (i64 a = 1; a < A; a++) {
-                        if (h1[a] < m1) m1 = h1[a];
-                        if (h2[a] < m2) m2 = h2[a];
+        static thread_local std::vector<i64> h1v, h2v;
+        for (size_t c = 0; c < n_cells; c++) {
+            u64 m = col.parts[c];
+            i64 total_c = 0;
+            for (i64 s = col.ref_start; s < col.ref_start + col.length;
+                 s++) {
+                i64 off = ref.allele_offset[s] - a0;
+                i64 A = ref.allele_number[s];
+                if (!include_ancestor) {
+                    i64 m1 = INT64_MAX, m2 = INT64_MAX;
+                    for (i64 a = 0; a < A; a++) {
+                        i64 v1 = wpopcnt8(&planes[(size_t)(off + a) * 8], m);
+                        i64 v2 = tot[off + a] - v1;
+                        if (v1 < m1) m1 = v1;
+                        if (v2 < m2) m2 = v2;
                     }
-                    total[c] += m1 + m2;
-                }
-            } else {
-                const uint16_t* sub = ref.subs + ref.sub_offset[s];  // (A,A)
-                const uint16_t* prior = ref.priors + ref.allele_offset[s];
-                for (size_t c = 0; c < n_cells; c++) {
-                    const i64* h1 = &s1[c * width + off];
-                    const i64* h2 = &s2[c * width + off];
-                    // min over ancestor a' of anc1[a'] + anc2[a'] + prior[a']
+                    total_c += m1 + m2;
+                } else {
+                    if ((i64)h1v.size() < A) {
+                        h1v.resize(A);
+                        h2v.resize(A);
+                    }
+                    i64* h1buf = h1v.data();
+                    i64* h2buf = h2v.data();
+                    for (i64 a = 0; a < A; a++) {
+                        i64 v1 = wpopcnt8(&planes[(size_t)(off + a) * 8], m);
+                        h1buf[a] = v1;
+                        h2buf[a] = tot[off + a] - v1;
+                    }
+                    const uint16_t* sub = ref.subs + ref.sub_offset[s];
+                    const uint16_t* prior = ref.priors + ref.allele_offset[s];
+                    // min over ancestor a' of min_a(h1+sub) + min_a(h2+sub)
+                    // + prior[a'] (emissions.c:187-219)
                     i64 best = INT64_MAX;
                     for (i64 ap = 0; ap < A; ap++) {
                         i64 b1 = INT64_MAX, b2 = INT64_MAX;
                         const uint16_t* srow = sub + ap * A;
                         for (i64 a = 0; a < A; a++) {
-                            i64 v1 = h1[a] + srow[a];
-                            i64 v2 = h2[a] + srow[a];
+                            i64 v1 = h1buf[a] + srow[a];
+                            i64 v2 = h2buf[a] + srow[a];
                             if (v1 < b1) b1 = v1;
                             if (v2 < b2) b2 = v2;
                         }
                         i64 v = b1 + b2 + prior[ap];
                         if (v < best) best = v;
                     }
-                    total[c] += best;
+                    total_c += best;
                 }
             }
+            out[c] = -(double)total_c;
         }
-        for (size_t c = 0; c < n_cells; c++) out[c] = -(double)total[c];
     }
 
     // -- forward-backward (hmm.c:931-942) ------------------------------------
@@ -704,6 +770,7 @@ struct Engine {
                 links[k] = forwards ? m->next_idx(col.parts[k])
                                     : m->prev_idx(col.parts[k]);
             // dedup preserving first-occurrence order
+            U64Map& dedup_set = dedup_scratch();
             dedup_set.reset(links.size());
             std::vector<i64> chosen;
             for (i64 l : links)
@@ -860,43 +927,88 @@ struct Engine {
         return components;
     }
 
+    Hmm* merge_component(std::vector<Hmm*>& comp, bool include_ancestor) {
+        auto sub_paths = get_tiling_paths(comp);
+        if (sub_paths.size() != 2) return sub_paths[0][0];
+        Hmm* h1 = fuse_tiling_path(sub_paths[0]);
+        Hmm* h2 = fuse_tiling_path(sub_paths[1]);
+        align_columns(h1, h2);
+        Hmm* hmm = cross_product(h1, h2);
+        forward_backward(hmm, include_ancestor);
+        prune(hmm);
+        return hmm;
+    }
+
     std::vector<Hmm*> merge_two_tiling_paths(const std::vector<Hmm*>& tp1,
                                              const std::vector<Hmm*>& tp2,
                                              bool include_ancestor) {
-        // coordination.c:263-339
+        // coordination.c:263-339; components are independent, so they fan
+        // out over the process-global thread budget (the reference's
+        // parallelism lives one level up, in its omp-sections recursion)
         auto components = overlapping_components(tp1, tp2);
-        std::vector<Hmm*> out;
-        for (auto& comp : components) {
-            auto sub_paths = get_tiling_paths(comp);
-            Hmm* hmm;
-            if (sub_paths.size() == 2) {
-                Hmm* h1 = fuse_tiling_path(sub_paths[0]);
-                Hmm* h2 = fuse_tiling_path(sub_paths[1]);
-                align_columns(h1, h2);
-                hmm = cross_product(h1, h2);
-                forward_backward(hmm, include_ancestor);
-                prune(hmm);
-            } else {
-                hmm = sub_paths[0][0];
+        std::vector<Hmm*> out(components.size(), nullptr);
+        std::vector<std::thread> workers;
+        std::atomic<size_t> next{0};
+        auto work = [&]() {
+            size_t i;
+            while ((i = next.fetch_add(1)) < components.size()) {
+                try {
+                    out[i] = merge_component(components[i], include_ancestor);
+                } catch (...) {
+                    failed.store(true);
+                }
             }
-            out.push_back(hmm);
+        };
+        size_t spawnable = components.size() > 1 ? components.size() - 1 : 0;
+        for (size_t t = 0; t < spawnable && try_acquire_thread(); t++)
+            workers.emplace_back(work);
+        work();
+        for (auto& w : workers) {
+            w.join();
+            release_thread();
         }
+        if (failed.load()) throw std::runtime_error("merge task failed");
         sort_by_key(out);
         return out;
     }
 
     std::vector<Hmm*> merge_tiling_paths(
         std::vector<std::vector<Hmm*>> paths, bool include_ancestor) {
-        // coordination.c:341-409 (recursive binary merge)
+        // coordination.c:341-409 (recursive binary merge; the two halves
+        // are independent — run the left on a budget thread when one is
+        // free, mirroring the reference's omp sections :380-396)
         if (paths.empty()) return {};
         if (paths.size() == 1) return paths[0];
         std::vector<Hmm*> tp1, tp2;
         if (paths.size() > 2) {
             size_t half = paths.size() / 2;
-            tp1 = merge_tiling_paths(
-                {paths.begin(), paths.begin() + half}, include_ancestor);
-            tp2 = merge_tiling_paths(
-                {paths.begin() + half, paths.end()}, include_ancestor);
+            std::vector<std::vector<Hmm*>> left(paths.begin(),
+                                                paths.begin() + half);
+            std::vector<std::vector<Hmm*>> right(paths.begin() + half,
+                                                 paths.end());
+            if (try_acquire_thread()) {
+                std::thread th([&]() {
+                    try {
+                        tp1 = merge_tiling_paths(std::move(left),
+                                                 include_ancestor);
+                    } catch (...) {
+                        failed.store(true);
+                    }
+                });
+                try {
+                    tp2 = merge_tiling_paths(std::move(right),
+                                             include_ancestor);
+                } catch (...) {
+                    failed.store(true);
+                }
+                th.join();
+                release_thread();
+                if (failed.load())
+                    throw std::runtime_error("merge task failed");
+            } else {
+                tp1 = merge_tiling_paths(std::move(left), include_ancestor);
+                tp2 = merge_tiling_paths(std::move(right), include_ancestor);
+            }
         } else {
             tp1 = paths[0];
             tp2 = paths[1];
@@ -949,8 +1061,25 @@ int64_t mrp_phase(
         eng.prm = Params{max_partitions, min_partitions, min_posterior,
                          include_inverted != 0, max_not_sum != 0};
 
-        std::vector<Hmm*> tp_f = eng.get_rp_hmms(0, n_fwd);
-        std::vector<Hmm*> tp_r = eng.get_rp_hmms(n_fwd, n_total);
+        init_thread_budget();
+        std::vector<Hmm*> tp_f, tp_r;
+        // the two strands' merge trees are independent (bubbleGraph.c:2745)
+        if (n_fwd > 0 && n_total > n_fwd && try_acquire_thread()) {
+            std::thread th([&]() {
+                try {
+                    tp_f = eng.get_rp_hmms(0, n_fwd);
+                } catch (...) {
+                    eng.failed.store(true);
+                }
+            });
+            tp_r = eng.get_rp_hmms(n_fwd, n_total);
+            th.join();
+            release_thread();
+            if (eng.failed.load()) return -1;
+        } else {
+            tp_f = eng.get_rp_hmms(0, n_fwd);
+            tp_r = eng.get_rp_hmms(n_fwd, n_total);
+        }
         std::vector<Hmm*> merged =
             eng.merge_two_tiling_paths(tp_f, tp_r, false);
         if (merged.empty()) return -1;

@@ -99,6 +99,32 @@ def test_native_rp_deep_case(phase_params):
     _assert_hmm_equal(h_py, h_c)
 
 
+def test_native_rp_depth64_stress(phase_params):
+    """Randomized stress at the reference's hard depth ceiling of 64 reads
+    per column (margin.h:142, hmm.c:534-750): full-width uint64 partition
+    masks, maximal merge fan-in, and the threaded merge recursion all
+    engage; outputs must stay bitwise equal to the oracle."""
+    if native_rp.lib() is None:
+        pytest.skip("native rp engine unavailable")
+    rng = np.random.default_rng(64)
+    for trial in range(3):
+        ref, seqs = _make_case(rng, 5, 64, max_alleles=2)
+        # force every read to span all sites -> one 64-deep column run
+        offsets = ref.allele_offsets()
+        deep = []
+        for i, s in enumerate(seqs):
+            a0, a1 = int(offsets[0]), int(offsets[-1])
+            probs = rng.integers(0, 60, a1 - a0).astype(np.uint8)
+            deep.append(ProfileSeq(object(), f"deep{i:03d}", 0,
+                                   len(ref.sites), a0, probs))
+        fwd, rev = deep[:32], deep[32:]
+        h_py = _run_oracle(fwd, rev, ref, phase_params)
+        h_c = native_rp.phase_fused_hmm(fwd, rev, ref, phase_params)
+        assert h_c is not None
+        assert max(c.depth for c in h_c.columns) == 64
+        _assert_hmm_equal(h_py, h_c)
+
+
 def test_native_rp_single_strand(phase_params):
     if native_rp.lib() is None:
         pytest.skip("native rp engine unavailable")

@@ -98,6 +98,44 @@ def test_pallas_empty_and_mixed(tables):
     assert res_p[1][1] == 0.0 and len(res_p[1][0][0]) == 0
 
 
+def test_fb_funnel_concurrent_matches_direct(tables):
+    """Concurrent banded_posteriors_many calls ride the cross-chunk funnel
+    (_FbFunnel): per-request results must be bit-identical to direct
+    unfunneled solves, regardless of how requests merge into packs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(23)
+    reqs = []
+    for r in range(6):
+        n = int(rng.integers(2, 7))
+        reqs.append([_mk_item(rng, int(rng.integers(20, 60)),
+                              int(rng.integers(20, 60)),
+                              int(rng.integers(0, 6)),
+                              int(rng.integers(0, 2)))
+                     for _ in range(n)])
+
+    os.environ["MARGIN_TPU_PALLAS"] = "interpret"
+    try:
+        assert banded._fb_funnel_enabled()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            funneled = list(ex.map(
+                lambda items: banded.banded_posteriors_many(
+                    tables, items, expansion=6, use_lut=True), reqs))
+        os.environ["MARGIN_TPU_FB_FUNNEL"] = "0"
+        direct = [banded.banded_posteriors_many(tables, items, expansion=6,
+                                                use_lut=True)
+                  for items in reqs]
+    finally:
+        os.environ.pop("MARGIN_TPU_PALLAS", None)
+        os.environ.pop("MARGIN_TPU_FB_FUNNEL", None)
+    for got, want in zip(funneled, direct):
+        for ((pm, pgx, pgy), pt), ((sm, sgx, sgy), st) in zip(got, want):
+            assert pt == st
+            assert np.array_equal(pm, sm)
+            assert np.array_equal(pgx, sgx)
+            assert np.array_equal(pgy, sgy)
+
+
 def test_pallas_oracle_total(tables):
     """Pallas totals agree with the float64 LUT oracle on a small pair."""
     from margin_tpu.testing import oracle

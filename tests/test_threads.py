@@ -111,9 +111,17 @@ def test_phase_process_workers_match_threads(tmp_path):
                  "--logLevel", "CRITICAL"]
     main(base_args + ["-o", str(tmp_path / "thr"), "-t", "2"])
     main(base_args + ["-o", str(tmp_path / "proc"), "-t", "2",
-                      "--workers", "process"])
+                      "--workers", "process", "--profile"])
     assert (tmp_path / "thr.phased.vcf").read_bytes() == \
         (tmp_path / "proc.phased.vcf").read_bytes()
     assert (tmp_path / "thr.haplotagged.bam").read_bytes() == \
         (tmp_path / "proc.haplotagged.bam").read_bytes()
     assert not (tmp_path / "proc.checkpoint").exists()
+    # the worker-side per-chunk stage timings must survive the process
+    # boundary into the parent's profile (the round-3 observability hole:
+    # chunk_stage_totals_s came back empty under --workers process)
+    prof = json.loads((tmp_path / "proc.profile.json").read_text())
+    assert prof["chunk_stage_totals_s"], prof
+    assert "rphmm" in prof["chunk_stage_totals_s"]
+    assert prof["n_chunks"] >= 2
+    assert not list(tmp_path.glob("proc.profile.worker*.json"))
