@@ -55,15 +55,15 @@ def _add_common(p):
                         "overlaps device batches); 'process' runs N CPU "
                         "worker processes with device scoring routed to "
                         "this process over a socket — full host-core "
-                        "scaling, byte-identical outputs (phase only)")
+                        "scaling, byte-identical outputs")
     p.add_argument("--rngMode", default="st", choices=["st", "python"],
                    help="random stream: 'st' replays the reference "
                         "binary's glibc rand() stream exactly (golden "
                         "parity); 'python' uses random.Random(seed)")
     p.add_argument("--hosts", type=int, default=None, metavar="N",
                    help="multi-host scale-out: total number of host "
-                        "processes in the jax.distributed group (phase "
-                        "only; pair with --host-id and --coordinator)")
+                        "processes in the jax.distributed group (pair "
+                        "with --host-id and --coordinator)")
     p.add_argument("--host-id", type=int, default=None, metavar="I",
                    help="this process's id in the --hosts group (0-based; "
                         "host 0 writes outputs)")
@@ -328,6 +328,11 @@ def main(argv=None):
                                 profile=args.profile)
             shard = ("merge",)
             threads = 1
+        hosts = None
+        if args.hosts is not None:
+            if args.host_id is None:
+                top.error("--hosts requires --host-id")
+            hosts = (args.coordinator, args.hosts, args.host_id)
         from margin_tpu.polish.driver import run_polish
         feature_type = args.featureType
         if feature_type is None and args.produceFeatures:
@@ -351,7 +356,8 @@ def main(argv=None):
                    skip_realignment=args.skipRealignment,
                    skip_haplotype_bam=args.skipHaplotypeBAM,
                    checkpoint=args.checkpoint, shard=shard,
-                   profiler=profiler, threads=threads, log=log)
+                   profiler=profiler, threads=threads, hosts=hosts,
+                   log=log)
         write_profile()
         profiler.log_summary(log)
     return 0

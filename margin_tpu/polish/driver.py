@@ -129,13 +129,17 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                skip_haplotype_bam: bool = False,
                profiler=None,
                threads: int = 1,
+               hosts: Optional[tuple] = None,
                log=print) -> PolishOutputs:
     """polish_main (polish.c:87-1014). In diploid mode a true_reference_bam
     enables truth-sequence partitioning (polish.c:423-431). shard=(i, n)
     polishes every nth chunk (offset i) into the shared checkpoint dir;
     shard=("merge",) combines (see run_phase). threads>1 runs chunks on a
     host thread pool (polish.c:475-478) with per-chunk RNG streams — the
-    same streams as shard mode, so threaded == sharded byte-for-byte."""
+    same streams as shard mode, so threaded == sharded byte-for-byte.
+    hosts=(coordinator, N, host_id) scales chunks across a jax.distributed
+    process group like run_phase: one all-gather of chunk consensus
+    records, host 0 stitches and writes (SURVEY §7.8)."""
     bamio.set_cram_reference(reference_fasta)
     if diploid:
         return run_polish_diploid(bam_file, reference_fasta, params,
@@ -156,10 +160,20 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
                                   skip_realignment=skip_realignment,
                                   skip_haplotype_bam=skip_haplotype_bam,
                                   threads=threads,
+                                  hosts=hosts,
                                   log=log)
     from margin_tpu.utils import profiling
     profiler = profiler or profiling.NULL
     rng = random.Random(seed)
+    mh = None
+    if hosts is not None:
+        if feature_type is not None:
+            raise ValueError("HELEN feature output is per-host; run --hosts "
+                             "without -f or shard features separately")
+        from margin_tpu.parallel import multihost as mh
+        coordinator, n_hosts, host_id = hosts
+        mh.init(coordinator, int(n_hosts), int(host_id))
+        log(f"> Multi-host: host {host_id}/{n_hosts} via {coordinator}")
     shard_idx = shard_n = None
     if shard is not None:
         checkpoint = True
@@ -215,13 +229,17 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": False,
               "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None or threads > 1},
+              "per_chunk_rng": (shard is not None or threads > 1
+                                or hosts is not None)},
         log=log)
 
     threads = max(int(threads), 1)
-    per_chunk_rng = shard is not None or threads > 1
+    per_chunk_rng = shard is not None or threads > 1 or hosts is not None
     my_chunks = [c for c in chunkr.chunks
                  if shard_idx is None or c.chunk_idx % shard_n == shard_idx]
+    if mh is not None:
+        my_chunks = [c for c in my_chunks
+                     if c.chunk_idx % mh.num_hosts() == mh.host_id()]
     import threading as _threading
     io_lock = _threading.Lock()  # serializes HELEN h5 + sequential-rng ckpt
 
@@ -320,20 +338,39 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
         helen_h5.close()
         log(f"> Wrote HELEN features to {helen_h5.filename}")
 
+    if mh is not None:
+        # the one collective: all-gather each host's (contig, chunk_idx,
+        # consensus) records — exactly the OutputChunkers stitch inputs
+        # (stitching.c:1573-1588), nothing more
+        import pickle as _pickle
+        payload = _pickle.dumps(chunk_seqs,
+                                protocol=_pickle.HIGHEST_PROTOCOL)
+        gathered = mh.allgather_bytes(payload)
+        log(f"> Gathered chunk records from {mh.num_hosts()} hosts "
+            f"(sent {len(payload)} B, received "
+            f"{sum(len(b) for b in gathered)} B)")
+        chunk_seqs = [rec for b in gathered for rec in _pickle.loads(b)]
+        if mh.host_id() != 0:
+            mh.barrier("polish-outputs")
+            return PolishOutputs()
+
+    out = PolishOutputs()
     if skip_output_fasta:
         # polish.c --skipOutputFasta: features/supplementary files only
         if ckpt.enabled:
             log(f"> {ckpt.report()}")
         ckpt.finalize()
         log(f"> Finished (skipped FASTA output) in {time.time() - t0:.1f}s")
-        return PolishOutputs()
-    sequences = stitcher.stitch_sequences(chunk_seqs, params)
-    out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
-    write_fasta(out.fasta, sequences)
-    if ckpt.enabled:
-        log(f"> {ckpt.report()}")
-    ckpt.finalize()
-    log(f"> Wrote polished FASTA {out.fasta} in {time.time() - t0:.1f}s")
+    else:
+        sequences = stitcher.stitch_sequences(chunk_seqs, params)
+        out = PolishOutputs(fasta=f"{output_base}.fa", sequences=sequences)
+        write_fasta(out.fasta, sequences)
+        if ckpt.enabled:
+            log(f"> {ckpt.report()}")
+        ckpt.finalize()
+        log(f"> Wrote polished FASTA {out.fasta} in {time.time() - t0:.1f}s")
+    if mh is not None:
+        mh.barrier("polish-outputs")
     return out
 
 
@@ -355,19 +392,28 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
                        skip_realignment: bool = False,
                        skip_haplotype_bam: bool = False,
                        threads: int = 1,
+                       hosts: Optional[tuple] = None,
                        log=print) -> PolishOutputs:
     """polish_main --diploid (polish.c:620-863): per-chunk bubble phasing +
     per-hap consensus, phased stitching (seam vote + trim both haps),
     phased FASTAs + haplotagged BAM. With `vcf_file`, candidate variant
     positions come from the VCF; `only_use_vcf_alleles` restricts alleles
     to the VCF's (requires non-RLE params and skip_output_fasta,
-    polish.c:364-371)."""
+    polish.c:364-371). hosts=(coordinator, N, host_id): chunk partitioning
+    across a jax.distributed group with one gather of (result, hap seqs)
+    records; host 0 stitches and writes."""
     bamio.set_cram_reference(reference_fasta)
     from margin_tpu.phase.stitching import ChunkPhaseResult, stitch_next_chunk
     from margin_tpu.polish import diploid as diploidmod
     from margin_tpu.phase.driver import write_haplotagged_bam
 
     rng = random.Random(seed)
+    mh = None
+    if hosts is not None:
+        from margin_tpu.parallel import multihost as mh
+        coordinator, n_hosts, host_id = hosts
+        mh.init(coordinator, int(n_hosts), int(host_id))
+        log(f"> Multi-host: host {host_id}/{n_hosts} via {coordinator}")
     shard_idx = shard_n = None
     if shard is not None:
         checkpoint = True
@@ -423,13 +469,17 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
         meta={"bam": os.path.abspath(bam_file), "region": region,
               "seed": seed, "diploid": True, "vcf": vcf_file,
               "n_chunks": len(chunkr.chunks),
-              "per_chunk_rng": shard is not None or threads > 1},
+              "per_chunk_rng": (shard is not None or threads > 1
+                                or hosts is not None)},
         log=log)
 
     threads = max(int(threads), 1)
-    per_chunk_rng = shard is not None or threads > 1
+    per_chunk_rng = shard is not None or threads > 1 or hosts is not None
     my_chunks = [c for c in chunkr.chunks
                  if shard_idx is None or c.chunk_idx % shard_n == shard_idx]
+    if mh is not None:
+        my_chunks = [c for c in my_chunks
+                     if c.chunk_idx % mh.num_hosts() == mh.host_id()]
     import threading as _threading
     io_lock = _threading.Lock()
 
@@ -610,6 +660,21 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
             f"--shard merge to produce outputs")
         return PolishOutputs()
 
+    if mh is not None:
+        # one gather of the stitch inputs: ChunkPhaseResult (hap read-name
+        # maps + switch flags) + the two hap consensus strings per chunk
+        import pickle as _pickle
+        payload = _pickle.dumps(chunk_results,
+                                protocol=_pickle.HIGHEST_PROTOCOL)
+        gathered = mh.allgather_bytes(payload)
+        log(f"> Gathered chunk records from {mh.num_hosts()} hosts "
+            f"(sent {len(payload)} B, received "
+            f"{sum(len(b) for b in gathered)} B)")
+        chunk_results = [rec for b in gathered for rec in _pickle.loads(b)]
+        if mh.host_id() != 0:
+            mh.barrier("polish-diploid-outputs")
+            return PolishOutputs()
+
     # phased stitch: vote + swap + trim both hap sequences
     # (mergeContigChunkz, stitching.c:1413-1499)
     out = PolishOutputs()
@@ -692,4 +757,6 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
     log(f"> Diploid polish done in {time.time() - t0:.1f}s: "
         f"hap lengths {sum(len(s) for _, s in hap1_records)}/"
         f"{sum(len(s) for _, s in hap2_records)}, {bam_note}")
+    if mh is not None:
+        mh.barrier("polish-diploid-outputs")
     return out

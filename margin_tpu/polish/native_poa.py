@@ -70,8 +70,97 @@ def lib() -> Optional[ctypes.CDLL]:
                               ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     L.mpoa_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     L.mpoa_buf_free.restype = None
+    _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    _F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+    L.mpoa_consensus.restype = ctypes.c_int64
+    L.mpoa_consensus.argtypes = [
+        ctypes.c_int64, _F64P, _F64P, ctypes.c_int64,
+        _I8P, _I64P,
+        _I64P, _I64P, _U8P, _I64P, _F64P,
+        _I64P, _I64P, _F64P,
+        ctypes.c_double, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     _LIB = L
     return _LIB
+
+
+def consensus(poa, params):
+    """Native poa_getConsensus (poa.c:1350-1588): bit-identical to
+    Poa.get_consensus's Python forward+traceback, at C speed. Returns
+    (consensus RleString, poaToConsensusMap) or None when the engine is
+    unavailable. Weights/repeat-counts are snapshotted fresh from the Poa
+    (repeat estimation mutates them between realign and consensus)."""
+    L = lib()
+    if L is None:
+        return None
+    from margin_tpu.alphabet import seq_to_symbols
+    from margin_tpu.rle import RleString
+
+    nodes = poa.nodes
+    n_nodes = len(nodes)
+    # node weight arrays are views into the shared accumulators; nodes[0]
+    # is the 'N' prefix and nodes[1:] mirror ref_string (poa.py _make_node)
+    bw = np.ascontiguousarray(poa._bw[:n_nodes], dtype=np.float64)
+    rw = np.ascontiguousarray(poa._rw[:n_nodes], dtype=np.float64)
+    max_rc = int(poa.max_repeat_count)
+    node_syms = np.empty(n_nodes, dtype=np.int8)
+    node_syms[0] = 4
+    node_syms[1:] = seq_to_symbols(poa.ref_string.bases)
+    node_rcs = np.fromiter((n.repeat_count for n in nodes), dtype=np.int64,
+                           count=n_nodes)
+
+    ins_node_counts = np.fromiter((len(n.inserts) for n in nodes),
+                                  dtype=np.int64, count=n_nodes)
+    ins_w, ins_lens, bases_parts, counts_parts = [], [], [], []
+    for n in nodes:
+        for pi in n.inserts:
+            ins_w.append(pi.weight_fwd + pi.weight_rev)
+            ins_lens.append(pi.insert.length)
+            bases_parts.append(pi.insert.bases)
+            counts_parts.append(pi.insert.counts)
+    ins_off = np.zeros(len(ins_w) + 1, dtype=np.int64)
+    if ins_lens:
+        np.cumsum(ins_lens, out=ins_off[1:])
+    ins_bases = np.frombuffer("".join(bases_parts).encode("ascii"),
+                              dtype=np.uint8)
+    ins_counts = (np.concatenate(counts_parts).astype(np.int64)
+                  if counts_parts else np.zeros(0, dtype=np.int64))
+    ins_w = np.asarray(ins_w, dtype=np.float64)
+
+    del_node_counts = np.fromiter((len(n.deletes) for n in nodes),
+                                  dtype=np.int64, count=n_nodes)
+    del_len, del_w = [], []
+    for n in nodes:
+        for pd in n.deletes:
+            del_len.append(pd.length)
+            del_w.append(pd.weight_fwd + pd.weight_rev)
+    del_len = np.asarray(del_len, dtype=np.int64)
+    del_w = np.asarray(del_w, dtype=np.float64)
+
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    nbytes = L.mpoa_consensus(
+        n_nodes, bw, rw, max_rc, node_syms, node_rcs,
+        ins_node_counts, ins_off, np.ascontiguousarray(ins_bases),
+        ins_counts, ins_w,
+        del_node_counts, del_len, del_w,
+        float(params.referenceBasePenalty),
+        1 if params.useRunLengthEncoding else 0,
+        ctypes.byref(out))
+    if nbytes < 0:
+        return None
+    try:
+        raw = ctypes.string_at(out, nbytes)
+    finally:
+        L.mpoa_buf_free(out)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    cons_len = int(buf[:8].view(np.int64)[0])
+    pad = (cons_len + 7) & ~7
+    bases = buf[8:8 + cons_len].tobytes().decode("ascii")
+    counts = buf[8 + pad:8 + pad + cons_len * 8].view(np.int64).copy()
+    map_off = 8 + pad + cons_len * 8
+    poa_to_consensus = buf[map_off:map_off + (n_nodes - 1) * 8] \
+        .view(np.int64).copy()
+    return RleString(bases, counts), poa_to_consensus
 
 
 class NativePoaBuilder:

@@ -241,7 +241,21 @@ class Poa:
 
     def get_consensus(self, params: PolishParams) -> Tuple[RleString, np.ndarray]:
         """poa_getConsensus: 'cheesy profile HMM' forward + greedy traceback.
-        Returns (consensus RleString, poaToConsensusMap)."""
+        Returns (consensus RleString, poaToConsensusMap). Runs on the native
+        engine when built (marginpoa.cc mpoa_consensus, bit-identical);
+        the Python path below is the oracle."""
+        try:
+            from margin_tpu.polish import native_poa
+            res = native_poa.consensus(self, params)
+            if res is not None:
+                return res
+        except Exception:
+            pass
+        return self._get_consensus_py(params)
+
+    def _get_consensus_py(self, params: PolishParams):
+        """Pure-Python consensus oracle (tests assert the native engine
+        matches it exactly)."""
         n_nodes = len(self.nodes)
         total_out = np.zeros(n_nodes)
         fwd = np.full(n_nodes + 1, LOG_ZERO)

@@ -466,4 +466,258 @@ int64_t mpoa_export(void* h, u8** out) {
 
 void mpoa_buf_free(u8* p) { free(p); }
 
+// ---------------------------------------------------------------------------
+// Consensus: poa_getConsensus (poa.c:1350-1588) by way of
+// margin_tpu/polish/poa.py get_consensus — the same 'cheesy profile HMM'
+// forward + greedy traceback with the reference's piecewise-cubic LUT
+// logAdd (pairwiseAligner.c:279-299), in float64, operation-for-operation
+// so outputs are bit-identical to the Python path.
+// ---------------------------------------------------------------------------
+
+static const double LUT_CUBIC[4][4] = {
+    {-0.009350833524763, 0.130659527668286, 0.498799810682272,
+     0.693203116424741},
+    {-0.014532321752540, 0.139942324101744, 0.495635523139337,
+     0.692140569840976},
+    {-0.004605031767994, 0.063427417320019, 0.695956496475118,
+     0.514272634594009},
+    {-0.000458661602210, 0.009695946122598, 0.930734667215156,
+     0.168037164329057},
+};
+
+static inline double lut_lookup(double x) {
+    const double* c = LUT_CUBIC[x <= 1.0 ? 0 : (x <= 2.5 ? 1
+                                                : (x <= 4.5 ? 2 : 3))];
+    return ((c[0] * x + c[1]) * x + c[2]) * x + c[3];
+}
+
+// np_log_add_lut (margin_tpu/ops/logmath.py:97-108) semantics
+static inline double log_add_lut64(double x, double y) {
+    double hi = x > y ? x : y;
+    double lo = x > y ? y : x;
+    double d = hi - lo;
+    if (std::isinf(lo) || std::isnan(d) || d >= 7.5) return hi;
+    return lut_lookup(d) + lo;
+}
+
+// getMaxWeight (poa.c:1334-1348 via poa.py _get_max_weight): last max wins
+// on ties; the reference index wins when its penalty-discounted weight
+// still beats the best non-reference weight.
+static inline i64 get_max_weight(const double* w, i64 n, i64 ref_idx,
+                                 double penalty) {
+    double max_w = 0.0;
+    i64 max_idx = -1;
+    for (i64 j = 0; j < n; j++)
+        if (j != ref_idx && w[j] >= max_w) {
+            max_w = w[j];
+            max_idx = j;
+        }
+    double ref_w = (ref_idx >= 0 && ref_idx < n) ? w[ref_idx] : 0.0;
+    return ref_w * penalty >= max_w ? ref_idx : max_idx;
+}
+
+// Inputs are columnar snapshots of the Python Poa (weights may have been
+// updated by repeat-count estimation between realign and consensus, so
+// they are passed fresh rather than read from an augment handle):
+//   bw (n_nodes, 5) f64; rw (n_nodes, max_rc) f64
+//   node_syms: n_nodes int8 symbol codes (node 0 == 4/'N')
+//   node_rcs: n_nodes i64 current repeat counts
+//   ins_node_counts: n_nodes i64; per insert (concatenated in node order):
+//     ins_off (n_ins+1 i64 offsets into ins_bases/ins_counts),
+//     ins_bases u8, ins_counts i64, ins_w f64 (weight_fwd+weight_rev)
+//   del_node_counts: n_nodes i64; del_len i64, del_w f64 per delete
+// Output (*out, malloc'd): i64 cons_len, u8 cons_bases (pad8),
+//   i64 cons_counts[cons_len], i64 map[n_nodes-1]. Returns byte size.
+int64_t mpoa_consensus(
+    i64 n_nodes, const double* bw, const double* rw, i64 max_rc,
+    const signed char* node_syms, const i64* node_rcs,
+    const i64* ins_node_counts, const i64* ins_off, const u8* ins_bases,
+    const i64* ins_counts, const double* ins_w,
+    const i64* del_node_counts, const i64* del_len, const double* del_w,
+    double ref_penalty, i32 use_rle, u8** out) {
+    const double NEG_INF = -INFINITY;
+    // per-node first-insert / first-delete offsets
+    std::vector<i64> ins_at(n_nodes + 1, 0), del_at(n_nodes + 1, 0);
+    for (i64 i = 0; i < n_nodes; i++) {
+        ins_at[i + 1] = ins_at[i] + ins_node_counts[i];
+        del_at[i + 1] = del_at[i] + del_node_counts[i];
+    }
+    // incoming deletes per target node (poa.py:251-254: node order, then
+    // per-node delete order)
+    std::vector<std::vector<std::pair<i64, i64>>> incoming(n_nodes + 1);
+    for (i64 i = 0; i < n_nodes; i++)
+        for (i64 k = del_at[i]; k < del_at[i + 1]; k++) {
+            i64 t = i + del_len[k] + 1;
+            if (t <= n_nodes) incoming[t].push_back({i, k});
+        }
+
+    std::vector<double> total_out(n_nodes, 0.0);
+    std::vector<double> fwd(n_nodes + 1, NEG_INF);
+    std::vector<double> match_fwd(n_nodes, 0.0);
+    fwd[0] = 0.0;
+    for (i64 i = 0; i < n_nodes; i++) {
+        double total_indel = 0.0;
+        for (i64 k = ins_at[i]; k < ins_at[i + 1]; k++)
+            total_indel += ins_w[k];
+        for (i64 k = del_at[i]; k < del_at[i + 1]; k++)
+            total_indel += del_w[k];
+        double match_w;
+        if (i == 0) {
+            if (n_nodes == 1) {
+                match_w = 1.0;
+            } else {
+                match_w = 0.0;
+                for (i64 n = 1; n < n_nodes; n++) {
+                    double s = 0.0;  // numpy .sum() over the 5 entries
+                    for (int b = 0; b < 5; b++) s += bw[n * 5 + b];
+                    match_w += s;
+                }
+                match_w /= (double)(n_nodes - 1);
+                match_w -= total_indel;
+            }
+        } else {
+            double s = 0.0;
+            for (int b = 0; b < 5; b++) s += bw[i * 5 + b];
+            match_w = s - total_indel;
+        }
+        if (match_w <= 0.0) match_w = 0.0001;
+        total_out[i] = match_w + total_indel;
+        for (i64 k = ins_at[i]; k < ins_at[i + 1]; k++)
+            fwd[i + 1] = log_add_lut64(fwd[i + 1],
+                                       fwd[i] + log(ins_w[k] / total_out[i]));
+        for (i64 k = del_at[i]; k < del_at[i + 1]; k++) {
+            i64 t = i + del_len[k] + 1;
+            fwd[t] = log_add_lut64(fwd[t],
+                                   fwd[i] + log(del_w[k] / total_out[i]));
+        }
+        match_fwd[i] = fwd[i] + log(match_w / total_out[i]);
+        fwd[i + 1] = log_add_lut64(fwd[i + 1], match_fwd[i]);
+    }
+
+    // greedy traceback (poa.c:1460-1563 via poa.py:281-342)
+    std::vector<i64> map(n_nodes > 1 ? n_nodes - 1 : 0, -1);
+    std::vector<std::string> pieces;
+    i64 running_len = 0;
+    char prev_base = '-';
+    i64 i = n_nodes;
+    while (i > 0) {
+        if (i < n_nodes) {
+            const double* w5 = &bw[i * 5];
+            i64 base_idx = get_max_weight(w5, 5, node_syms[i], ref_penalty);
+            char base = "ACGTN"[base_idx < 0 ? 4 : base_idx];
+            if (use_rle) {
+                i64 rc = get_max_weight(&rw[i * max_rc], max_rc,
+                                        node_rcs[i], ref_penalty);
+                if (rc == 0) rc = 1;
+                // rc < 0 is unreachable (some non-ref weight >= 0 always
+                // wins the max scan), but mirror Python's `base * rc`
+                // (empty string) rather than crash if it ever happens
+                pieces.emplace_back(rc > 0 ? (size_t)rc : 0, base);
+                if (prev_base != base) {
+                    map[i - 1] = running_len;
+                    running_len += 1;
+                }
+                prev_base = base;
+            } else {
+                pieces.emplace_back(1, base);
+                map[i - 1] = running_len;
+                running_len += 1;
+            }
+        }
+        i64 p = i - 1;  // predecessor node
+        double max_ins_p = NEG_INF, tot_ins_p = NEG_INF;
+        i64 max_ins = -1;
+        for (i64 k = ins_at[p]; k < ins_at[p + 1]; k++) {
+            double pr = log(ins_w[k] / total_out[p]) + fwd[p];
+            if (pr > max_ins_p) {
+                max_ins_p = pr;
+                max_ins = k;
+            }
+            tot_ins_p = log_add_lut64(tot_ins_p, pr);
+        }
+        double max_del_p = NEG_INF, tot_del_p = NEG_INF;
+        i64 max_del = -1;
+        for (const auto& sd : incoming[i]) {
+            double pr = log(del_w[sd.second] / total_out[sd.first])
+                        + fwd[sd.first];
+            if (pr > max_del_p) {
+                max_del_p = pr;
+                max_del = sd.second;
+            }
+            tot_del_p = log_add_lut64(tot_del_p, pr);
+        }
+        if (match_fwd[p] >= tot_del_p && match_fwd[p] >= tot_ins_p) {
+            i -= 1;
+        } else if (tot_ins_p >= tot_del_p) {
+            // expand the chosen insert's RLE string
+            std::string ex;
+            i64 b0 = ins_off[max_ins], b1 = ins_off[max_ins + 1];
+            i64 rle_len = b1 - b0;
+            i64 raw_len = 0;
+            for (i64 k = b0; k < b1; k++) {
+                ex.append((size_t)ins_counts[k], (char)ins_bases[k]);
+                raw_len += ins_counts[k];
+            }
+            pieces.push_back(std::move(ex));
+            if (use_rle) {
+                char last = (char)ins_bases[b1 - 1];
+                running_len += rle_len + (last != prev_base ? 0 : -1);
+                prev_base = (char)ins_bases[b0];
+            } else {
+                running_len += raw_len;
+            }
+            i -= 1;
+        } else {
+            i -= del_len[max_del] + 1;
+        }
+    }
+
+    // assemble reversed pieces, then RLE-encode (rle.c:7-38) or identity
+    size_t total_raw = 0;
+    for (const std::string& s : pieces) total_raw += s.size();
+    std::string expanded;
+    expanded.reserve(total_raw);
+    for (size_t k = pieces.size(); k-- > 0;) expanded += pieces[k];
+    std::vector<u8> cb;
+    std::vector<i64> cc;
+    if (use_rle) {
+        for (size_t k = 0; k < expanded.size(); k++) {
+            if (k > 0 && (u8)expanded[k] == cb.back())
+                cc.back() += 1;
+            else {
+                cb.push_back((u8)expanded[k]);
+                cc.push_back(1);
+            }
+        }
+    } else {
+        cb.assign(expanded.begin(), expanded.end());
+        cc.assign(expanded.size(), 1);
+    }
+    i64 cons_len = (i64)cb.size();
+    // reverse map offsets (poa.c:1573-1578)
+    for (i64& v : map)
+        if (v != -1) v = cons_len - 1 - v;
+
+    auto al8 = [](size_t n) { return (n + 7) & ~size_t(7); };
+    size_t bytes = 8 + al8(cb.size()) + cc.size() * 8 + map.size() * 8;
+    u8* buf = (u8*)malloc(bytes);
+    if (!buf) return -1;
+    u8* q = buf;
+    memcpy(q, &cons_len, 8);
+    q += 8;
+    memcpy(q, cb.data(), cb.size());
+    memset(q + cb.size(), 0, al8(cb.size()) - cb.size());
+    q += al8(cb.size());
+    memcpy(q, cc.data(), cc.size() * 8);
+    q += cc.size() * 8;
+    memcpy(q, map.data(), map.size() * 8);
+    q += map.size() * 8;
+    if ((size_t)(q - buf) != bytes) {
+        free(buf);
+        return -1;
+    }
+    *out = buf;
+    return (i64)bytes;
+}
+
 }  // extern "C"

@@ -94,3 +94,52 @@ def test_two_host_group_matches_single_process(tmp_path):
         return recs
 
     assert dump(f"{multi}.haplotagged.bam") == dump(f"{single}.haplotagged.bam")
+
+
+@pytest.mark.slow
+def test_two_host_polish_matches_single_process(tmp_path):
+    """Polish scale-out parity (polish.c:475-478 at multi-host scale): a
+    2-process jax.distributed diploid polish must write byte-identical hap
+    FASTAs + haplotagged BAM vs a single-process run with the same
+    per-chunk RNG streams."""
+    params_file = tmp_path / "params.json"
+    params_file.write_text(json.dumps({
+        "include": str(reference_path(
+            "params", "polish", "ont", "r9.4",
+            "allParams.np.human.r94-g344.json")),
+        "polish": {"chunkSize": 3000, "chunkBoundary": 300},
+    }))
+    base_argv = ["polish", BAM, FASTA, str(params_file), "--diploid",
+                 "-r", "chr20:1000-7000", "-a", "CRITICAL"]
+
+    single = tmp_path / "single"
+    r = subprocess.run(
+        [sys.executable, "-m", "margin_tpu"] + base_argv
+        + ["-o", str(single), "-t", "2"],
+        env=_worker_env(), capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    port = _free_port()
+    multi = tmp_path / "multi"
+    procs = []
+    for hid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "margin_tpu"] + base_argv
+            + ["-o", str(multi), "--hosts", "2", "--host-id", str(hid),
+               "--coordinator", f"127.0.0.1:{port}"],
+            env=_worker_env(), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+
+    for ext in ("hap1.fa", "hap2.fa"):
+        with open(f"{multi}.{ext}") as a, open(f"{single}.{ext}") as b:
+            assert a.read() == b.read(), ext
+    from margin_tpu.io import bam as bamio
+
+    def dump(path):
+        with bamio.BamReader(path) as br:
+            return [rec.raw for rec in br]
+
+    assert dump(f"{multi}.haplotagged.bam") == dump(f"{single}.haplotagged.bam")

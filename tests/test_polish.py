@@ -90,6 +90,47 @@ def test_polish_examples_improve_identity_full(polish_params, norle_params,
     _polish_examples_improve_identity(polish_params, norle_params, rle, 6)
 
 
+@pytest.mark.parametrize("rle", [True, False])
+def test_native_consensus_matches_python(polish_params, norle_params, rle):
+    """mpoa_consensus (native/marginpoa.cc) must reproduce the Python
+    consensus oracle exactly — string, counts and poaToConsensusMap — on
+    real E. coli window POAs with inserts/deletes and post-realign repeat
+    estimation (poa.c:1350-1588 parity)."""
+    from margin_tpu.polish import native_poa
+
+    if native_poa.lib() is None:
+        pytest.skip("native poa engine unavailable")
+    params = polish_params if rle else norle_params
+    pp = params.polish
+    tables = pairhmm.PairHmmTables.from_params(
+        pp.sm_forward, pp.sm_reverse,
+        repeat=pp.repeat_sub_matrix if pp.useRepeatCountsInAlignment else None)
+    checked = 0
+    for ex in range(2):
+        names, seqs = _read_fasta(f"{EXAMPLES}/{ex}.fasta")
+        reads = []
+        for name, seq in zip(names[1:], seqs[1:]):
+            rle_read = (RleString.encode(seq) if pp.useRunLengthEncoding
+                        else RleString.identity(seq))
+            reads.append(PoaRead(name, name[-1] == "F", rle_read, None,
+                                 len(seq)))
+        rle_ref = (RleString.encode(seqs[0]) if pp.useRunLengthEncoding
+                   else RleString.identity(seqs[0]))
+        poa = poa_realign(reads, None, rle_ref, pp, tables)
+        if pp.useRunLengthEncoding:
+            repeats.estimate_repeat_counts(poa, reads, pp.repeat_sub_matrix)
+        cons_py, map_py = poa._get_consensus_py(pp)
+        got = native_poa.consensus(poa, pp)
+        assert got is not None
+        cons_c, map_c = got
+        assert cons_c.bases == cons_py.bases
+        np.testing.assert_array_equal(cons_c.counts, cons_py.counts)
+        assert cons_c.non_rle_length == cons_py.non_rle_length
+        np.testing.assert_array_equal(map_c, map_py)
+        checked += 1
+    assert checked == 2
+
+
 def _polish_examples_improve_identity(polish_params, norle_params, rle, n_ex):
     params = polish_params if rle else norle_params
     pp = params.polish

@@ -125,3 +125,26 @@ def test_phase_process_workers_match_threads(tmp_path):
     assert "rphmm" in prof["chunk_stage_totals_s"]
     assert prof["n_chunks"] >= 2
     assert not list(tmp_path.glob("proc.profile.worker*.json"))
+
+
+@pytest.mark.slow
+def test_polish_process_workers_match_threads(tmp_path):
+    """polish --workers process (polish.c:475-478's omp-for as CPU worker
+    subprocesses) must write byte-identical FASTA vs -t N thread mode."""
+    from margin_tpu.cli import main
+
+    params_json = str(tmp_path / "params.json")
+    with open(params_json, "w") as fh:
+        json.dump({
+            "include": reference_path("params", "polish", "ont", "r9.4",
+                                      "allParams.np.human.r94-g344.json"),
+            "polish": {"chunkSize": 3000, "chunkBoundary": 300},
+        }, fh)
+    base_args = ["polish", BAM, FASTA, params_json,
+                 "-r", "chr20:1000-7000", "--logLevel", "CRITICAL"]
+    main(base_args + ["-o", str(tmp_path / "thr"), "-t", "2"])
+    main(base_args + ["-o", str(tmp_path / "proc"), "-t", "2",
+                      "--workers", "process"])
+    assert (tmp_path / "thr.fa").read_bytes() == \
+        (tmp_path / "proc.fa").read_bytes()
+    assert not (tmp_path / "proc.checkpoint").exists()
