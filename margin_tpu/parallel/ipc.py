@@ -126,6 +126,27 @@ class ScoreServer:
                         conn.send(("ok", out))
                     except BaseException as e:  # ship failure to the worker
                         conn.send(("err", repr(e)))
+                elif kind == "banded":
+                    # batched banded-FB posteriors: worker chunk pipelines
+                    # ship their realign batches here so the accelerator's
+                    # cross-chunk pack funnel (ops/banded._FbFunnel) merges
+                    # ALL workers' reads into full-lane pipelined launches —
+                    # polish.c:475-478's omp-for with the chip kept fed
+                    _, key, items, expansion, threshold, use_lut, dyn = msg
+                    try:
+                        from margin_tpu.ops import banded as _banded
+                        for it in items:
+                            # anchors travel as (n, 3) arrays; the solver's
+                            # geometry/split code expects tuple lists
+                            it["anchors"] = [tuple(r) for r in
+                                             it["anchors"].tolist()]
+                        out = _banded.banded_posteriors_many(
+                            conn_tables[key], items, expansion,
+                            threshold=threshold, use_lut=use_lut,
+                            dynamic=dyn)
+                        conn.send(("ok", out))
+                    except BaseException as e:
+                        conn.send(("err", repr(e)))
                 else:
                     conn.send(("err", f"unknown request {kind!r}"))
         except (EOFError, OSError):
@@ -172,6 +193,33 @@ class ScoreClient:
                 None if reps is None else
                 [(np.asarray(a), np.asarray(b)) for a, b in reps],
                 bool(use_lut), int(batch_max)))
+            status, out = self._conn.recv()
+        if status != "ok":
+            raise RuntimeError(f"score server error: {out}")
+        return out
+
+    def banded(self, tables, items, expansion, threshold, use_lut, dynamic):
+        """Route a banded_posteriors_many batch to the device-owning
+        parent; anchors ship as (n, 3) int64 arrays (cheap pickle)."""
+        key = id(tables)
+        wire_items = []
+        for it in items:
+            w = {"x_sym": np.asarray(it["x_sym"]),
+                 "y_sym": np.asarray(it["y_sym"]),
+                 "anchors": np.asarray(
+                     [] if it["anchors"] is None else it["anchors"],
+                     dtype=np.int64).reshape(-1, 3),
+                 "strand": int(it["strand"])}
+            for k in ("rep_x", "rep_y", "ragged_left", "ragged_right"):
+                if it.get(k) is not None:
+                    w[k] = it[k]
+            wire_items.append(w)
+        with self._lock:
+            if key not in self._sent:
+                self._conn.send(("tables", key, _tables_payload(tables)))
+                self._sent[key] = True
+            self._conn.send(("banded", key, wire_items, int(expansion),
+                             float(threshold), bool(use_lut), bool(dynamic)))
             status, out = self._conn.recv()
         if status != "ok":
             raise RuntimeError(f"score server error: {out}")

@@ -364,7 +364,10 @@ def bubble_graph_from_poa(poa: Poa, reads: List[PoaRead], vcf_entries,
 
 
 def _score_bubbles(bubbles: List[Bubble], tables, pp: PolishParams,
-                   use_lut: bool, batch_max: int = 16384):
+                   use_lut: bool, batch_max: int = 131072):
+    # batch_max 128k: the dense kernel saturates there (PERF_NOTES), and a
+    # tunnel launch costs a fixed ~0.4 s round-trip — one full launch per
+    # chunk's bubble scoring beats several partial ones
     """Batched allele-read support scoring with per-bubble dedup of identical
     read substrings (bubbleGraph.c:1042-1073)."""
     use_rle = pp.useRunLengthEncoding
