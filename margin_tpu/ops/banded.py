@@ -99,6 +99,27 @@ class BandGeometry:
         return BandGeometry(lx, ly, d_pad, w_pad, xmy_l, w, x_base, y_base,
                             pm1, k_lo if k_lo.any() else None)
 
+    def repad(self, d_pad: int, w_pad: int) -> "BandGeometry":
+        """Re-pad an (unpadded or smaller-padded) geometry to a larger
+        (d_pad, w_pad) without re-walking the anchors — identical to
+        calling build() with the same flags and the bigger pads (padded
+        diagonals carry xmy_l/width/k_lo == 0 and the derived bases)."""
+        d_real = len(self.xmy_l)
+        assert d_pad >= d_real and w_pad >= self.w_pad
+        xmy_l = np.zeros(d_pad, dtype=np.int32)
+        xmy_l[:d_real] = self.xmy_l
+        w = np.zeros(d_pad, dtype=np.int32)
+        w[:d_real] = self.widths
+        k_lo = None
+        if self.k_lo is not None:
+            k_lo = np.zeros(d_pad, dtype=np.int32)
+            k_lo[:d_real] = self.k_lo
+        d_idx = np.arange(d_pad, dtype=np.int64)
+        x_base = ((d_idx + xmy_l) // 2 - 1).astype(np.int32)
+        y_base = ((d_idx - xmy_l) // 2 - 1).astype(np.int32)
+        return BandGeometry(self.lx, self.ly, d_pad, w_pad, xmy_l, w,
+                            x_base, y_base, self.pm1, k_lo)
+
 
 
 def _bucket_dpad(n: int) -> int:
@@ -810,14 +831,17 @@ def banded_posteriors(tables: PairHmmTables, x_sym: np.ndarray, y_sym: np.ndarra
 class _FbItemRef:
     """One banded problem bound to its result slot. `out[idx]` receives the
     ((matches, gapx, gapy), total) tuple; `req` (funnel requests only) is
-    decremented so the issuing thread unblocks when all its items land."""
-    __slots__ = ("item", "out", "idx", "req")
+    decremented so the issuing thread unblocks when all its items land.
+    `geom` caches the classify-time band geometry so the pack launch can
+    repad instead of re-walking the anchors."""
+    __slots__ = ("item", "out", "idx", "req", "geom")
 
     def __init__(self, item, out, idx, req=None):
         self.item = item
         self.out = out
         self.idx = idx
         self.req = req
+        self.geom = None
 
 
 class _PackHandle:
@@ -834,6 +858,10 @@ class _PackHandle:
 _PACK_MAX_B = 128
 
 
+def _interpret_mode_pallas() -> bool:
+    return os.environ.get("MARGIN_TPU_PALLAS", "") == "interpret"
+
+
 def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
                  expansion: int, use_lut: bool, dynamic: bool,
                  threshold: float) -> _PackHandle:
@@ -846,7 +874,8 @@ def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
     t0 = time.perf_counter()
     post, totals, geoms, xb, yb = pallas_banded.fb_posteriors_group(
         tables, [r.item for r in refs], d_pad, w_pad, expansion,
-        use_lut, dynamic, use_rle)
+        use_lut, dynamic, use_rle,
+        geoms_in=[r.geom for r in refs])
     b_pad = post.shape[-1]
     # pad lanes replicate the last geometry; valid_b masks them
     xb_np = np.stack([g.x_base for g in geoms]
@@ -929,7 +958,7 @@ def _finish_pack(h: _PackHandle):
             out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
                                 axis=1).astype(np.int64))
         ref.out[ref.idx] = (tuple(out), float(totals_np[k]))
-    if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1":
+    if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2"):
         print(f"[pallas] pack d={h.d_pad} w={h.w_pad} B={n}: launch "
               f"{h.t_launch:.2f}s wait {t1-t0:.2f}s extract({total}/{h.K}) "
               f"host {time.perf_counter()-t1:.2f}s", flush=True)
@@ -973,7 +1002,7 @@ class _PallasRun:
         self.inflight: _PackHandle | None = None
 
     def add(self, refs):
-        dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
+        dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2")
         for ref in refs:
             it = ref.item
             lx, ly = len(it["x_sym"]), len(it["y_sym"])
@@ -983,7 +1012,15 @@ class _PallasRun:
                 continue
             geom = BandGeometry.build(it["anchors"], lx, ly, self.expansion,
                                       dynamic=self.dynamic, smooth=True)
+            ref.geom = geom
             d_pad = _bucket_dpad(geom.d_pad)
+            # floor the compiled diagonal bucket on real accelerators: the
+            # shallow tail (short consensus re-alignments) otherwise spawns
+            # a fresh ~20 s axon compile per new small (D, W) combination,
+            # while running a short problem inside a deeper grid costs
+            # milliseconds (cells beyond lx+ly are masked)
+            if not _interpret_mode_pallas():
+                d_pad = max(d_pad, 6144)
             # few storage buckets (every distinct (D, W) combination costs
             # a fresh accelerator compile and fragments the batch into
             # smaller lane groups): W=16 fits the dense-anchor realign

@@ -639,16 +639,21 @@ def _window_grids(rep_tab, xs, ys, x_base, y_base, lxs, lys, rep_x, rep_y,
 
 def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
                         expansion: int, use_lut: bool, dynamic: bool,
-                        use_rle: bool):
+                        use_rle: bool, geoms_in=None):
     """Solve a group of same-bucket banded problems with the Pallas FB.
 
     items: list of dicts (x_sym, y_sym, anchors, strand, optional
-    rep_x/rep_y); all are padded to (d_pad, w_pad). Returns
-    (post (B, D, 3, W) device array, totals (B,) np.float64, geoms) for the
-    real problems. Optional per-item "ragged_left"/"ragged_right" flags
-    select the ragged start/end state weights (stateMachine.c:521-560).
+    rep_x/rep_y); all are padded to (d_pad, w_pad). geoms_in (optional):
+    per-item UNPADDED BandGeometry from the caller's classify pass —
+    repadded here instead of re-walking the anchors (half the geometry
+    cost of a pack launch). Returns (post (D, 3, W, B) device array,
+    totals (b_pad,) device array, geoms, xb, yb). Optional per-item
+    "ragged_left"/"ragged_right" flags select the ragged start/end state
+    weights (stateMachine.c:521-560).
     """
     from margin_tpu.ops import banded as _banded
+    import time as _time0
+    t_start = _time0.perf_counter()
 
     B_real = len(items)
     # lane quantum 64: a half-full group (the common realign shape, ~40-50
@@ -681,9 +686,13 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
         it = items[idx]
         lx, ly = len(it["x_sym"]), len(it["y_sym"])
         if col < B_real:
-            geom = _banded.BandGeometry.build(it["anchors"], lx, ly,
-                                              expansion, d_use, w_pad,
-                                              dynamic=dynamic, smooth=True)
+            if geoms_in is not None:
+                geom = geoms_in[idx].repad(d_use, w_pad)
+            else:
+                geom = _banded.BandGeometry.build(it["anchors"], lx, ly,
+                                                  expansion, d_use, w_pad,
+                                                  dynamic=dynamic,
+                                                  smooth=True)
             geoms.append(geom)
         else:
             geom = geoms[B_real - 1]  # pad lanes replicate the last item
@@ -725,16 +734,22 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     lxy = np.stack([lxs, lys, k_final, np.zeros_like(lxs)], axis=0)
 
     import time as _time
-    dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "1"
+    dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2")
+    dbg2 = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") == "2"
     emit_window = _emit_in_kernel()
     t0 = _time.perf_counter()
-    meta_dev, xb_dev, yb_dev = _derive_geom(
-        jnp.asarray(xmy_b), jnp.asarray(widths_b), jnp.asarray(klo_b))
+    xfer = [jnp.asarray(xmy_b), jnp.asarray(widths_b), jnp.asarray(klo_b),
+            jnp.asarray(xs), jnp.asarray(ys)]
+    if rx is not None:
+        xfer += [jnp.asarray(rx), jnp.asarray(ry)]
+    tx = _time.perf_counter()
+    meta_dev, xb_dev, yb_dev = _derive_geom(*xfer[:3])
+    td = _time.perf_counter()
     prep_args = (
-        jnp.asarray(xs), jnp.asarray(ys), xb_dev, yb_dev,
+        xfer[3], xfer[4], xb_dev, yb_dev,
         jnp.asarray(lxs), jnp.asarray(lys),
-        None if rx is None else jnp.asarray(rx),
-        None if ry is None else jnp.asarray(ry))
+        xfer[5] if rx is not None else None,
+        xfer[6] if rx is not None else None)
     if emit_window:
         px, py, rep_f, rep_b = _window_grids(
             rep_tab, *prep_args, w_pad=w_pad, use_rle=use_rle)
@@ -748,6 +763,11 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     if dbg:
         jax.block_until_ready(e_fwd)
         t1 = _time.perf_counter()
+    if dbg2:
+        tw = _time.perf_counter()
+        print(f"  [fb2] D={d_use} W={w_pad} B={b_pad} pack {t0-t_start:.2f}s "
+              f"xfer {tx-t0:.2f}s derive {td-tx:.2f}s window {tw-td:.2f}s",
+              flush=True)
 
     post, totals = _fb_pallas(
         e_fwd, e_bwd, meta_dev,

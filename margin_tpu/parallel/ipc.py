@@ -91,7 +91,6 @@ class ScoreServer:
     def _serve(self, conn):
         from margin_tpu.ops import pairhmm
         from margin_tpu.parallel import executor
-        import jax.numpy as jnp
 
         conn_tables: Dict[int, object] = {}
         try:
@@ -106,14 +105,20 @@ class ScoreServer:
                         if t is None:
                             # one shared object per distinct table content:
                             # the score_pairs funnel coalesces by object
-                            # identity, so all workers' requests merge
+                            # identity, so all workers' requests merge.
+                            # Arrays stay NUMPY: jit accepts them directly,
+                            # and a device-array table would make the
+                            # banded prep's np.asarray(tables.*) a device
+                            # readback — the first one in this process
+                            # pays the tunnel's 40-400 s toll INSIDE a
+                            # handler thread (measured hang)
                             t = pairhmm.PairHmmTables(
-                                jnp.asarray(payload["match"]),
-                                jnp.asarray(payload["gap_x"]),
-                                jnp.asarray(payload["gap_y"]),
-                                jnp.asarray(payload["trans"]),
+                                np.asarray(payload["match"]),
+                                np.asarray(payload["gap_x"]),
+                                np.asarray(payload["gap_y"]),
+                                np.asarray(payload["trans"]),
                                 None if payload["repeat"] is None
-                                else jnp.asarray(payload["repeat"]))
+                                else np.asarray(payload["repeat"]))
                             self._tables_cache[digest] = t
                     conn_tables[key] = t
                 elif kind == "score":

@@ -264,14 +264,19 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         # results + VCF interior snapshots (stitching.c:1573-1588's merge
         # inputs), then every host holds the global state and host 0 writes
         with profiler.stage("host_gather"):
-            payload = {
+            import pickle as _pickle
+            # the payload is only what the merge consumes: per-chunk hap
+            # read-name maps + switch flags (ChunkPhaseResult) and the VCF
+            # interior snapshots the writer needs (stitching.c:1573-1588)
+            payload = _pickle.dumps({
                 "results": results,
                 "vcf": [(c.ref_name,
                          snapshot_vcf_entries(vcf_entries, c.ref_name,
                                               c.chunk_start, c.chunk_end))
                         for c in ordered_chunks],
-            }
-            gathered = mh.allgather_objects(payload)
+            }, protocol=_pickle.HIGHEST_PROTOCOL)
+            gathered_b = mh.allgather_bytes(payload)
+            gathered = [_pickle.loads(b) for b in gathered_b]
         results = []
         for hid, p in enumerate(gathered):
             if hid == mh.host_id():
@@ -281,7 +286,8 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
             for ref_name, snap in p["vcf"]:
                 apply_vcf_snapshot(vcf_entries, ref_name, snap)
         log(f"> Gathered {len(results)} chunk results from "
-            f"{mh.num_hosts()} hosts")
+            f"{mh.num_hosts()} hosts (sent {len(payload)} B, received "
+            f"{sum(len(b) for b in gathered_b)} B)")
         if mh.host_id() != 0:
             # outputs are host 0's job; keep the process group in sync
             mh.barrier("phase-outputs")
