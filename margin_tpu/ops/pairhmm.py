@@ -28,6 +28,7 @@ are provided, the match emission gains
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -272,12 +273,29 @@ def _forward_total(tables: PairHmmTables, batch: PairBatch,
     def shift_row(a):  # row y <- row y-1 (prepend LOG_ZERO row)
         return jnp.concatenate([jnp.full((1, B), neg, dtype), a[:-1]], axis=0)
 
+    # SURVEY §2.3 row 8 experiment: emission lookup as a one-hot MATMUL on
+    # the MXU (dot_general, batch=B, contraction over the 25 match codes)
+    # instead of VPU select-sums. Exactness holds either way (exactly one
+    # nonzero product per cell). Measured on v5e (PERF_NOTES "MXU emission
+    # formulation"): the one-hot materialization costs more VPU work than
+    # the selects it replaces and the 25-wide contraction fills <20% of the
+    # systolic array — kept behind MARGIN_TPU_EMIT_MXU for re-measurement.
+    emit_mxu = os.environ.get("MARGIN_TPU_EMIT_MXU") == "1"
+
     def step(carry, d):
         (p1m, p1x, p1y), (p2m, p2x, p2y), result = carry
         cx = jax.lax.dynamic_slice_in_dim(xpad, Lx + Ly - d, W, axis=0)
-        # gather-free emissions: one-hot select over the 5-symbol alphabet
         cx1h = [(cx == i) for i in range(5)]
-        e_m = sum(jnp.where(cx1h[i], m_rows[i], 0.0) for i in range(5))
+        if emit_mxu:
+            code = cx * 5 + cy                       # (W, B)
+            onehot = jax.nn.one_hot(code, 25, axis=-1,
+                                    dtype=dtype)     # (W, B, 25)
+            e_m = jnp.einsum("wbc,bc->wb", onehot, m_tab,
+                             preferred_element_type=dtype)
+        else:
+            # gather-free emissions: one-hot select over the 5-symbol
+            # alphabet
+            e_m = sum(jnp.where(cx1h[i], m_rows[i], 0.0) for i in range(5))
         e_gx = sum(jnp.where(cx1h[i], gx_rows[i], 0.0) for i in range(5))
         if use_rle:
             rxw = jax.lax.dynamic_slice_in_dim(rxpad, Lx + Ly - d, W, axis=0)
