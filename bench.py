@@ -259,13 +259,14 @@ def bench_polish():
             "profile": profile}
 
 
-def bench_polish_multi(span: int = 24000, chunk: int = 6000,
+def bench_polish_multi(span: int = 48000, chunk: int = 6000,
                        threads: int = 4):
-    """Multi-chunk haploid polish (production shape: several chunks).
+    """Multi-chunk haploid polish (production shape: a stream of chunks).
     Workers are PROCESSES — chunk host Python runs GIL-free on all cores
     while every worker's banded-FB batches ride the IPC socket into this
     process's cross-chunk device funnel (polish.c:475-478's omp-for with
-    the chip kept fed)."""
+    the chip kept fed). 8 chunks so fixed costs (worker spawn, first
+    compile variants) amortize the way a production chunk stream does."""
     import json as _json
 
     from margin_tpu.cli import main
@@ -276,13 +277,16 @@ def bench_polish_multi(span: int = 24000, chunk: int = 6000,
                     "polish": {"chunkSize": chunk, "chunkBoundary": 500}}, fh)
     region = f"chr20:1000-{1000 + span}"
     walls = []
-    for _ in range(2):
+    profile = {}
+    for i in range(2):
         tmp = tempfile.mkdtemp(prefix="bench_polish_mt_")
         t0 = time.perf_counter()
         main(["polish", BAM, FASTA, pf, "-o", f"{tmp}/out", "-r", region,
-              "-t", str(threads), "--workers", "process",
+              "-t", str(threads), "--workers", "process", "--profile",
               "--logLevel", "CRITICAL"])
         walls.append(time.perf_counter() - t0)
+        if i == 1:
+            profile = _read_profile(f"{tmp}/out.profile.json")
         shutil.rmtree(tmp, ignore_errors=True)
     os.unlink(pf)
     warm = min(walls)
@@ -290,7 +294,8 @@ def bench_polish_multi(span: int = 24000, chunk: int = 6000,
             "wall_cold_s": round(walls[0], 2),
             "wall_warm_s": round(walls[1], 2),
             "bases": span, "threads": threads, "workers": "process",
-            "chunks": span // chunk}
+            "chunks": span // chunk,
+            "profile": profile}
 
 
 def bench_polish_100kb(diploid: bool = False):

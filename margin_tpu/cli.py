@@ -251,17 +251,20 @@ def main(argv=None):
 
     def write_profile():
         """Fold any process-worker profiles back in, then write. Workers
-        write to MARGIN_TPU_PROFILE_OUT (set by run_process_workers), so
-        `--workers process` runs still account their per-chunk stages."""
-        import glob
-        for wp in sorted(glob.glob(f"{args.outputBase}.profile.worker*.json")):
-            profiler.merge_file(wp)
-            try:
-                os.remove(wp)
-            except OSError:
-                pass
-        profiler.write(os.environ.get("MARGIN_TPU_PROFILE_OUT")
-                       or f"{args.outputBase}.profile.json")
+        write to MARGIN_TPU_PROFILE_OUT (set by run_process_workers) and
+        must NOT glob-merge their siblings' files — only the parent
+        (no profile-out override) does the merge."""
+        worker_out = os.environ.get("MARGIN_TPU_PROFILE_OUT")
+        if worker_out is None:
+            import glob
+            for wp in sorted(
+                    glob.glob(f"{args.outputBase}.profile.worker*.json")):
+                profiler.merge_file(wp)
+                try:
+                    os.remove(wp)
+                except OSError:
+                    pass
+        profiler.write(worker_out or f"{args.outputBase}.profile.json")
 
     # polish process workers: each worker is a standalone CPU shard process
     # (banded FB runs on the worker's native/scan CPU path; pair scoring
