@@ -205,15 +205,22 @@ def _score_pending(bubbles, pairs, strands, reps, slots, tables, use_rle,
         sv_idx = [i for i in range(len(pairs))
                   if len(pairs[i][0]) > sv_limit or len(pairs[i][1]) > sv_limit]
         if sv_idx:
+            # one batched solve (funnel/IPC-routed) for every SV pair;
+            # threshold 2.0 = totals only, no pair extraction
+            items = []
             for i in sv_idx:
                 x_sym, y_sym = pairs[i]
-                anchors = get_kmer_alignment_anchors(x_sym, y_sym, expansion)
-                rep_kwargs = {}
+                it = {"x_sym": x_sym, "y_sym": y_sym,
+                      "anchors": get_kmer_alignment_anchors(x_sym, y_sym,
+                                                            expansion),
+                      "strand": strands[i]}
                 if use_rle:
-                    rep_kwargs = dict(rep_x=reps[i][0], rep_y=reps[i][1])
-                _pairs, total = banded.banded_posteriors(
-                    tables, x_sym, y_sym, anchors, expansion, strands[i],
-                    threshold=2.0, use_lut=use_lut, **rep_kwargs)
+                    it["rep_x"] = reps[i][0]
+                    it["rep_y"] = reps[i][1]
+                items.append(it)
+            res = banded.banded_posteriors_many(
+                tables, items, expansion, threshold=2.0, use_lut=use_lut)
+            for i, (_pairs, total) in zip(sv_idx, res):
                 bidx, j, k = slots[i]
                 bubbles[bidx].allele_read_supports[j, k] = total
             keep = [i for i in range(len(pairs)) if i not in set(sv_idx)]

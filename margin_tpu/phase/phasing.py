@@ -147,7 +147,9 @@ def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
                 owners.append((g, k, j))
         dups.append(dup)
     # SV-length pairs take the kmer-anchored banded kernel
-    # (bubbleGraph.c:1447-1453) so they don't inflate the dense batches
+    # (bubbleGraph.c:1447-1453) so they don't inflate the dense batches;
+    # they go through the BATCHED solver (one funnel/IPC round for all of
+    # them, threshold 2.0 = no pair extraction, totals only)
     sv_limit = params.phase.referenceExpansionForStructuralVariants
     if pairs and sv_limit > 0:
         from margin_tpu.ops import banded
@@ -155,16 +157,24 @@ def score_het_groups(groups, params: Params, tables: pairhmm.PairHmmTables,
         expansion = params.polish.p.diagonalExpansion
         sv_set = {i for i in range(len(pairs))
                   if len(pairs[i][0]) > sv_limit or len(pairs[i][1]) > sv_limit}
-        for i in sv_set:
+        sv_list = sorted(sv_set)
+        items = []
+        for i in sv_list:
             x_sym, y_sym = pairs[i]
-            anchors = get_kmer_alignment_anchors(x_sym, y_sym, expansion)
-            rep_kwargs = (dict(rep_x=reps[i][0], rep_y=reps[i][1])
-                          if use_rle else {})
-            _p, total = banded.banded_posteriors(
-                tables, x_sym, y_sym, anchors, expansion, strands[i],
-                threshold=2.0, use_lut=use_lut, **rep_kwargs)
-            g, k, j = owners[i]
-            outs[g][k, j] = total
+            it = {"x_sym": x_sym, "y_sym": y_sym,
+                  "anchors": get_kmer_alignment_anchors(x_sym, y_sym,
+                                                        expansion),
+                  "strand": strands[i]}
+            if use_rle:
+                it["rep_x"] = reps[i][0]
+                it["rep_y"] = reps[i][1]
+            items.append(it)
+        if items:
+            res = banded.banded_posteriors_many(
+                tables, items, expansion, threshold=2.0, use_lut=use_lut)
+            for i, (_p, total) in zip(sv_list, res):
+                g, k, j = owners[i]
+                outs[g][k, j] = total
         if sv_set:
             keep = [i for i in range(len(pairs)) if i not in sv_set]
             pairs = [pairs[i] for i in keep]
