@@ -484,21 +484,27 @@ def main():
     # (skip with MARGIN_TPU_BENCH_SKIP_100KB=1 if the run budget is tight)
     if os.environ.get("MARGIN_TPU_BENCH_SKIP_100KB") != "1":
         if mode in ("all", "polish_100kb"):
-            p1 = bench_polish_100kb(diploid=False)
-            extra["polish_100kb"] = {
-                k: round(v, 2) if isinstance(v, float) else v
-                for k, v in p1.items()}
-            extra["polish_100kb"]["vs_baseline"] = round(
-                p1["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-            if polish is None or p1["bases_per_s"] > polish["bases_per_s"]:
-                polish = p1
+            try:
+                p1 = bench_polish_100kb(diploid=False)
+                extra["polish_100kb"] = {
+                    k: round(v, 2) if isinstance(v, float) else v
+                    for k, v in p1.items()}
+                extra["polish_100kb"]["vs_baseline"] = round(
+                    p1["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+                if polish is None or p1["bases_per_s"] > polish["bases_per_s"]:
+                    polish = p1
+            except Exception as e:  # the headline line must still print
+                extra["polish_100kb"] = {"error": repr(e)[:200]}
         if mode in ("all", "diploid_100kb"):
-            p2 = bench_polish_100kb(diploid=True)
-            extra["diploid_100kb"] = {
-                k: round(v, 2) if isinstance(v, float) else v
-                for k, v in p2.items()}
-            extra["diploid_100kb"]["vs_baseline"] = round(
-                p2["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+            try:
+                p2 = bench_polish_100kb(diploid=True)
+                extra["diploid_100kb"] = {
+                    k: round(v, 2) if isinstance(v, float) else v
+                    for k, v in p2.items()}
+                extra["diploid_100kb"]["vs_baseline"] = round(
+                    p2["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+            except Exception as e:
+                extra["diploid_100kb"] = {"error": repr(e)[:200]}
 
     if phase is not None:
         desc = ("multi-chunk 1Mb, %d threads, warm" % phase["threads"]

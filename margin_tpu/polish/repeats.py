@@ -75,12 +75,72 @@ def ml_repeat_count(rm: Optional[RepeatSubMatrix], poa: Poa, node,
     return lo + int(np.argmax(lp))  # first max (getMax, repeatSubMatrix.c:153-167)
 
 
+class _FlatObs:
+    """All node observations flattened once (the per-node tuple-unpack loop
+    dominated estimate_repeat_counts' host time): per-node slices of
+    observed-count / weight / strand arrays, numerically identical inputs
+    to the per-node path."""
+
+    def __init__(self, nodes, reads: List[PoaRead], max_rl: int):
+        lens = np.fromiter((len(n.observations) for n in nodes),
+                           dtype=np.int64, count=len(nodes))
+        self.starts = np.zeros(len(nodes) + 1, dtype=np.int64)
+        np.cumsum(lens, out=self.starts[1:])
+        total = int(self.starts[-1])
+        if total == 0:
+            self.counts = np.zeros(0, np.int64)
+            self.weights = np.zeros(0, np.float64)
+            self.strands = np.zeros(0, bool)
+            return
+        flat = np.array([o for n in nodes for o in n.observations],
+                        dtype=np.float64).reshape(total, 3)
+        read_nos = flat[:, 0].astype(np.int64)
+        offsets = flat[:, 1].astype(np.int64)
+        self.weights = flat[:, 2].copy()
+        read_lens = np.fromiter((r.rle_read.length for r in reads),
+                                dtype=np.int64, count=len(reads))
+        base_off = np.zeros(len(reads) + 1, dtype=np.int64)
+        np.cumsum(read_lens, out=base_off[1:])
+        big_counts = (np.concatenate([r.rle_read.counts for r in reads])
+                      if reads else np.zeros(0, np.int64))
+        self.counts = np.minimum(big_counts[base_off[read_nos] + offsets],
+                                 max_rl - 1)
+        strand_per_read = np.fromiter((r.forward_strand for r in reads),
+                                      dtype=bool, count=len(reads))
+        self.strands = strand_per_read[read_nos]
+        self.read_nos = read_nos
+
+    def node(self, i: int):
+        s, e = self.starts[i], self.starts[i + 1]
+        if s == e:
+            return None, None, None
+        return self.counts[s:e], self.weights[s:e], self.strands[s:e]
+
+
 def estimate_repeat_counts(poa: Poa, reads: List[PoaRead],
                            rm: Optional[RepeatSubMatrix]):
     """poa_estimateRepeatCountsUsingBayesianModel (poa.c:1715-1727)."""
     counts = poa.ref_string.counts
-    for i, node in enumerate(poa.nodes[1:]):
-        rc = ml_repeat_count(rm, poa, node, reads)
+    if rm is None:
+        for i, node in enumerate(poa.nodes[1:]):
+            rc = ml_repeat_count(rm, poa, node, reads)
+            counts[i] = max(rc, 1)
+            node.repeat_count = int(counts[i])
+        poa.ref_string.non_rle_length = int(counts.sum())
+        return
+    nodes = poa.nodes[1:]
+    flat = _FlatObs(nodes, reads, rm.max_repeat)
+    bases = np.empty(len(nodes), dtype=np.int64)
+    bases[:] = seq_to_symbols("".join(n.base for n in nodes))
+    for i, node in enumerate(nodes):
+        cnt, wts, strs = flat.node(i)
+        if cnt is None or cnt.min() == rm.max_repeat:
+            rc = 0
+        else:
+            lo, hi = int(cnt.min()), int(cnt.max())
+            lp = _log_probs_for_counts(rm, int(bases[i]), cnt, wts, strs,
+                                       lo, hi)
+            rc = lo + int(np.argmax(lp))
         counts[i] = max(rc, 1)
         node.repeat_count = int(counts[i])
     poa.ref_string.non_rle_length = int(counts.sum())
