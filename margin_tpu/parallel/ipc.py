@@ -290,6 +290,7 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
     env["PYTHONPATH"] = (repo_root + (os.pathsep + env["PYTHONPATH"]
                                       if env["PYTHONPATH"] else ""))
     procs = []
+    logs = []
     try:
         for i in range(n_workers):
             argv = list(worker_argv) + ["--shard", f"{i}/{n_workers}"]
@@ -299,14 +300,21 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
                 wenv = dict(env)
                 wenv["MARGIN_TPU_PROFILE_OUT"] = (
                     f"{output_base}.profile.worker{i}.json")
+            # worker output spools to a temp FILE: a shared-parent PIPE
+            # read sequentially can fill and deadlock a later worker while
+            # the parent waits on an earlier one
+            lf = tempfile.TemporaryFile()
+            logs.append(lf)
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "margin_tpu"] + argv, env=wenv,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+                stdout=lf, stderr=subprocess.STDOUT))
         failures = []
         for i, p in enumerate(procs):
-            out, _ = p.communicate()
+            p.wait()
             if p.returncode != 0:
-                failures.append((i, p.returncode, out.decode(errors="replace")))
+                logs[i].seek(0)
+                failures.append((i, p.returncode,
+                                 logs[i].read().decode(errors="replace")))
         if failures:
             i, rc, out = failures[0]
             tail = "\n".join(out.splitlines()[-25:])
@@ -319,4 +327,6 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
             if p.poll() is None:
                 p.kill()
                 p.wait()
+        for lf in logs:
+            lf.close()
         server.close()

@@ -177,10 +177,39 @@ def phased_ml_repeat_count(rm: RepeatSubMatrix, node, reads: List[PoaRead],
 def estimate_phased_repeat_counts(poa: Poa, reads: List[PoaRead],
                                   rm: RepeatSubMatrix, hap1_ids: Set[int],
                                   params: PolishParams):
-    """poa_estimatePhasedRepeatCountsUsingBayesianModel (poa.c:1729-1756)."""
+    """poa_estimatePhasedRepeatCountsUsingBayesianModel (poa.c:1729-1756).
+    Observations are flattened once (_FlatObs); the per-node float path
+    (_log_probs_for_counts + the last-max-wins scan) is unchanged."""
     counts = poa.ref_string.counts
-    for i, node in enumerate(poa.nodes[1:]):
-        rc = phased_ml_repeat_count(rm, node, reads, hap1_ids, params)
+    nodes = poa.nodes[1:]
+    flat = _FlatObs(nodes, reads, rm.max_repeat)
+    in_h1_read = np.fromiter((id(r) in hap1_ids for r in reads),
+                             dtype=bool, count=len(reads))
+    bases = np.empty(len(nodes), dtype=np.int64)
+    bases[:] = seq_to_symbols("".join(n.base for n in nodes))
+    esc = np.log(params.hetRunLengthSubstitutionProbability)
+    for i, node in enumerate(nodes):
+        cnt, wts, strs = flat.node(i)
+        if cnt is None or cnt.min() == rm.max_repeat:
+            rc = 0
+        else:
+            s, e = flat.starts[i], flat.starts[i + 1]
+            in_h1 = in_h1_read[flat.read_nos[s:e]]
+            lo, hi = int(cnt.min()), int(cnt.max())
+            base = int(bases[i])
+            lp1 = _log_probs_for_counts(rm, base, cnt[in_h1], wts[in_h1],
+                                        strs[in_h1], lo, hi)
+            lp2 = _log_probs_for_counts(rm, base, cnt[~in_h1], wts[~in_h1],
+                                        strs[~in_h1], lo, hi)
+            ml2 = float(lp2.max())
+            combined = lp1 + np.maximum(lp2, ml2 + esc)
+            # >= comparison -> last max wins (repeatSubMatrix.c:211-220)
+            rc = lo
+            best_p = combined[0]
+            for k in range(1, len(combined)):
+                if combined[k] >= best_p:
+                    best_p = combined[k]
+                    rc = lo + k
         counts[i] = max(rc, 1)
         node.repeat_count = int(counts[i])
     poa.ref_string.non_rle_length = int(counts.sum())
