@@ -420,6 +420,89 @@ def _device_reachable(timeout_s: int = 540) -> bool:
         return False
 
 
+_T_START = time.time()
+
+
+def _budget_left(extra, name) -> bool:
+    """Stay under MARGIN_TPU_BENCH_BUDGET_S (default 2400 s): the headline
+    JSON must print before any driver-side timeout, so later optional
+    modes are skipped (and recorded) once the budget is spent."""
+    budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
+    if time.time() - _T_START < budget:
+        return True
+    extra.setdefault("skipped_over_budget", []).append(name)
+    return False
+
+
+def _note(name, payload):
+    """Progressive result line on stderr so partial results survive a
+    timeout (stdout stays reserved for the single headline JSON line)."""
+    import sys
+    print(f"[bench] {name}: {json.dumps(payload)}", file=sys.stderr,
+          flush=True)
+
+
+def _headline_from(extra) -> dict:
+    """Build the headline JSON from whatever modes completed."""
+    phase = None
+    for key in ("phase", "phase_mt"):
+        cand = extra.get(key)
+        if cand and "kb_per_s" in cand:
+            if phase is None or cand["kb_per_s"] > phase["kb_per_s"]:
+                phase = cand
+    polish = None
+    for key in ("polish_100kb", "polish_multi", "polish"):
+        cand = extra.get(key)
+        if cand and "bases_per_s" in cand:
+            if polish is None or cand["bases_per_s"] > polish["bases_per_s"]:
+                polish = cand
+    kernel = extra.get("kernel")
+    if phase and "kb_per_s" in phase:
+        desc = ("multi-chunk 1Mb, %d threads, warm" % phase["threads"]
+                if "threads" in phase else "100kb golden, warm")
+        return {"metric": f"phase end-to-end kb/s/chip ({desc})",
+                "value": round(phase["kb_per_s"], 2),
+                "unit": "kb/s/chip",
+                "vs_baseline": round(
+                    phase["kb_per_s"] / BASELINE_PHASE_KBPS, 3)}
+    if polish is not None:
+        return {"metric": "polish end-to-end bases/s/chip (warm)",
+                "value": round(polish["bases_per_s"], 1),
+                "unit": "bases/s/chip",
+                "vs_baseline": round(
+                    polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)}
+    if kernel is not None:
+        return {"metric": "phase het sites/s/chip (pair-HMM kernel)",
+                "value": round(kernel["sites_per_s"], 1),
+                "unit": "sites/s/chip",
+                "vs_baseline": round(
+                    kernel["sites_per_s"] / BASELINE_SITES_PER_S, 2)}
+    return {"metric": "phase end-to-end kb/s/chip", "value": 0.0,
+            "unit": "kb/s/chip", "vs_baseline": 0.0}
+
+
+def _start_watchdog(extra):
+    """The tunnel can wedge so that a single device op blocks forever
+    (observed mid-bench); a daemon timer prints the headline built from
+    the modes that DID finish and exits, so the driver always receives
+    its one JSON line."""
+    import threading
+    budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
+
+    def fire():
+        extra["watchdog"] = ("fired after %.0fs: a device op wedged or the "
+                             "hard budget passed" % (time.time() - _T_START))
+        h = _headline_from(extra)
+        h["extra"] = extra
+        print(json.dumps(h), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(budget * 1.5, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     mode = os.environ.get("MARGIN_TPU_BENCH", "all")
     extra = {}
@@ -432,6 +515,7 @@ def main():
         return
     import jax
     extra["backend"] = jax.default_backend()
+    _start_watchdog(extra)
 
     phase = polish = kernel = None
     # kernel first: a fresh HBM arena gives the microbenchmark its honest
@@ -447,43 +531,52 @@ def main():
             "mfu_vs_chip_peak": round(kernel["mfu_vs_chip_peak"], 6),
             "vs_baseline": round(
                 kernel["sites_per_s"] / BASELINE_SITES_PER_S, 1)}
+        _note("kernel", extra["kernel"])
     if mode in ("all", "phase"):
         phase = bench_phase()
         extra["phase"] = {k: round(v, 2) if isinstance(v, float) else v
                           for k, v in phase.items()}
-    if mode in ("all", "phase_mt"):
+        _note("phase", extra["phase"])
+    if mode in ("all", "phase_mt") and _budget_left(extra, "phase_mt"):
         mt = bench_phase_mt()
         extra["phase_mt"] = {k: round(v, 2) if isinstance(v, float) else v
                              for k, v in mt.items()}
         extra["phase_mt"]["vs_baseline"] = round(
             mt["kb_per_s"] / BASELINE_PHASE_KBPS, 3)
+        _note("phase_mt", extra["phase_mt"])
         if phase is None or mt["kb_per_s"] > phase["kb_per_s"]:
             phase = mt
-    if mode in ("all", "polish"):
+    if mode in ("all", "polish") and _budget_left(extra, "polish"):
         polish = bench_polish()
         extra["polish"] = {k: round(v, 2) if isinstance(v, float) else v
                            for k, v in polish.items()}
         extra["polish"]["vs_baseline"] = round(
             polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-    if mode in ("all", "polish_multi"):
+        _note("polish", extra["polish"])
+    if mode in ("all", "polish_multi") and _budget_left(extra,
+                                                       "polish_multi"):
         pm = bench_polish_multi()
         extra["polish_multi"] = {k: round(v, 2) if isinstance(v, float) else v
                                  for k, v in pm.items()}
         extra["polish_multi"]["vs_baseline"] = round(
             pm["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+        _note("polish_multi", extra["polish_multi"])
         if polish is None or pm["bases_per_s"] > polish["bases_per_s"]:
             polish = pm
-    if mode in ("all", "polish_diploid"):
+    if mode in ("all", "polish_diploid") and _budget_left(extra,
+                                                          "polish_diploid"):
         pd = bench_polish_diploid()
         extra["polish_diploid"] = {
             k: round(v, 2) if isinstance(v, float) else v
             for k, v in pd.items()}
         extra["polish_diploid"]["vs_baseline"] = round(
             pd["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+        _note("polish_diploid", extra["polish_diploid"])
     # production 100 kb chunk geometry, single pass in the now-warm process
     # (skip with MARGIN_TPU_BENCH_SKIP_100KB=1 if the run budget is tight)
     if os.environ.get("MARGIN_TPU_BENCH_SKIP_100KB") != "1":
-        if mode in ("all", "polish_100kb"):
+        if mode in ("all", "polish_100kb") and _budget_left(extra,
+                                                            "polish_100kb"):
             try:
                 p1 = bench_polish_100kb(diploid=False)
                 extra["polish_100kb"] = {
@@ -493,9 +586,11 @@ def main():
                     p1["bases_per_s"] / BASELINE_POLISH_BPS, 3)
                 if polish is None or p1["bases_per_s"] > polish["bases_per_s"]:
                     polish = p1
+                _note("polish_100kb", extra["polish_100kb"])
             except Exception as e:  # the headline line must still print
                 extra["polish_100kb"] = {"error": repr(e)[:200]}
-        if mode in ("all", "diploid_100kb"):
+        if mode in ("all", "diploid_100kb") and _budget_left(extra,
+                                                             "diploid_100kb"):
             try:
                 p2 = bench_polish_100kb(diploid=True)
                 extra["diploid_100kb"] = {
@@ -503,34 +598,11 @@ def main():
                     for k, v in p2.items()}
                 extra["diploid_100kb"]["vs_baseline"] = round(
                     p2["bases_per_s"] / BASELINE_POLISH_BPS, 3)
+                _note("diploid_100kb", extra["diploid_100kb"])
             except Exception as e:
                 extra["diploid_100kb"] = {"error": repr(e)[:200]}
 
-    if phase is not None:
-        desc = ("multi-chunk 1Mb, %d threads, warm" % phase["threads"]
-                if "threads" in phase else "100kb golden, warm")
-        headline = {
-            "metric": f"phase end-to-end kb/s/chip ({desc})",
-            "value": round(phase["kb_per_s"], 2),
-            "unit": "kb/s/chip",
-            "vs_baseline": round(phase["kb_per_s"] / BASELINE_PHASE_KBPS, 3),
-        }
-    elif polish is not None:
-        headline = {
-            "metric": "polish end-to-end bases/s/chip (warm)",
-            "value": round(polish["bases_per_s"], 1),
-            "unit": "bases/s/chip",
-            "vs_baseline": round(
-                polish["bases_per_s"] / BASELINE_POLISH_BPS, 3),
-        }
-    else:
-        headline = {
-            "metric": "phase het sites/s/chip (pair-HMM kernel)",
-            "value": round(kernel["sites_per_s"], 1),
-            "unit": "sites/s/chip",
-            "vs_baseline": round(
-                kernel["sites_per_s"] / BASELINE_SITES_PER_S, 2),
-        }
+    headline = _headline_from(extra)
     headline["extra"] = extra
     print(json.dumps(headline))
 
