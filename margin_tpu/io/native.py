@@ -62,6 +62,15 @@ def lib() -> Optional[ctypes.CDLL]:
     L.mio_iter_next.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     L.mio_iter_destroy.argtypes = [ctypes.c_void_p]
+    L.mio_fetch_region_all.restype = ctypes.c_int64
+    L.mio_fetch_region_all.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
+    L.mio_buf_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    L.mio_buf_free.restype = None
+    L.mio_sizes_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+    L.mio_sizes_free.restype = None
     L.mio_write_haplotagged.restype = ctypes.c_int
     L.mio_write_haplotagged.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
@@ -132,17 +141,30 @@ class NativeBam:
                         names=names)
 
     def fetch_raw(self, tid: int, start: int, end: int):
-        """Yield raw record payload bytes overlapping [start, end)."""
-        it = self._lib.mio_iter_region(self._h, tid, start, end)
-        ptr = ctypes.POINTER(ctypes.c_uint8)()
+        """Yield raw record payload bytes overlapping [start, end).
+
+        One native call fetches the whole region (concatenated payloads +
+        size table); the per-record iterator round-trip through ctypes
+        dominated the readextract profile at ~0.2 ms/record."""
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        sizes = ctypes.POINTER(ctypes.c_int64)()
+        n = self._lib.mio_fetch_region_all(self._h, tid, start, end,
+                                           ctypes.byref(out),
+                                           ctypes.byref(sizes))
+        if n < 0:
+            raise IOError("mio_fetch_region_all failed")
         try:
-            while True:
-                sz = self._lib.mio_iter_next(it, ctypes.byref(ptr))
-                if sz <= 0:
-                    return
-                yield ctypes.string_at(ptr, sz)
+            if n == 0:
+                return
+            sz = np.ctypeslib.as_array(sizes, shape=(n,))
+            blob = ctypes.string_at(out, int(sz.sum()))
+            off = 0
+            for s in sz.tolist():
+                yield blob[off:off + s]
+                off += s
         finally:
-            self._lib.mio_iter_destroy(it)
+            self._lib.mio_buf_free(out)
+            self._lib.mio_sizes_free(sizes)
 
 
 def write_haplotagged_native(bam_in: str, bam_out: str, tags: Dict[str, int],

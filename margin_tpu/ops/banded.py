@@ -999,7 +999,6 @@ class _PallasRun:
         self.buckets: dict = {}     # (w_pad, use_rle) -> [(d_pad, ref)]
         self.fallback: list = []    # refs for the native/scan side pool
         self.fb_futures: list = []  # (future, [refs])
-        self.inflight: _PackHandle | None = None
 
     def add(self, refs):
         dbg = os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2")
@@ -1028,10 +1027,12 @@ class _PallasRun:
             # SV-ish outliers
             w_pad = (16 if geom.w_pad <= 16
                      else (64 if geom.w_pad <= 64 else 128))
-            # guard: smoothed storage blows up when anchors are wildly
-            # non-colinear — the ~12 (D, W, 128) f32 working buffers must
-            # fit comfortably in HBM, else use the scan path for this item
-            if geom.w_pad > 128 or d_pad * w_pad * 128 * 4 * 12 > 12e9:
+            # guard: the posterior grid (D, 3, W, B) is held by up to two
+            # in-flight pack handles plus the forward transient; at the
+            # reduced 64-lane pack width the grid must stay <= ~3 GB or
+            # the item routes to the native/scan fallback (smoothed
+            # storage also blows up on wildly non-colinear anchors)
+            if geom.w_pad > 128 or d_pad * w_pad * (3 * 64 * 4) > 3e9:
                 if dbg:
                     print(f"[pallas] fallback item lx={lx} ly={ly} "
                           f"d={geom.d_pad} w={geom.w_pad} "
@@ -1057,10 +1058,7 @@ class _PallasRun:
             self.expansion, self.threshold, self.use_lut, self.dynamic)
         self.fb_futures.append((fut, refs))
 
-    def _finish_inflight(self):
-        if self.inflight is None:
-            return
-        h, self.inflight = self.inflight, None
+    def _finish_handle(self, h: "_PackHandle"):
         _finish_pack(h)
         if self.complete_cb is not None:
             for ref in h.refs:
@@ -1069,11 +1067,16 @@ class _PallasRun:
     def _next_pack(self):
         """Pop up to _PACK_MAX_B items from the fullest bucket (largest-d
         first keeps deep problems together: the pack's compiled D is its
-        max d)."""
+        max d). Very deep packs drop to 64 lanes so the posterior grid
+        stays within the in-flight HBM budget (production 100 kb reads:
+        D ~2e5 diagonals)."""
         key = max(self.buckets, key=lambda k: len(self.buckets[k]))
         lst = self.buckets[key]
         lst.sort(key=lambda t: -t[0])
-        pack, rest = lst[:_PACK_MAX_B], lst[_PACK_MAX_B:]
+        d_pad = lst[0][0]
+        max_b = (_PACK_MAX_B
+                 if d_pad * key[0] * (3 * 128 * 4) <= 3e9 else 64)
+        pack, rest = lst[:max_b], lst[max_b:]
         if rest:
             self.buckets[key] = rest
         else:
@@ -1081,30 +1084,60 @@ class _PallasRun:
         return key, pack
 
     def drain(self, refill=None):
-        """Launch/finish until no work remains; `refill()` may return more
-        refs to absorb between packs."""
+        """Launch until no work remains; `refill()` may return more refs to
+        absorb between packs. Pack HOST prep (this thread) pipelines
+        against readback+unpack (a finisher thread) through a bounded
+        queue: per-pack cost becomes max(prep, device, finish) instead of
+        their sum, and the queue bound (2 in-flight posterior grids) caps
+        HBM."""
+        import queue as _queue
+
         self._flush_fallback()
-        while True:
-            if refill is not None:
-                self.add(refill())
-                self._flush_fallback()
-            if not self.buckets:
-                self._finish_inflight()
+        finish_q: _queue.Queue = _queue.Queue(maxsize=2)
+        errors: list = []
+
+        def finisher():
+            while True:
+                h = finish_q.get()
+                if h is None:
+                    finish_q.task_done()
+                    return
+                try:
+                    self._finish_handle(h)
+                except BaseException as e:
+                    errors.append(e)
+                finally:
+                    finish_q.task_done()
+
+        fin = threading.Thread(target=finisher, daemon=True,
+                               name="fb-finisher")
+        fin.start()
+        try:
+            while not errors:
                 if refill is not None:
-                    # one more look: items may have queued during the last
-                    # pack's flight
                     self.add(refill())
                     self._flush_fallback()
-                    if self.buckets:
-                        continue
-                break
-            (w_pad, use_rle), pack = self._next_pack()
-            d_pad = pack[0][0]
-            h = _launch_pack(self.tables, [r for _, r in pack], d_pad,
-                             w_pad, use_rle, self.expansion, self.use_lut,
-                             self.dynamic, self.threshold)
-            self._finish_inflight()
-            self.inflight = h
+                if not self.buckets:
+                    finish_q.join()  # let in-flight packs land
+                    if refill is not None:
+                        # one more look: items may have queued during the
+                        # last pack's flight
+                        self.add(refill())
+                        self._flush_fallback()
+                        if self.buckets:
+                            continue
+                    break
+                (w_pad, use_rle), pack = self._next_pack()
+                d_pad = pack[0][0]
+                h = _launch_pack(self.tables, [r for _, r in pack], d_pad,
+                                 w_pad, use_rle, self.expansion,
+                                 self.use_lut, self.dynamic, self.threshold)
+                finish_q.put(h)  # blocks at 2 in flight (HBM bound)
+        finally:
+            finish_q.put(None)
+            fin.join()
+        if errors:
+            raise errors[0]
         for fut, refs in self.fb_futures:
             for ref, r in zip(refs, fut.result()):
                 self._store(ref, r)

@@ -742,6 +742,39 @@ int64_t mio_iter_next(MioIter* it, const uint8_t** payload) {
 
 void mio_iter_destroy(MioIter* it) { delete it; }
 
+// Batched region fetch: every overlapping record's payload concatenated
+// into one malloc'd buffer with a size table — ONE ctypes crossing per
+// region instead of one per record (the per-record iterator round-trip
+// dominated the Python-side readextract profile). *out/*sizes are
+// malloc'd; caller frees via mio_buf_free. Returns record count, or -1.
+int64_t mio_fetch_region_all(MioBam* m, int tid, int64_t start, int64_t end,
+                             uint8_t** out, int64_t** sizes) {
+    MioIter* it = mio_iter_region(m, tid, start, end);
+    std::vector<uint8_t> data;
+    std::vector<int64_t> sz;
+    data.reserve(1 << 20);
+    const uint8_t* rec;
+    int64_t n;
+    while ((n = mio_iter_next(it, &rec)) > 0) {
+        data.insert(data.end(), rec, rec + n);
+        sz.push_back(n);
+    }
+    mio_iter_destroy(it);
+    *out = (uint8_t*)malloc(data.size() ? data.size() : 1);
+    *sizes = (int64_t*)malloc(sz.size() ? sz.size() * 8 : 8);
+    if (!*out || !*sizes) {
+        free(*out);
+        free(*sizes);
+        return -1;
+    }
+    memcpy(*out, data.data(), data.size());
+    memcpy(*sizes, sz.data(), sz.size() * 8);
+    return (int64_t)sz.size();
+}
+
+void mio_buf_free(uint8_t* p) { free(p); }
+void mio_sizes_free(int64_t* p) { free(p); }
+
 // Haplotagged-BAM rewrite (writeHaplotaggedBam, htsIntegration.c:1310-1503).
 // names: NUL-separated blob of n_names names; haps: parallel 1/2 values.
 // Returns 0 on success; counts_out = {h1, h2, h0}.
