@@ -1027,12 +1027,16 @@ class _PallasRun:
             # SV-ish outliers
             w_pad = (16 if geom.w_pad <= 16
                      else (64 if geom.w_pad <= 64 else 128))
-            # guard: the posterior grid (D, 3, W, B) is held by up to two
-            # in-flight pack handles plus the forward transient; at the
-            # reduced 64-lane pack width the grid must stay <= ~3 GB or
-            # the item routes to the native/scan fallback (smoothed
-            # storage also blows up on wildly non-colinear anchors)
-            if geom.w_pad > 128 or d_pad * w_pad * (3 * 64 * 4) > 3e9:
+            # guard: TPU tiling pads the lane dim to 128 PHYSICALLY, so a
+            # pack's HBM cost is d*w*128-based at ANY batch width (measured:
+            # a 32-lane deep pack still compiled to a 15 GB program, 4x
+            # lane padding). The working set is ~4x the padded posterior
+            # grid; items beyond it route to the native C++ kernel.
+            # Production 100 kb reads (D ~2e5) exceed any single-launch
+            # budget — the on-device answer is a checkpointed
+            # (rematerializing) FB that bounds stored diagonals, noted in
+            # PERF_NOTES for round 5.
+            if geom.w_pad > 128 or d_pad * w_pad * (3 * 128 * 4) > 3e9:
                 if dbg:
                     print(f"[pallas] fallback item lx={lx} ly={ly} "
                           f"d={geom.d_pad} w={geom.w_pad} "
@@ -1073,10 +1077,7 @@ class _PallasRun:
         key = max(self.buckets, key=lambda k: len(self.buckets[k]))
         lst = self.buckets[key]
         lst.sort(key=lambda t: -t[0])
-        d_pad = lst[0][0]
-        max_b = (_PACK_MAX_B
-                 if d_pad * key[0] * (3 * 128 * 4) <= 3e9 else 64)
-        pack, rest = lst[:max_b], lst[max_b:]
+        pack, rest = lst[:_PACK_MAX_B], lst[_PACK_MAX_B:]
         if rest:
             self.buckets[key] = rest
         else:
@@ -1365,8 +1366,14 @@ def _solve_fallback_items(tables, items, expansion, threshold, use_lut,
         geom = BandGeometry.build(it["anchors"], len(it["x_sym"]),
                                   len(it["y_sym"]), expansion,
                                   dynamic=dynamic, smooth=False)
+        # these items were REJECTED from the device path (HBM guard /
+        # degenerate geometry): above the CPU mid-size threshold the
+        # native C++ kernel (~5.7M cells/s/thread) beats the jax-CPU scan
+        # by a wide margin — production 100 kb reads (a few Mcells) land
+        # here and must NOT take the scan (measured: a 100 kb chunk's
+        # realign was ~47 min on the scan path vs ~tens of seconds native)
         if (native_fb.lib() is not None
-                and _true_band_cells(geom) > _MONSTER_CELLS):
+                and _true_band_cells(geom) > _NATIVE_SCAN_CELLS_CPU):
             native_items.append(it)
             native_idx.append(i)
         else:

@@ -659,7 +659,8 @@ def fb_posteriors_group(tables, items, d_pad: int, w_pad: int,
     # lane quantum 64: a half-full group (the common realign shape, ~40-50
     # reads per pass) then pays half the emission-gather and extraction
     # element count; Mosaic pads the physical lane dim internally, so the
-    # kernel cost is unchanged
+    # kernel cost is unchanged (and sub-64 quanta buy NOTHING in HBM —
+    # tiling pads lanes back to 128 physically)
     b_pad = max(64, int(np.ceil(B_real / 64)) * 64)
     block_d = _block_d(w_pad, b_pad)
     d_use = int(np.ceil(d_pad / block_d)) * block_d
