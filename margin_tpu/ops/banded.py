@@ -1442,7 +1442,51 @@ def banded_posteriors_many(tables: PairHmmTables, items,
         # parent, whose funnel merges ALL workers' concurrent batches —
         # host Python runs GIL-free across processes while the one chip
         # sees full-lane cross-worker packs (and the worker stays jax-free:
-        # this check runs before any pytree registration)
+        # this check runs before any pytree registration).
+        # Items the parent's HBM guard would bounce to ITS CPU fallback
+        # (production 100 kb reads) solve on THIS worker's native kernel
+        # instead: fallback capacity then scales with the worker count
+        # rather than serializing on the parent's cores.
+        from margin_tpu.ops import native_fb
+        local_idx: list = []
+        if native_fb.lib() is not None:
+            for i, it in enumerate(items):
+                lx, ly = len(it["x_sym"]), len(it["y_sym"])
+                if lx + ly == 0:
+                    continue
+                geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
+                                          dynamic=dynamic, smooth=True)
+                d_pad = max(_bucket_dpad(geom.d_pad), 6144)
+                w_pad = (16 if geom.w_pad <= 16
+                         else (64 if geom.w_pad <= 64 else 128))
+                if ((geom.w_pad > 128
+                     or d_pad * w_pad * (3 * 128 * 4) > 3e9)
+                        and _true_band_cells(geom) > _NATIVE_SCAN_CELLS_CPU):
+                    local_idx.append(i)
+        if local_idx:
+            results = [None] * len(items)
+            local_set = set(local_idx)
+            remote_idx = [i for i in range(len(items))
+                          if i not in local_set]
+            remote_fut = None
+            if remote_idx:
+                # ship the device-eligible batch FIRST so the parent's
+                # funnel works while this worker crunches its natives
+                from concurrent.futures import ThreadPoolExecutor
+                pool = ThreadPoolExecutor(max_workers=1)
+                remote_fut = pool.submit(
+                    executor.ipc_banded, tables,
+                    [items[i] for i in remote_idx], expansion, threshold,
+                    use_lut, dynamic)
+                pool.shutdown(wait=False)
+            for i, r in zip(local_idx, _solve_native_items(
+                    tables, [items[i] for i in local_idx], expansion,
+                    threshold, use_lut, dynamic)):
+                results[i] = r
+            if remote_fut is not None:
+                for i, r in zip(remote_idx, remote_fut.result()):
+                    results[i] = r
+            return results
         return executor.ipc_banded(tables, items, expansion, threshold,
                                    use_lut, dynamic)
     _ensure_registered()

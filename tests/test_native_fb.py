@@ -141,3 +141,58 @@ def test_cpu_midsize_default_native_matches_scan(tables):
     assert t1 == t2
     for a, b in ((m1, m2), (g1x, g2x), (g1y, g2y)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ipc_worker_local_fallback_split(tables, monkeypatch):
+    """Worker-process routing: items the parent's HBM guard would bounce
+    (deep production-length bands) solve on the worker's OWN native kernel;
+    only device-eligible items ride the IPC socket (banded.py worker
+    branch). Results land in request order either way."""
+    from margin_tpu.ops import native_fb
+    from margin_tpu.parallel import executor
+
+    if native_fb.lib() is None:
+        pytest.skip("native fb unavailable")
+    rng = np.random.default_rng(11)
+    lx = ly = 70000
+    x = rng.integers(0, 4, lx).astype(np.uint8)
+    y = x.copy()
+    mut = rng.random(ly) < 0.1
+    y[mut] = rng.integers(0, 4, mut.sum()).astype(np.uint8)
+    anchors = [(i, i, 4) for i in range(0, lx, 40)]
+    big = dict(x_sym=x, y_sym=y, anchors=anchors, strand=0)
+    small = dict(x_sym=x[:60], y_sym=y[:60], anchors=[], strand=1)
+    geom = banded.BandGeometry.build(anchors, lx, ly, 20, smooth=True)
+    d_pad = max(banded._bucket_dpad(geom.d_pad), 6144)
+    assert d_pad * 16 * (3 * 128 * 4) > 3e9  # the guard rejects it
+
+    seen = []
+
+    class StubClient:
+        def banded(self, tables_, items, expansion, threshold, use_lut,
+                   dynamic):
+            seen.append(len(items))
+            return banded._posteriors_many_scan(
+                tables_, items, expansion, threshold=threshold,
+                use_lut=use_lut, dynamic=dynamic)
+
+        def score(self, *a):  # pragma: no cover
+            raise AssertionError
+
+    monkeypatch.setattr(executor, "_IPC_CLIENT", StubClient())
+    try:
+        results = banded.banded_posteriors_many(tables, [big, small], 20)
+    finally:
+        monkeypatch.setattr(executor, "_IPC_CLIENT", None)
+    assert seen == [1]  # only the small item crossed the "socket"
+    # the big item's result matches the native kernel run directly
+    [direct_big] = banded._solve_native_items(tables, [big], 20, 0.01,
+                                              False, False)
+    (mb, gbx, gby), tb = results[0]
+    (md, gdx, gdy), td = direct_big
+    assert tb == td
+    np.testing.assert_array_equal(mb, md)
+    # the small item's result matches the scan path
+    [direct_small] = banded._posteriors_many_scan(tables, [small], 20)
+    assert results[1][1] == direct_small[1]
+    np.testing.assert_array_equal(results[1][0][0], direct_small[0][0])
