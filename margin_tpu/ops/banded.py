@@ -1012,6 +1012,14 @@ class _PallasRun:
             geom = BandGeometry.build(it["anchors"], lx, ly, self.expansion,
                                       dynamic=self.dynamic, smooth=True)
             ref.geom = geom
+            # latency-aware routing: bands too small to amortize a pack's
+            # fixed launch cost solve on the host's native kernel (see
+            # _device_min_cells; 0 on real local chips)
+            from margin_tpu.ops import native_fb as _nfb
+            if (_nfb.lib() is not None
+                    and _true_band_cells(geom) < _device_min_cells()):
+                self.fallback.append(ref)
+                continue
             d_pad = _bucket_dpad(geom.d_pad)
             # floor the compiled diagonal bucket on real accelerators: the
             # shallow tail (short consensus re-alignments) otherwise spawns
@@ -1332,6 +1340,49 @@ def _true_band_cells(geom: BandGeometry) -> int:
     return int(np.maximum(w, 0).sum())
 
 
+_DEVICE_MIN_CELLS = None
+
+
+def _device_min_cells() -> int:
+    """Items whose exact band is SMALLER than this solve on the host's
+    native C++ kernel instead of riding a device pack.
+
+    On the tunneled dev chip a pack costs seconds of fixed latency
+    (input transfer + dispatch + readback) regardless of fill, while the
+    native kernel does ~5.7M band cells/s/thread with zero launch cost —
+    measured on the 6 kb polish bench, a 64-lane D=12288 pack costs
+    2-6 s end to end against <1 s of actual kernel compute. Sub-2M-cell
+    items are therefore faster on the host THERE; on a real local chip
+    the launch overhead is ~ms and the threshold drops to 0 (every band
+    worth batching goes to the device). MARGIN_TPU_DEVICE_BAND_CELLS
+    overrides; the parent exports its decision to process workers so
+    thread- and process-mode routing stay identical."""
+    global _DEVICE_MIN_CELLS
+    if _DEVICE_MIN_CELLS is None:
+        v = os.environ.get("MARGIN_TPU_DEVICE_BAND_CELLS")
+        if v is not None:
+            _DEVICE_MIN_CELLS = int(v)
+            return _DEVICE_MIN_CELLS
+        from margin_tpu.parallel import executor as _ex
+        if _ex.has_ipc_client():
+            # worker without an explicit policy: ship everything (the
+            # parent normally exports MARGIN_TPU_DEVICE_BAND_CELLS)
+            _DEVICE_MIN_CELLS = 0
+            return 0
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        # the tunneled dev chip registers as plain "tpu"; the axon plugin's
+        # env vars are the reliable tunnel marker
+        tunneled = (backend != "cpu"
+                    and ("PALLAS_AXON_POOL_IPS" in os.environ
+                         or "_AXON_REGISTERED" in os.environ))
+        _DEVICE_MIN_CELLS = 2_000_000 if tunneled else 0
+        os.environ["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(_DEVICE_MIN_CELLS)
+    return _DEVICE_MIN_CELLS
+
+
 def _solve_native_items(tables, items, expansion, threshold, use_lut,
                         dynamic):
     """Native C++ banded FB over a list of items, threaded (the GIL drops
@@ -1345,7 +1396,9 @@ def _solve_native_items(tables, items, expansion, threshold, use_lut,
                                             threshold, use_lut, dynamic)
 
     results = [None] * len(items)
-    with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+    n_threads = int(os.environ.get("MARGIN_TPU_NATIVE_FB_THREADS", "4"))
+    with ThreadPoolExecutor(max_workers=max(1, min(n_threads,
+                                                   len(items)))) as ex:
         for i, r in ex.map(one, range(len(items))):
             results[i] = r
     return results
@@ -1367,13 +1420,14 @@ def _solve_fallback_items(tables, items, expansion, threshold, use_lut,
                                   len(it["y_sym"]), expansion,
                                   dynamic=dynamic, smooth=False)
         # these items were REJECTED from the device path (HBM guard /
-        # degenerate geometry): above the CPU mid-size threshold the
-        # native C++ kernel (~5.7M cells/s/thread) beats the jax-CPU scan
-        # by a wide margin — production 100 kb reads (a few Mcells) land
-        # here and must NOT take the scan (measured: a 100 kb chunk's
-        # realign was ~47 min on the scan path vs ~tens of seconds native)
-        if (native_fb.lib() is not None
-                and _true_band_cells(geom) > _NATIVE_SCAN_CELLS_CPU):
+        # latency routing / degenerate geometry): the native C++ kernel
+        # (~5.7M cells/s/thread) beats the jax-CPU scan at every size that
+        # lands here AND avoids per-shape jax-CPU compiles, so it takes
+        # everything when built (scan parity is exact,
+        # tests/test_native_fb.py). Production 100 kb reads especially
+        # must NOT take the scan (measured: a 100 kb chunk's realign was
+        # ~47 min on the scan path vs ~tens of seconds native)
+        if native_fb.lib() is not None:
             native_items.append(it)
             native_idx.append(i)
         else:
@@ -1459,9 +1513,15 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                 d_pad = max(_bucket_dpad(geom.d_pad), 6144)
                 w_pad = (16 if geom.w_pad <= 16
                          else (64 if geom.w_pad <= 64 else 128))
+                cells = _true_band_cells(geom)
                 if ((geom.w_pad > 128
                      or d_pad * w_pad * (3 * 128 * 4) > 3e9)
-                        and _true_band_cells(geom) > _NATIVE_SCAN_CELLS_CPU):
+                        and cells > _NATIVE_SCAN_CELLS_CPU):
+                    local_idx.append(i)
+                elif cells < _device_min_cells():
+                    # too small to amortize a device pack's fixed launch
+                    # latency (parent exports the threshold; see
+                    # _device_min_cells) — crunch on this worker's cores
                     local_idx.append(i)
         if local_idx:
             results = [None] * len(items)
@@ -1492,6 +1552,51 @@ def banded_posteriors_many(tables: PairHmmTables, items,
     _ensure_registered()
     from margin_tpu.ops import pallas_banded
     if pallas_banded.use_pallas():
+        from margin_tpu.ops import native_fb as _nfb
+        min_cells = _device_min_cells()
+        if min_cells > 0 and _nfb.lib() is not None and len(items) > 0:
+            # latency-aware split (same policy process workers apply):
+            # bands too small to amortize a pack's fixed launch cost solve
+            # on THIS caller's thread via the native kernel (GIL-free C++,
+            # so concurrent chunk threads use all cores) while the rest
+            # rides the funnel. On real local chips min_cells is 0 and
+            # everything batches onto the device.
+            local_idx = []
+            for i, it in enumerate(items):
+                lx, ly = len(it["x_sym"]), len(it["y_sym"])
+                if lx + ly == 0:
+                    continue
+                geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
+                                          dynamic=dynamic, smooth=True)
+                if _true_band_cells(geom) < min_cells:
+                    local_idx.append(i)
+            if local_idx:
+                results = [None] * len(items)
+                local_set = set(local_idx)
+                rest_idx = [i for i in range(len(items))
+                            if i not in local_set]
+                rest_fut = None
+                if rest_idx:
+                    from concurrent.futures import ThreadPoolExecutor
+                    pool = ThreadPoolExecutor(max_workers=1)
+                    rest_items = [items[i] for i in rest_idx]
+                    if _fb_funnel_enabled():
+                        rest_fut = pool.submit(
+                            _FB_FUNNEL.solve, tables, rest_items, expansion,
+                            threshold, use_lut, dynamic)
+                    else:
+                        rest_fut = pool.submit(
+                            _posteriors_many_pallas, tables, rest_items,
+                            expansion, threshold, use_lut, dynamic)
+                    pool.shutdown(wait=False)
+                for i, r in zip(local_idx, _solve_native_items(
+                        tables, [items[i] for i in local_idx], expansion,
+                        threshold, use_lut, dynamic)):
+                    results[i] = r
+                if rest_fut is not None:
+                    for i, r in zip(rest_idx, rest_fut.result()):
+                        results[i] = r
+                return results
         if _fb_funnel_enabled():
             # cross-chunk funnel: concurrent chunk threads' requests merge
             # into shared full-lane pipelined launches (polish.c:475-478's

@@ -274,6 +274,14 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
     env = dict(os.environ)
     env.update(server.env())
     env["MARGIN_TPU_PLATFORM"] = "cpu"
+    # export the parent's device-vs-native band routing policy so worker
+    # and thread modes route identically (see ops.banded._device_min_cells),
+    # and budget each worker's native-FB threads so n_workers pools don't
+    # oversubscribe the host
+    from margin_tpu.ops import banded as _banded
+    env["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(_banded._device_min_cells())
+    env.setdefault("MARGIN_TPU_NATIVE_FB_THREADS",
+                   str(max(1, (os.cpu_count() or 4) // max(1, n_workers))))
     # workers never touch a device: skip the sitecustomize accelerator-plugin
     # registration (it imports jax at interpreter startup, ~2 s per worker)
     # and point any stray jax use at the CPU backend
