@@ -219,6 +219,14 @@ def main(argv=None):
                 jax.devices()
         except Exception:
             pass
+        # resolve + export the device-band routing threshold ONCE while
+        # still single-threaded: worker threads/processes inherit the env
+        # instead of racing a lazy env mutation (ops.banded)
+        try:
+            from margin_tpu.ops.banded import resolve_device_band_policy
+            resolve_device_band_policy()
+        except Exception:
+            pass
     # worker processes spawned by --workers process route their device
     # scoring back to the parent over a socket
     from margin_tpu.parallel.ipc import maybe_install_client

@@ -703,10 +703,12 @@ def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
 
     Two int32 words per pair (int64 is unavailable without x64):
     lo = prob (24 bits, floor(min(p,1)*1e7) <= 1e7) | k << 24 (7 bits,
-    band storage offset, W <= 128); hi = d (18 bits, diagonal, D < 262144)
-    | tag << 18 (= 3*problem + state, <= 10 bits). Invalid slots carry
-    INT32_MAX in both words. x/y positions are recovered host-side from
-    (d, k, b) and the band bases — they would not fit the words."""
+    band storage offset, W <= 128); hi = d (22 bits, diagonal, D < 4.2M —
+    covers ultralong reads on the segmented FB) | tag << 22 (= 3*problem
+    + state, <= 9 bits at the 128-lane pack cap, keeping the sign bit
+    clear). Invalid slots carry INT32_MAX in both words (tag 511 is
+    unreachable: 3*128+2 = 386). x/y positions are recovered host-side
+    from (d, k, b) and the band bases — they would not fit the words."""
     k_iota = jnp.arange(post.shape[2])[None, :, None]
     xb = jnp.transpose(x_base, (1, 0))[:, None, :]
     yb = jnp.transpose(y_base, (1, 0))[:, None, :]
@@ -724,7 +726,7 @@ def _device_extract_flat(post, x_base, y_base, valid_b, threshold, K: int):
     valid = jnp.arange(K) < total
     tag = (b_i * 3 + s_i).astype(jnp.int32)
     lo = probs | (k_i.astype(jnp.int32) << 24)
-    hi = d_i.astype(jnp.int32) | (tag << 18)
+    hi = d_i.astype(jnp.int32) | (tag << 22)
     invalid = jnp.int32(0x7FFFFFFF)
     # total rides along so a single-phase caller can guess K and detect
     # overflow without a separate count pass over the grid
@@ -754,8 +756,8 @@ def _unpack_extract(lo: np.ndarray, hi: np.ndarray, xb_np: np.ndarray,
     assert lo.size == total, (lo.size, total)
     vals = (lo & 0xFFFFFF).astype(np.int64)
     k = (lo >> 24) & 0x7F
-    d = (hi & 0x3FFFF).astype(np.int64)
-    tags = (hi >> 18).astype(np.int64)
+    d = (hi & 0x3FFFFF).astype(np.int64)
+    tags = (hi >> 22).astype(np.int64)
     b = tags // 3
     pxs = xb_np[b, d] + k          # x_pos - 1 = x_base + 1 + k - 1
     pys = yb_np[b, d] - k          # y_pos - 1 = y_base + 1 - k - 1
@@ -853,9 +855,51 @@ class _PackHandle:
                  "threshold", "t_launch", "sum_d")
 
 
+class _PackHandleSeg:
+    """An in-flight segmented (checkpointed-FB) pack: the packed readback
+    covers count + max-segment-count + totals + pair words; `retry`
+    re-runs only the backward/extraction with bigger capacities (the
+    forward checkpoints stay alive on device via its closure)."""
+    __slots__ = ("refs", "packed", "retry", "K", "K_seg", "b_pad",
+                 "geoms", "xb_np", "yb_np", "totals_dtype", "d_pad", "w_pad",
+                 "threshold", "t_launch", "sum_d")
+
+
 # pack width: lanes pad to 128 anyway, so problems of different depth merge
 # freely; kernel+gather cost per launch is set by the pack's max d
 _PACK_MAX_B = 128
+
+
+def _seg_min_d() -> int:
+    """Bucketed diagonal depth above which packs route to the segmented
+    (checkpointed) FB instead of the monolithic store-everything kernel.
+    Shallow packs keep the monolithic path (fewer launches, already-warm
+    compiles); deep packs MUST segment (the monolithic program for a
+    production 100 kb read would be ~15 GB)."""
+    v = os.environ.get("MARGIN_TPU_SEG_MIN_D")
+    return int(v) if v else 16384
+
+
+def _seg_enabled() -> bool:
+    return os.environ.get("MARGIN_TPU_SEG_FB", "1") != "0"
+
+
+def _fits_monolithic(d_pad: int, w_pad: int) -> bool:
+    """HBM guard for the monolithic Pallas FB: TPU tiling pads the lane
+    dim to 128 PHYSICALLY, so a pack's HBM cost is d*w*128-based at ANY
+    batch width (measured: a 32-lane deep pack still compiled to a 15 GB
+    program). The working set is ~4x the padded posterior grid."""
+    return d_pad * w_pad * (3 * 128 * 4) <= 3e9
+
+
+def _segments_fit(d_pad: int, w_pad: int) -> bool:
+    """Whether a (d, w) bucket fits SOME device program: the monolithic
+    kernel under its HBM guard, or the segmented FB up to the extraction
+    hi-word's 22-bit diagonal budget (~4.2M diagonals — beyond any real
+    read)."""
+    if _fits_monolithic(d_pad, w_pad):
+        return True
+    return _seg_enabled() and d_pad < (1 << 22)
 
 
 def _interpret_mode_pallas() -> bool:
@@ -901,8 +945,8 @@ def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
     while K < 1.5 * ppd * sum_d:
         K *= 4
     # bit-pack capacity of the flat extraction word
-    assert post.shape[0] < (1 << 18) and post.shape[2] <= 128 \
-        and b_pad * 3 < (1 << 10), post.shape
+    assert post.shape[0] < (1 << 22) and post.shape[2] <= 128 \
+        and b_pad * 3 < 511, post.shape
     packed = _device_extract_packed(post, xb, yb, valid_b, totals,
                                     threshold, K)
     h = _PackHandle()
@@ -916,6 +960,35 @@ def _launch_pack(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
     h.sum_d = sum_d
     h.t_launch = time.perf_counter() - t0
     return h
+
+
+def _store_pack_results(h, b_pad: int, lo, hi, total: int, totals_np,
+                        t0: float, t1: float, kcap: int):
+    """Shared finish tail: update the pairs-per-diagonal hint, unpack the
+    packed words, sort into per-(problem, state) runs, store every ref."""
+    n = len(h.refs)
+    ppd = _FLAT_PAIRS_HINT.get(h.w_pad, 2.0)
+    _FLAT_PAIRS_HINT[h.w_pad] = 0.5 * ppd + 0.5 * total / max(h.sum_d, 1)
+    from margin_tpu.parallel.executor import DEVICE_STATS
+    DEVICE_STATS.add(n, h.d_pad * h.w_pad * b_pad, t1 - t0)
+    vals, pxs, pys, tags = _unpack_extract(lo, hi, h.xb_np, h.yb_np, total)
+    # order pairs by (tag, x, y) and split into per-(problem, state) runs —
+    # same (x, y) lexsort the per-item path used
+    order = np.lexsort((pys, pxs, tags))
+    vals, pxs, pys, tags = (a[order] for a in (vals, pxs, pys, tags))
+    bounds = np.searchsorted(tags, np.arange(3 * n + 1))
+    for k, ref in enumerate(h.refs):
+        out = []
+        for s in range(3):
+            a, b = bounds[3 * k + s], bounds[3 * k + s + 1]
+            out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
+                                axis=1).astype(np.int64))
+        ref.out[ref.idx] = (tuple(out), float(totals_np[k]))
+    if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2"):
+        kind = "seg" if isinstance(h, _PackHandleSeg) else "pack"
+        print(f"[pallas] {kind} d={h.d_pad} w={h.w_pad} B={n}: launch "
+              f"{h.t_launch:.2f}s wait {t1-t0:.2f}s extract({total}/{kcap}) "
+              f"host {time.perf_counter()-t1:.2f}s", flush=True)
 
 
 def _finish_pack(h: _PackHandle):
@@ -940,28 +1013,74 @@ def _finish_pack(h: _PackHandle):
                                          h.threshold, K2)
         lo, hi = np.asarray(lo), np.asarray(hi)
         t1 = time.perf_counter()
-    n = len(h.refs)
-    ppd = _FLAT_PAIRS_HINT.get(h.w_pad, 2.0)
-    _FLAT_PAIRS_HINT[h.w_pad] = 0.5 * ppd + 0.5 * total / max(h.sum_d, 1)
-    from margin_tpu.parallel.executor import DEVICE_STATS
-    DEVICE_STATS.add(n, h.d_pad * h.w_pad * b_pad, t1 - t0)
-    vals, pxs, pys, tags = _unpack_extract(lo, hi, h.xb_np, h.yb_np, total)
-    # order pairs by (tag, x, y) and split into per-(problem, state) runs —
-    # same (x, y) lexsort the per-item path used
-    order = np.lexsort((pys, pxs, tags))
-    vals, pxs, pys, tags = (a[order] for a in (vals, pxs, pys, tags))
-    bounds = np.searchsorted(tags, np.arange(3 * n + 1))
-    for k, ref in enumerate(h.refs):
-        out = []
-        for s in range(3):
-            a, b = bounds[3 * k + s], bounds[3 * k + s + 1]
-            out.append(np.stack([vals[a:b], pxs[a:b], pys[a:b]],
-                                axis=1).astype(np.int64))
-        ref.out[ref.idx] = (tuple(out), float(totals_np[k]))
-    if os.environ.get("MARGIN_TPU_PALLAS_DEBUG") in ("1", "2"):
-        print(f"[pallas] pack d={h.d_pad} w={h.w_pad} B={n}: launch "
-              f"{h.t_launch:.2f}s wait {t1-t0:.2f}s extract({total}/{h.K}) "
-              f"host {time.perf_counter()-t1:.2f}s", flush=True)
+    _store_pack_results(h, b_pad, lo, hi, total, totals_np, t0, t1, h.K)
+
+
+def _launch_pack_seg(tables, refs, d_pad: int, w_pad: int, use_rle: bool,
+                     expansion: int, use_lut: bool, dynamic: bool,
+                     threshold: float) -> _PackHandleSeg:
+    """Dispatch the segmented (checkpointed) FB for one DEEP pack — the
+    production-read-length path. One forward-checkpoint program + one
+    backward-remat program enqueue; nothing reads back here."""
+    from margin_tpu.ops import pallas_banded
+
+    t0 = time.perf_counter()
+    B_real = len(refs)
+    sum_d = sum(g.lx + g.ly + 1 for g in (r.geom for r in refs))
+    ppd = _FLAT_PAIRS_HINT.get(w_pad, 2.0)
+    K = 16384
+    while K < 1.5 * ppd * sum_d:
+        K *= 4
+    S = pallas_banded._seg_d(w_pad)
+    K_seg = 16384
+    while K_seg < 1.5 * ppd * S * B_real:
+        K_seg *= 4
+    packed, geoms, retry = pallas_banded.fb_posteriors_group_seg(
+        tables, [r.item for r in refs], d_pad, w_pad, expansion, use_lut,
+        dynamic, use_rle, threshold, K, K_seg,
+        geoms_in=[r.geom for r in refs])
+    h = _PackHandleSeg()
+    h.refs = refs
+    h.packed, h.retry, h.K, h.K_seg = packed, retry, K, K_seg
+    h.b_pad = max(64, int(np.ceil(B_real / 64)) * 64)
+    h.geoms = geoms
+    h.xb_np = np.stack([g.x_base for g in geoms])
+    h.yb_np = np.stack([g.y_base for g in geoms])
+    h.totals_dtype = np.dtype(np.asarray(tables.match).dtype)
+    h.d_pad = geoms[0].d_pad  # the segmented d_use
+    h.w_pad = w_pad
+    h.threshold = threshold
+    h.sum_d = sum_d
+    h.t_launch = time.perf_counter() - t0
+    return h
+
+
+def _finish_pack_seg(h: _PackHandleSeg):
+    """Read back one segmented pack's packed output; on capacity overflow
+    (count > K or a segment beyond K_seg) re-run ONLY the backward pass
+    with exact capacities — the forward checkpoints are still on device."""
+    t0 = time.perf_counter()
+    arr = np.asarray(h.packed)  # the synchronization point
+    t1 = time.perf_counter()
+    K, K_seg = h.K, h.K_seg
+    words_per_total = np.dtype(h.totals_dtype).itemsize // 4
+    nt = h.b_pad * words_per_total
+    for _ in range(4):
+        total, mx = int(arr[0]), int(arr[1])
+        if total <= K and mx <= K_seg:
+            break
+        while K < total:
+            K *= 4
+        while K_seg < mx:
+            K_seg *= 4
+        arr = np.asarray(h.retry(K, K_seg))
+        t1 = time.perf_counter()
+    total = int(arr[0])
+    totals_np = arr[2:2 + nt].view(h.totals_dtype).astype(np.float64)
+    KB = K + K_seg
+    lo = arr[2 + nt:2 + nt + KB]
+    hi = arr[2 + nt + KB:2 + nt + 2 * KB]
+    _store_pack_results(h, h.b_pad, lo, hi, total, totals_np, t0, t1, K)
 
 
 # shared pool for monster/degenerate fallback items: the native C++ kernel
@@ -1009,8 +1128,7 @@ class _PallasRun:
                 empty = np.zeros((0, 3), dtype=np.int64)
                 self._store(ref, ((empty, empty, empty), 0.0))
                 continue
-            geom = BandGeometry.build(it["anchors"], lx, ly, self.expansion,
-                                      dynamic=self.dynamic, smooth=True)
+            geom = _item_geom(it, self.expansion, self.dynamic)
             ref.geom = geom
             # latency-aware routing: bands too small to amortize a pack's
             # fixed launch cost solve on the host's native kernel (see
@@ -1035,16 +1153,15 @@ class _PallasRun:
             # SV-ish outliers
             w_pad = (16 if geom.w_pad <= 16
                      else (64 if geom.w_pad <= 64 else 128))
-            # guard: TPU tiling pads the lane dim to 128 PHYSICALLY, so a
-            # pack's HBM cost is d*w*128-based at ANY batch width (measured:
-            # a 32-lane deep pack still compiled to a 15 GB program, 4x
-            # lane padding). The working set is ~4x the padded posterior
-            # grid; items beyond it route to the native C++ kernel.
-            # Production 100 kb reads (D ~2e5) exceed any single-launch
-            # budget — the on-device answer is a checkpointed
-            # (rematerializing) FB that bounds stored diagonals, noted in
-            # PERF_NOTES for round 5.
-            if geom.w_pad > 128 or d_pad * w_pad * (3 * 128 * 4) > 3e9:
+            # deep packs (production 100 kb reads: D ~2e5 diagonals, a
+            # ~15 GB monolithic program) route to the segmented
+            # (checkpointed) FB — one fixed segment shape per width
+            # bucket, O(SEG_D) memory at any depth. Only widths beyond
+            # every bucket or absurd depths fall back to the native C++
+            # kernel.
+            seg = _seg_enabled() and (d_pad > _seg_min_d()
+                                      or not _fits_monolithic(d_pad, w_pad))
+            if geom.w_pad > 128 or not _segments_fit(d_pad, w_pad):
                 if dbg:
                     print(f"[pallas] fallback item lx={lx} ly={ly} "
                           f"d={geom.d_pad} w={geom.w_pad} "
@@ -1053,7 +1170,7 @@ class _PallasRun:
                 continue
             use_rle = (it.get("rep_x") is not None
                        and self.tables.repeat is not None)
-            self.buckets.setdefault((w_pad, use_rle), []).append(
+            self.buckets.setdefault((w_pad, use_rle, seg), []).append(
                 (d_pad, ref))
 
     def _store(self, ref, result):
@@ -1070,8 +1187,11 @@ class _PallasRun:
             self.expansion, self.threshold, self.use_lut, self.dynamic)
         self.fb_futures.append((fut, refs))
 
-    def _finish_handle(self, h: "_PackHandle"):
-        _finish_pack(h)
+    def _finish_handle(self, h):
+        if isinstance(h, _PackHandleSeg):
+            _finish_pack_seg(h)
+        else:
+            _finish_pack(h)
         if self.complete_cb is not None:
             for ref in h.refs:
                 self.complete_cb(ref)
@@ -1136,11 +1256,12 @@ class _PallasRun:
                         if self.buckets:
                             continue
                     break
-                (w_pad, use_rle), pack = self._next_pack()
+                (w_pad, use_rle, seg), pack = self._next_pack()
                 d_pad = pack[0][0]
-                h = _launch_pack(self.tables, [r for _, r in pack], d_pad,
-                                 w_pad, use_rle, self.expansion,
-                                 self.use_lut, self.dynamic, self.threshold)
+                launch = _launch_pack_seg if seg else _launch_pack
+                h = launch(self.tables, [r for _, r in pack], d_pad,
+                           w_pad, use_rle, self.expansion,
+                           self.use_lut, self.dynamic, self.threshold)
                 finish_q.put(h)  # blocks at 2 in flight (HBM bound)
         finally:
             finish_q.put(None)
@@ -1340,46 +1461,72 @@ def _true_band_cells(geom: BandGeometry) -> int:
     return int(np.maximum(w, 0).sum())
 
 
+def _item_geom(it: dict, expansion: int, dynamic: bool) -> BandGeometry:
+    """Smoothed (unpadded) band geometry for one item, cached on the item
+    dict: the routing pre-passes, the worker split, and _PallasRun.add all
+    need the same geometry — build it once. The `_geom` key never crosses
+    IPC (ScoreClient.banded whitelists wire keys)."""
+    geom = it.get("_geom")
+    if geom is None:
+        geom = BandGeometry.build(it["anchors"], len(it["x_sym"]),
+                                  len(it["y_sym"]), expansion,
+                                  dynamic=dynamic, smooth=True)
+        it["_geom"] = geom
+    return geom
+
+
 _DEVICE_MIN_CELLS = None
+
+# the tunneled dev chip's measured per-pack fixed latency (transfer +
+# dispatch + readback round-trips) makes sub-2M-cell bands faster on the
+# host's native kernel; resolve_device_band_policy applies this when the
+# launcher opts in
+_TUNNEL_MIN_CELLS = 2_000_000
 
 
 def _device_min_cells() -> int:
     """Items whose exact band is SMALLER than this solve on the host's
     native C++ kernel instead of riding a device pack.
 
-    On the tunneled dev chip a pack costs seconds of fixed latency
-    (input transfer + dispatch + readback) regardless of fill, while the
-    native kernel does ~5.7M band cells/s/thread with zero launch cost —
-    measured on the 6 kb polish bench, a 64-lane D=12288 pack costs
-    2-6 s end to end against <1 s of actual kernel compute. Sub-2M-cell
-    items are therefore faster on the host THERE; on a real local chip
-    the launch overhead is ~ms and the threshold drops to 0 (every band
-    worth batching goes to the device). MARGIN_TPU_DEVICE_BAND_CELLS
-    overrides; the parent exports its decision to process workers so
-    thread- and process-mode routing stay identical."""
+    DEFAULT 0: routing is a property of the item alone and every band
+    worth batching rides the device — correct on real local chips where
+    launch overhead is ~ms. A dev-tunnel LAUNCHER (cli.py main, bench.py)
+    that knows its chip sits behind a high-latency tunnel calls
+    `resolve_device_band_policy()` once at startup, BEFORE threads exist,
+    to export MARGIN_TPU_DEVICE_BAND_CELLS (measured: a 64-lane D=12288
+    pack costs 2-6 s end to end on the tunnel against <1 s of kernel
+    compute, while the native kernel does ~5.7M band cells/s/thread with
+    zero launch cost). The library itself never infers from plugin env
+    vars and never mutates os.environ from worker threads."""
     global _DEVICE_MIN_CELLS
     if _DEVICE_MIN_CELLS is None:
         v = os.environ.get("MARGIN_TPU_DEVICE_BAND_CELLS")
-        if v is not None:
-            _DEVICE_MIN_CELLS = int(v)
-            return _DEVICE_MIN_CELLS
-        from margin_tpu.parallel import executor as _ex
-        if _ex.has_ipc_client():
-            # worker without an explicit policy: ship everything (the
-            # parent normally exports MARGIN_TPU_DEVICE_BAND_CELLS)
-            _DEVICE_MIN_CELLS = 0
-            return 0
-        try:
-            backend = jax.default_backend()
-        except Exception:
-            backend = "cpu"
-        # the tunneled dev chip registers as plain "tpu"; the axon plugin's
-        # env vars are the reliable tunnel marker
-        tunneled = (backend != "cpu"
-                    and ("PALLAS_AXON_POOL_IPS" in os.environ
-                         or "_AXON_REGISTERED" in os.environ))
-        _DEVICE_MIN_CELLS = 2_000_000 if tunneled else 0
-        os.environ["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(_DEVICE_MIN_CELLS)
+        _DEVICE_MIN_CELLS = int(v) if v is not None else 0
+    return _DEVICE_MIN_CELLS
+
+
+def resolve_device_band_policy() -> int:
+    """Resolve and EXPORT the device-band routing threshold; launchers
+    (cli.py main, bench.py) call this once at startup before any worker
+    thread or process exists, so the env export cannot race env snapshots
+    and process workers inherit the same policy. If
+    MARGIN_TPU_DEVICE_BAND_CELLS is already set it wins; otherwise the
+    axon dev-tunnel marker env vars select the measured tunnel threshold
+    (high fixed launch latency) and everything else gets 0."""
+    global _DEVICE_MIN_CELLS
+    v = os.environ.get("MARGIN_TPU_DEVICE_BAND_CELLS")
+    if v is not None:
+        _DEVICE_MIN_CELLS = int(v)
+        return _DEVICE_MIN_CELLS
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    tunneled = (backend not in ("cpu",)
+                and ("PALLAS_AXON_POOL_IPS" in os.environ
+                     or "_AXON_REGISTERED" in os.environ))
+    _DEVICE_MIN_CELLS = _TUNNEL_MIN_CELLS if tunneled else 0
+    os.environ["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(_DEVICE_MIN_CELLS)
     return _DEVICE_MIN_CELLS
 
 
@@ -1406,10 +1553,13 @@ def _solve_native_items(tables, items, expansion, threshold, use_lut,
 
 def _solve_fallback_items(tables, items, expansion, threshold, use_lut,
                           dynamic):
-    """Solve guard-rejected items: monsters (by the backend-independent
-    _MONSTER_CELLS policy) on the native C++ kernel when built; the rest
-    on the scan path pinned to the in-process CPU device with exact
-    unsmoothed geometry."""
+    """Solve guard-rejected items (HBM guard / degenerate geometry /
+    latency routing): native-first — every item goes to the native C++
+    kernel whenever the library is built (it beats the jax-CPU scan at
+    every size that lands here and avoids per-shape jax-CPU compiles;
+    parity vs the scan path is exact, tests/test_native_fb.py). Only a
+    lib-missing environment takes the scan path, pinned to the in-process
+    CPU device with exact unsmoothed geometry."""
     from margin_tpu.ops import native_fb
 
     results = [None] * len(items)
@@ -1508,14 +1658,13 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                 lx, ly = len(it["x_sym"]), len(it["y_sym"])
                 if lx + ly == 0:
                     continue
-                geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                          dynamic=dynamic, smooth=True)
+                geom = _item_geom(it, expansion, dynamic)
                 d_pad = max(_bucket_dpad(geom.d_pad), 6144)
                 w_pad = (16 if geom.w_pad <= 16
                          else (64 if geom.w_pad <= 64 else 128))
                 cells = _true_band_cells(geom)
                 if ((geom.w_pad > 128
-                     or d_pad * w_pad * (3 * 128 * 4) > 3e9)
+                     or not _segments_fit(d_pad, w_pad))
                         and cells > _NATIVE_SCAN_CELLS_CPU):
                     local_idx.append(i)
                 elif cells < _device_min_cells():
@@ -1529,6 +1678,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
             remote_idx = [i for i in range(len(items))
                           if i not in local_set]
             remote_fut = None
+            pool = None
             if remote_idx:
                 # ship the device-eligible batch FIRST so the parent's
                 # funnel works while this worker crunches its natives
@@ -1538,13 +1688,27 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                     executor.ipc_banded, tables,
                     [items[i] for i in remote_idx], expansion, threshold,
                     use_lut, dynamic)
-                pool.shutdown(wait=False)
-            for i, r in zip(local_idx, _solve_native_items(
-                    tables, [items[i] for i in local_idx], expansion,
-                    threshold, use_lut, dynamic)):
-                results[i] = r
+            remote_exc = None
+            try:
+                for i, r in zip(local_idx, _solve_native_items(
+                        tables, [items[i] for i in local_idx], expansion,
+                        threshold, use_lut, dynamic)):
+                    results[i] = r
+            finally:
+                # always drain the remote future: abandoning it would leak
+                # in-flight IPC work and swallow its exceptions (a local
+                # failure still propagates; the remote error is re-raised
+                # below only when the local side succeeded)
+                if remote_fut is not None:
+                    try:
+                        remote = remote_fut.result()
+                    except BaseException as e:
+                        remote_exc = e
+                    pool.shutdown(wait=False)
+            if remote_exc is not None:
+                raise remote_exc
             if remote_fut is not None:
-                for i, r in zip(remote_idx, remote_fut.result()):
+                for i, r in zip(remote_idx, remote):
                     results[i] = r
             return results
         return executor.ipc_banded(tables, items, expansion, threshold,
@@ -1566,9 +1730,8 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                 lx, ly = len(it["x_sym"]), len(it["y_sym"])
                 if lx + ly == 0:
                     continue
-                geom = BandGeometry.build(it["anchors"], lx, ly, expansion,
-                                          dynamic=dynamic, smooth=True)
-                if _true_band_cells(geom) < min_cells:
+                if _true_band_cells(_item_geom(it, expansion,
+                                               dynamic)) < min_cells:
                     local_idx.append(i)
             if local_idx:
                 results = [None] * len(items)
@@ -1576,6 +1739,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                 rest_idx = [i for i in range(len(items))
                             if i not in local_set]
                 rest_fut = None
+                pool = None
                 if rest_idx:
                     from concurrent.futures import ThreadPoolExecutor
                     pool = ThreadPoolExecutor(max_workers=1)
@@ -1588,13 +1752,25 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                         rest_fut = pool.submit(
                             _posteriors_many_pallas, tables, rest_items,
                             expansion, threshold, use_lut, dynamic)
-                    pool.shutdown(wait=False)
-                for i, r in zip(local_idx, _solve_native_items(
-                        tables, [items[i] for i in local_idx], expansion,
-                        threshold, use_lut, dynamic)):
-                    results[i] = r
+                rest_exc = None
+                try:
+                    for i, r in zip(local_idx, _solve_native_items(
+                            tables, [items[i] for i in local_idx], expansion,
+                            threshold, use_lut, dynamic)):
+                        results[i] = r
+                finally:
+                    # drain the device-side future even on local failure so
+                    # its work is never abandoned mid-flight
+                    if rest_fut is not None:
+                        try:
+                            rest = rest_fut.result()
+                        except BaseException as e:
+                            rest_exc = e
+                        pool.shutdown(wait=False)
+                if rest_exc is not None:
+                    raise rest_exc
                 if rest_fut is not None:
-                    for i, r in zip(rest_idx, rest_fut.result()):
+                    for i, r in zip(rest_idx, rest):
                         results[i] = r
                 return results
         if _fb_funnel_enabled():

@@ -144,10 +144,13 @@ def test_cpu_midsize_default_native_matches_scan(tables):
 
 
 def test_ipc_worker_local_fallback_split(tables, monkeypatch):
-    """Worker-process routing: items the parent's HBM guard would bounce
-    (deep production-length bands) solve on the worker's OWN native kernel;
-    only device-eligible items ride the IPC socket (banded.py worker
-    branch). Results land in request order either way."""
+    """Worker-process routing: with the segmented FB enabled (default),
+    deep production-length bands are device-eligible and EVERYTHING rides
+    the IPC socket to the parent's funnel; with segmentation disabled
+    (MARGIN_TPU_SEG_FB=0), the parent's HBM guard would bounce them, so
+    they solve on the worker's OWN native kernel and only device-eligible
+    items cross the socket (banded.py worker branch). Results land in
+    request order either way."""
     from margin_tpu.ops import native_fb
     from margin_tpu.parallel import executor
 
@@ -164,7 +167,8 @@ def test_ipc_worker_local_fallback_split(tables, monkeypatch):
     small = dict(x_sym=x[:60], y_sym=y[:60], anchors=[], strand=1)
     geom = banded.BandGeometry.build(anchors, lx, ly, 20, smooth=True)
     d_pad = max(banded._bucket_dpad(geom.d_pad), 6144)
-    assert d_pad * 16 * (3 * 128 * 4) > 3e9  # the guard rejects it
+    assert not banded._fits_monolithic(d_pad, 16)  # monolithic rejects it
+    assert banded._segments_fit(d_pad, 16)         # the segmented FB fits
 
     seen = []
 
@@ -179,8 +183,16 @@ def test_ipc_worker_local_fallback_split(tables, monkeypatch):
         def score(self, *a):  # pragma: no cover
             raise AssertionError
 
+    # default (segmented FB on): the deep band is device-eligible, the
+    # whole batch ships to the parent
     monkeypatch.setattr(executor, "_IPC_CLIENT", StubClient())
     try:
+        banded.banded_posteriors_many(tables, [dict(small)], 20)
+        assert seen == [1]
+        seen.clear()
+
+        # segmentation off: the worker solves the deep band locally
+        monkeypatch.setenv("MARGIN_TPU_SEG_FB", "0")
         results = banded.banded_posteriors_many(tables, [big, small], 20)
     finally:
         monkeypatch.setattr(executor, "_IPC_CLIENT", None)
