@@ -77,6 +77,26 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(np.int64)]
+    L.mio_extract_substrings.restype = ctypes.c_void_p
+    L.mio_extract_substrings.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    for fn in ("mio_extract_n_reads", "mio_extract_n_pairs",
+               "mio_extract_blob_len", "mio_extract_names_len"):
+        getattr(L, fn).restype = ctypes.c_int64
+        getattr(L, fn).argtypes = [ctypes.c_void_p]
+    L.mio_extract_fill.restype = None
+    L.mio_extract_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_char_p, ctypes.c_char_p]
+    L.mio_extract_free.restype = None
+    L.mio_extract_free.argtypes = [ctypes.c_void_p]
     _LIB = L
     return _LIB
 
@@ -139,6 +159,53 @@ class NativeBam:
             return dict(tid=tid[:n], pos=pos[:n], flag=flag[:n], mapq=mapq[:n],
                         aligned_len=alen[:n], start_sc=ssc[:n], end_sc=esc[:n],
                         names=names)
+
+    def extract_substrings(self, tid: int, fetch_start: int, fetch_end: int,
+                           chunk_overlap_start: int, chunk_start: int,
+                           chunk_end: int, var_pos, win_start, win_end,
+                           mapq_thresh: int, include_secondary: bool,
+                           include_supplementary: bool, keep_filtered: bool):
+        """Native variant-substring extraction (one C call per chunk pass).
+        Returns dict of packed arrays (names blob, per-read flags/lengths,
+        per-pair read/var indices + substring/qual blobs) or None on
+        failure; margin_tpu.phase.readextract assembles the objects."""
+        L = self._lib
+        var_pos = np.ascontiguousarray(var_pos, dtype=np.int64)
+        win_start = np.ascontiguousarray(win_start, dtype=np.int64)
+        win_end = np.ascontiguousarray(win_end, dtype=np.int64)
+        h = L.mio_extract_substrings(
+            self._h, tid, fetch_start, fetch_end, chunk_overlap_start,
+            chunk_start, chunk_end, var_pos, win_start, win_end,
+            len(var_pos), int(mapq_thresh), int(include_secondary),
+            int(include_supplementary), int(keep_filtered))
+        if not h:
+            return None
+        try:
+            n_reads = L.mio_extract_n_reads(h)
+            n_pairs = L.mio_extract_n_pairs(h)
+            blob_len = L.mio_extract_blob_len(h)
+            names_len = L.mio_extract_names_len(h)
+            names = ctypes.create_string_buffer(max(names_len, 1))
+            subs = ctypes.create_string_buffer(max(blob_len, 1))
+            quals = ctypes.create_string_buffer(max(blob_len, 1))
+            name_off = np.empty(max(n_reads, 1), np.int64)
+            rflags = np.empty(max(n_reads, 1), np.int32)
+            rlen = np.empty(max(n_reads, 1), np.int64)
+            pair_read = np.empty(max(n_pairs, 1), np.int64)
+            pair_var = np.empty(max(n_pairs, 1), np.int64)
+            sub_off = np.empty(max(n_pairs, 1), np.int64)
+            sub_len = np.empty(max(n_pairs, 1), np.int64)
+            L.mio_extract_fill(h, names, name_off, rflags, rlen, pair_read,
+                               pair_var, sub_off, sub_len, subs, quals)
+        finally:
+            L.mio_extract_free(h)
+        return dict(n_reads=n_reads, n_pairs=n_pairs,
+                    names=names.raw[:names_len], name_off=name_off[:n_reads],
+                    rflags=rflags[:n_reads], rlen=rlen[:n_reads],
+                    pair_read=pair_read[:n_pairs],
+                    pair_var=pair_var[:n_pairs], sub_off=sub_off[:n_pairs],
+                    sub_len=sub_len[:n_pairs], subs=subs.raw[:blob_len],
+                    quals=np.frombuffer(quals.raw[:blob_len], np.uint8))
 
     def fetch_raw(self, tid: int, start: int, end: int):
         """Yield raw record payload bytes overlapping [start, end).

@@ -282,6 +282,10 @@ def run_process_workers(worker_argv: List[str], n_workers: int,
     env["MARGIN_TPU_DEVICE_BAND_CELLS"] = str(_banded._device_min_cells())
     env.setdefault("MARGIN_TPU_NATIVE_FB_THREADS",
                    str(max(1, (os.cpu_count() or 4) // max(1, n_workers))))
+    # same budget for the bulk BGZF inflate pool (marginio BulkRange):
+    # n_workers x io_threads must not oversubscribe the host
+    env.setdefault("MARGIN_TPU_IO_THREADS",
+                   str(max(1, (os.cpu_count() or 4) // max(1, n_workers))))
     # workers never touch a device: skip the sitecustomize accelerator-plugin
     # registration (it imports jax at interpreter startup, ~2 s per worker)
     # and point any stray jax use at the CPU backend

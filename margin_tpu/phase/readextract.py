@@ -14,6 +14,7 @@ result, O(ops + variants log ops) per read.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -89,16 +90,92 @@ class PrefetchedChunkReader:
     records once removes ~75% of the readextract wall time."""
 
     def __init__(self, reader: bamio.BamReader, bam_chunk: BamChunk):
-        self.records = list(reader.fetch(
-            bam_chunk.ref_name,
-            max(bam_chunk.chunk_overlap_start - 1, 0),
-            bam_chunk.chunk_overlap_end))
+        self.base_reader = reader
+        self._bam_chunk = bam_chunk
+        self._records = None  # lazy: the native extraction path never
+        # parses Python records at all
         # per-record derived data shared across passes
         self.op_cache: dict = {}
         self.seq_cache: dict = {}
+        self.alen_cache: dict = {}
+
+    @property
+    def records(self):
+        if self._records is None:
+            ck = self._bam_chunk
+            self._records = list(self.base_reader.fetch(
+                ck.ref_name, max(ck.chunk_overlap_start - 1, 0),
+                ck.chunk_overlap_end))
+        return self._records
 
     def fetch(self, contig: str, start: int, end: int):
         return iter(self.records)
+
+
+def _extract_native(bam_chunk: BamChunk, vcf_entries, reader, params,
+                    keep_filtered: bool):
+    """Native single-call extraction (marginio mio_extract_substrings):
+    the whole fetch+filter+CIGAR-walk+substring-cut runs in C; Python only
+    assembles ReadVcfSubstrings objects. Returns None when the native
+    engine is unavailable (the vectorized Python walk below is the
+    fallback and the parity oracle)."""
+    base = getattr(reader, "base_reader", reader)
+    if not isinstance(base, bamio.BamReader):
+        return None
+    try:
+        nb = base._native_bam()
+    except Exception:
+        return None
+    if nb is None or not hasattr(nb, "extract_substrings"):
+        return None
+    tid = base.header.ref_id(bam_chunk.ref_name)
+    if tid < 0:
+        return None
+    pp = params.polish
+    positions = np.array([e.ref_pos for e in vcf_entries], dtype=np.int64)
+    win_starts = np.array([e.ref_aln_start for e in vcf_entries],
+                          dtype=np.int64)
+    win_ends = np.array([e.ref_aln_stop_incl for e in vcf_entries],
+                        dtype=np.int64)
+    res = nb.extract_substrings(
+        tid, max(bam_chunk.chunk_overlap_start - 1, 0),
+        bam_chunk.chunk_overlap_end, bam_chunk.chunk_overlap_start,
+        bam_chunk.chunk_start, bam_chunk.chunk_end,
+        positions, win_starts, win_ends,
+        pp.filterAlignmentsWithMapQBelowThisThreshold,
+        pp.includeSecondaryAlignments, pp.includeSupplementaryAlignments,
+        keep_filtered)
+    if res is None:
+        return None
+    reads: List[ReadVcfSubstrings] = []
+    filtered_reads: List[ReadVcfSubstrings] = []
+    names = res["names"].split(b"\0")
+    rflags = res["rflags"].tolist()
+    rlen = res["rlen"].tolist()
+    bcrs = []
+    has_q = []
+    for i in range(res["n_reads"]):
+        fl = rflags[i]
+        bcr = ReadVcfSubstrings(names[i].decode("ascii", "replace"),
+                                bool(fl & 1), rlen[i])
+        bcrs.append(bcr)
+        has_q.append(bool(fl & 4))
+        (filtered_reads if fl & 2 else reads).append(bcr)
+    subs = res["subs"]
+    quals = res["quals"]
+    pr = res["pair_read"].tolist()
+    pv = res["pair_var"].tolist()
+    so = res["sub_off"].tolist()
+    sl = res["sub_len"].tolist()
+    for j in range(res["n_pairs"]):
+        ridx = pr[j]
+        a = so[j]
+        b = a + sl[j]
+        bcr = bcrs[ridx]
+        bcr.vcf_entries.append(vcf_entries[pv[j]])
+        bcr.substrings.append(subs[a:b].decode("ascii"))
+        bcr.qualities.append(quals[a:b] if has_q[ridx] else None)
+    return reads, filtered_reads
 
 
 def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
@@ -114,8 +191,14 @@ def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
     filtered_reads: List[ReadVcfSubstrings] = []
     if not vcf_entries:
         return reads, filtered_reads
+    if os.environ.get("MARGIN_TPU_NATIVE_EXTRACT", "1") != "0":
+        out = _extract_native(bam_chunk, vcf_entries, reader, params,
+                              keep_filtered)
+        if out is not None:
+            return out
     op_cache = getattr(reader, "op_cache", None)
     seq_cache = getattr(reader, "seq_cache", None)
+    alen_cache = getattr(reader, "alen_cache", None)
 
     positions = np.array([e.ref_pos for e in vcf_entries], dtype=np.int64)  # 1-based POA
     win_starts = np.array([e.ref_aln_start for e in vcf_entries], dtype=np.int64)
@@ -137,7 +220,13 @@ def extract_read_substrings(bam_chunk: BamChunk, vcf_entries: List[VcfEntry],
                 continue
             is_filtered = True
 
-        aln_len, start_sc, _ = aligned_read_length(rec)
+        if alen_cache is not None:
+            alen = alen_cache.get(id(rec))
+            if alen is None:
+                alen = alen_cache[id(rec)] = aligned_read_length(rec)
+            aln_len, start_sc, _ = alen
+        else:
+            aln_len, start_sc, _ = aligned_read_length(rec)
         if aln_len <= 0:
             continue
         aln_start = rec.pos

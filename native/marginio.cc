@@ -23,6 +23,7 @@
 #include <vector>
 
 #include <zlib.h>
+#include <libdeflate.h>
 
 namespace {
 
@@ -121,15 +122,14 @@ struct BgzfReader {
                          ((uint32_t)tail[7] << 24);
         dst.resize(isize);
         if (isize > 0) {
-            z_stream zs{};
-            inflateInit2(&zs, -15);
-            zs.next_in = payload.data();
-            zs.avail_in = payload_len;
-            zs.next_out = dst.data();
-            zs.avail_out = isize;
-            int ret = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (ret != Z_STREAM_END) return false;
+            static thread_local libdeflate_decompressor* d =
+                libdeflate_alloc_decompressor();
+            size_t got = 0;
+            if (libdeflate_deflate_decompress(d, payload.data(), payload_len,
+                                              dst.data(), isize, &got) !=
+                    LIBDEFLATE_SUCCESS ||
+                got != isize)
+                return false;
         }
         next_out = coffset + bsize;
         return isize > 0 || bsize > 28;
@@ -192,16 +192,19 @@ static int bgzf_level() {
 
 static void bgzf_compress_block(const uint8_t* data, size_t n,
                                 std::vector<uint8_t>& out) {
-    std::vector<uint8_t> comp(compressBound(n) + 64);
-    z_stream zs{};
-    deflateInit2(&zs, bgzf_level(), Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
-    zs.next_in = const_cast<uint8_t*>(data);
-    zs.avail_in = n;
-    zs.next_out = comp.data();
-    zs.avail_out = comp.size();
-    deflate(&zs, Z_FINISH);
-    size_t clen = comp.size() - zs.avail_out;
-    deflateEnd(&zs);
+    static thread_local libdeflate_compressor* ld_c = nullptr;
+    static thread_local int ld_lvl = -1;
+    int lvl = bgzf_level();
+    if (!ld_c || ld_lvl != lvl) {
+        if (ld_c) libdeflate_free_compressor(ld_c);
+        // libdeflate levels start at 1; BGZF level 0 (store) ~= level 1
+        ld_c = libdeflate_alloc_compressor(lvl < 1 ? 1 : lvl);
+        ld_lvl = lvl;
+    }
+    std::vector<uint8_t> comp(
+        libdeflate_deflate_compress_bound(ld_c, n) + 64);
+    size_t clen = libdeflate_deflate_compress(ld_c, data, n, comp.data(),
+                                              comp.size());
     uint32_t bsize = clen + 26;
     uint8_t header[18] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0, 0, 0xff,
                           6, 0, 'B', 'C', 2, 0,
@@ -211,7 +214,7 @@ static void bgzf_compress_block(const uint8_t* data, size_t n,
     out.reserve(18 + clen + 8);
     out.insert(out.end(), header, header + 18);
     out.insert(out.end(), comp.data(), comp.data() + clen);
-    uint32_t crc = crc32(0, data, n);
+    uint32_t crc = libdeflate_crc32(0, data, n);
     uint32_t isize = (uint32_t)n;
     const uint8_t* q = (const uint8_t*)&crc;
     out.insert(out.end(), q, q + 4);
@@ -609,6 +612,23 @@ extern "C" {
 
 struct MioBam {
     BamFile bf;
+    // one-region fetch cache: the extraction path fetches the SAME chunk
+    // region up to 4x (primary/filtered x small/SV passes); the handle is
+    // used single-threaded by construction (one per worker/reader)
+    int c_tid = -1;
+    int64_t c_start = -1, c_end = -1;
+    uint8_t* c_blob = nullptr;
+    int64_t* c_sizes = nullptr;
+    int64_t c_n = -1;
+    void drop_cache() {
+        free(c_blob);
+        free(c_sizes);
+        c_blob = nullptr;
+        c_sizes = nullptr;
+        c_n = -1;
+        c_tid = -1;
+    }
+    ~MioBam() { drop_cache(); }
 };
 
 MioBam* mio_open(const char* path) {
@@ -742,24 +762,302 @@ int64_t mio_iter_next(MioIter* it, const uint8_t** payload) {
 
 void mio_iter_destroy(MioIter* it) { delete it; }
 
+// ---------------------------------------------------- bulk region read ----
+// The streaming BgzfReader pipelines ONE block ahead (a fresh thread per
+// 64 KB block): a 15 MB chunk region costs ~0.3 s. Region fetches know
+// their whole compressed extent up front from the BAI, so the bulk path
+// reads the compressed range with one fread and inflates every block in
+// parallel (BGZF blocks are independent deflate streams) — ~10x faster
+// per chunk prefetch, the top phase pipeline stage in BENCH_r04.
+
+static int io_threads() {
+    static int n = [] {
+        const char* e = getenv("MARGIN_TPU_IO_THREADS");
+        if (e && *e) return std::max(1, atoi(e));
+        unsigned hw = std::thread::hardware_concurrency();
+        return hw ? (int)hw : 4;
+    }();
+    return n;
+}
+
+struct BulkBlock {
+    int64_t coffset;      // compressed file offset of the block
+    size_t comp_off;      // payload offset within the comp buffer
+    int payload_len;
+    int bsize;            // full block size (compressed)
+    uint32_t isize;       // decompressed size
+    int64_t dstart;       // start offset within dec
+};
+
+// Parse the BGZF block at comp[off..len); returns false if incomplete.
+static bool parse_bgzf_header(const uint8_t* comp, size_t len, size_t off,
+                              BulkBlock* b) {
+    if (off + 18 > len) return false;
+    const uint8_t* h = comp + off;
+    if (h[0] != 0x1f || h[1] != 0x8b) return false;
+    uint16_t xlen = h[10] | (h[11] << 8);
+    if (off + 12 + xlen > len) return false;
+    int bsize = -1;
+    for (size_t i = 0; i + 4 <= xlen;) {
+        const uint8_t* x = h + 12 + i;
+        uint16_t slen = x[2] | (x[3] << 8);
+        if (x[0] == 'B' && x[1] == 'C' && slen == 2) {
+            bsize = (x[4] | (x[5] << 8)) + 1;
+            break;
+        }
+        i += 4 + slen;
+    }
+    if (bsize < 0 || off + bsize > len) return false;
+    b->comp_off = off + 12 + xlen;
+    b->payload_len = bsize - 12 - xlen - 8;
+    b->bsize = bsize;
+    const uint8_t* tail = comp + off + bsize - 4;
+    b->isize = tail[0] | (tail[1] << 8) | (tail[2] << 16) |
+               ((uint32_t)tail[3] << 24);
+    return true;
+}
+
+struct BulkRange {
+    std::vector<uint8_t> comp;   // compressed bytes from c_base
+    int64_t c_base = 0;
+    size_t comp_parsed = 0;      // bytes of comp consumed by parsed blocks
+    bool file_done = false;
+    FILE* fh = nullptr;          // borrowed handle (BgzfReader's)
+    std::vector<uint8_t> dec;    // decompressed prefix (lazily grown)
+    size_t dec_len = 0;          // valid bytes of dec
+    std::vector<BulkBlock> blocks;
+    size_t n_inflated = 0;       // blocks already decompressed
+    size_t cur = 0;              // incremental block index for virt()
+
+    // Parse headers of every complete block currently in comp (cheap: no
+    // inflation — a BAI chunk end from a coarse bin can overshoot the
+    // walk's early exit by the whole file, so decompression must be
+    // demand-driven).
+    bool parse_headers() {
+        size_t first = blocks.size();
+        int64_t total = blocks.empty() ? 0
+                        : blocks.back().dstart + blocks.back().isize;
+        for (;;) {
+            BulkBlock b;
+            if (!parse_bgzf_header(comp.data(), comp.size(), comp_parsed,
+                                   &b))
+                break;
+            b.coffset = c_base + (int64_t)comp_parsed;
+            b.dstart = total;
+            total += b.isize;
+            comp_parsed += b.bsize;
+            blocks.push_back(b);
+        }
+        return blocks.size() > first;
+    }
+
+    double* t_inflate = nullptr;  // optional instrumentation sink
+
+    // Inflate blocks [n_inflated, upto) in parallel.
+    bool inflate_upto(size_t upto) {
+        if (upto <= n_inflated) return true;
+        struct Tick {
+            double* s;
+            double t0;
+            Tick(double* s) : s(s), t0(s ? now_s2() : 0) {}
+            ~Tick() { if (s) *s += now_s2() - t0; }
+            static double now_s2() {
+                struct timespec ts;
+                clock_gettime(CLOCK_MONOTONIC, &ts);
+                return ts.tv_sec + ts.tv_nsec * 1e-9;
+            }
+        } tick(t_inflate);
+        size_t first = n_inflated;
+        size_t total = (size_t)(blocks[upto - 1].dstart +
+                                blocks[upto - 1].isize);
+        if (dec.size() < total) dec.resize(total);
+        std::atomic<size_t> next{first};
+        std::atomic<bool> ok{true};
+        int nth = std::min<int>(io_threads(), (int)(upto - first));
+        auto work = [&]() {
+            libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+            for (;;) {
+                size_t i = next.fetch_add(1);
+                if (i >= upto) return libdeflate_free_decompressor(d);
+                BulkBlock& b = blocks[i];
+                if (b.isize == 0) continue;
+                size_t got = 0;
+                if (libdeflate_deflate_decompress(
+                        d, comp.data() + b.comp_off, b.payload_len,
+                        dec.data() + b.dstart, b.isize, &got) !=
+                        LIBDEFLATE_SUCCESS ||
+                    got != b.isize)
+                    ok = false;
+            }
+        };
+        if (nth <= 1) {
+            work();
+        } else {
+            std::vector<std::thread> ths;
+            for (int t = 0; t < nth - 1; t++) ths.emplace_back(work);
+            work();
+            for (auto& th : ths) th.join();
+        }
+        n_inflated = upto;
+        dec_len = total;
+        return ok;
+    }
+
+    // Grow the compressed buffer by reading more of the file.
+    bool read_more(size_t grow) {
+        if (file_done) return false;
+        size_t old = comp.size();
+        comp.resize(old + grow);
+        if (fseeko(fh, c_base + (int64_t)old, SEEK_SET) != 0) return false;
+        size_t got = fread(comp.data() + old, 1, grow, fh);
+        comp.resize(old + got);
+        if (got < grow) file_done = true;
+        return got > 0;
+    }
+
+    int64_t soft_c_end = INT64_MAX;  // block coffset of the BAI range end:
+    // read-ahead stops there unless the walk demands more (ranges are
+    // often many and small; a fixed big batch per range inflated 3x the
+    // useful bytes)
+
+    // Ensure >= `need` decompressed bytes are available, inflating ahead
+    // in ~512 KB batches clamped to the range's end block (records may
+    // span past the BAI end offset's block — `need` overrides the clamp).
+    bool ensure(size_t need) {
+        while (dec_len < need) {
+            if (n_inflated < blocks.size()) {
+                size_t upto = n_inflated;
+                int64_t target = (int64_t)std::max(
+                    need, dec_len + (8u << 20));
+                while (upto < blocks.size() &&
+                       blocks[upto].dstart < target &&
+                       (blocks[upto].coffset <= soft_c_end ||
+                        blocks[upto].dstart < (int64_t)need))
+                    upto++;
+                if (upto > n_inflated) {
+                    if (!inflate_upto(upto)) return false;
+                    continue;
+                }
+            }
+            if (!parse_headers() && !read_more(4u << 20)) return false;
+        }
+        return true;
+    }
+
+    // Virtual offset of decompressed offset o under STREAMING semantics:
+    // a record starting exactly at a block boundary reports the previous
+    // block with within == its size (the stream reader advances blocks
+    // lazily), so BAI end-bound comparisons match the streaming iterator
+    // record for record.
+    int64_t virt(size_t o) {
+        while (cur + 1 < blocks.size() &&
+               (int64_t)o > blocks[cur + 1].dstart)
+            cur++;
+        return (blocks[cur].coffset << 16) |
+               (int64_t)((int64_t)o - blocks[cur].dstart);
+    }
+};
+
 // Batched region fetch: every overlapping record's payload concatenated
 // into one malloc'd buffer with a size table — ONE ctypes crossing per
 // region instead of one per record (the per-record iterator round-trip
 // dominated the Python-side readextract profile). *out/*sizes are
 // malloc'd; caller frees via mio_buf_free. Returns record count, or -1.
+static double g_dbg_read, g_dbg_parse, g_dbg_walk, g_dbg_infl;
+static size_t g_dbg_blocks;
+static double now_s() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 int64_t mio_fetch_region_all(MioBam* m, int tid, int64_t start, int64_t end,
                              uint8_t** out, int64_t** sizes) {
-    MioIter* it = mio_iter_region(m, tid, start, end);
     std::vector<uint8_t> data;
     std::vector<int64_t> sz;
     data.reserve(1 << 20);
-    const uint8_t* rec;
-    int64_t n;
-    while ((n = mio_iter_next(it, &rec)) > 0) {
-        data.insert(data.end(), rec, rec + n);
-        sz.push_back(n);
+    bool bulk_ok = false;
+    g_dbg_read = g_dbg_parse = g_dbg_walk = g_dbg_infl = 0;
+    g_dbg_blocks = 0;
+    if (tid >= 0 && m->bf.has_index) {
+        auto chunks = m->bf.query_chunks(tid, start, end);
+        bulk_ok = true;
+        for (auto& ch : chunks) {
+            int64_t c_lo = (int64_t)(ch.first >> 16);
+            int64_t c_hi = (int64_t)(ch.second >> 16);
+            if (c_hi - c_lo > (256 << 20)) { bulk_ok = false; break; }
+            BulkRange br;
+            br.fh = m->bf.rd.fh;
+            br.c_base = c_lo;
+            br.soft_c_end = c_hi;
+            br.t_inflate = &g_dbg_infl;
+            m->bf.rd.join_prefetch();  // exclusive use of the file handle
+            // the end block must inflate fully; over-read two max blocks
+            double t0 = now_s();
+            if (!br.read_more((size_t)(c_hi - c_lo) + 0x20000)) {
+                bulk_ok = false;
+                break;
+            }
+            double t1 = now_s();
+            if (!br.parse_headers()) {
+                bulk_ok = false;
+                break;
+            }
+            double t2 = now_s();
+            g_dbg_read += t1 - t0;
+            g_dbg_parse += t2 - t1;
+            size_t o = ch.first & 0xFFFF;
+            for (;;) {
+                if (br.virt(o) >= (int64_t)ch.second) break;
+                if (!br.ensure(o + 4)) break;
+                int32_t bs = rd_i32(br.dec.data() + o);
+                if (bs <= 0) break;
+                if (!br.ensure(o + 4 + (size_t)bs)) break;
+                const uint8_t* p = br.dec.data() + o + 4;
+                o += 4 + (size_t)bs;
+                int32_t rtid = rd_i32(p);
+                int64_t pos = rd_i32(p + 4);
+                if (rtid != tid) {
+                    if (rtid > tid) break;
+                    continue;
+                }
+                if (pos >= end) break;
+                uint16_t fl;
+                memcpy(&fl, p + 14, 2);
+                if (fl & 0x4) continue;
+                int64_t span = ref_span(p);
+                if (span < 1) span = 1;
+                if (pos + span <= start) continue;
+                data.insert(data.end(), p, p + bs);
+                sz.push_back(bs);
+            }
+            g_dbg_walk += now_s() - t2;
+            g_dbg_blocks += br.n_inflated;
+            if (!bulk_ok) break;
+        }
+        if (!bulk_ok) {
+            data.clear();
+            sz.clear();
+        }
     }
-    mio_iter_destroy(it);
+    if (getenv("MARGIN_TPU_IO_DEBUG")) {
+        fprintf(stderr,
+                "[mio] fetch tid=%d [%lld,%lld) bulk=%d recs=%zu "
+                "read=%.3f parse=%.3f walk=%.3f infl=%.3f infl_blocks=%zu\n",
+                tid, (long long)start, (long long)end, (int)bulk_ok,
+                sz.size(), g_dbg_read, g_dbg_parse, g_dbg_walk,
+                g_dbg_infl, g_dbg_blocks);
+    }
+    if (!bulk_ok) {  // no index / sequential / oversized range: stream
+        MioIter* it = mio_iter_region(m, tid, start, end);
+        const uint8_t* rec;
+        int64_t n;
+        while ((n = mio_iter_next(it, &rec)) > 0) {
+            data.insert(data.end(), rec, rec + n);
+            sz.push_back(n);
+        }
+        mio_iter_destroy(it);
+    }
     *out = (uint8_t*)malloc(data.size() ? data.size() : 1);
     *sizes = (int64_t*)malloc(sz.size() ? sz.size() * 8 : 8);
     if (!*out || !*sizes) {
@@ -774,6 +1072,226 @@ int64_t mio_fetch_region_all(MioBam* m, int tid, int64_t start, int64_t end,
 
 void mio_buf_free(uint8_t* p) { free(p); }
 void mio_sizes_free(int64_t* p) { free(p); }
+
+// ------------------------------------------- variant-substring extract ----
+// extractReadSubstringsAtVariantPositions2 (htsIntegration.c:1762-1990),
+// natively end to end: bulk region fetch + read filtering + CIGAR op
+// tables + per-variant window resolution + substring/qual cut, one ctypes
+// crossing per (chunk, variant set). Semantics mirror the vectorized
+// Python walk in margin_tpu/phase/readextract.py exactly (binary-search
+// sides match numpy's searchsorted); a parity test pins the two.
+
+static const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct MioExtract {
+    std::string names;            // NUL-separated, one per read
+    std::vector<int64_t> name_off;
+    std::vector<int32_t> rflags;  // bit0 fwd strand, bit1 filtered,
+                                  // bit2 has quals
+    std::vector<int64_t> rlen;    // aligned length (full_read_length)
+    std::vector<int64_t> pair_read;
+    std::vector<int64_t> pair_var;
+    std::vector<int64_t> sub_off;
+    std::vector<int64_t> sub_len;
+    std::string subs;             // ASCII bases blob
+    std::string quals;            // parallel qual bytes blob
+};
+
+MioExtract* mio_extract_substrings(
+    MioBam* m, int tid, int64_t fetch_start, int64_t fetch_end,
+    int64_t chunk_overlap_start, int64_t chunk_start, int64_t chunk_end,
+    const int64_t* var_pos, const int64_t* win_start, const int64_t* win_end,
+    int64_t n_vars, int mapq_thresh, int include_secondary,
+    int include_supplementary, int keep_filtered) {
+    uint8_t* blob = nullptr;
+    int64_t* sizes = nullptr;
+    int64_t n;
+    if (m->c_n >= 0 && m->c_tid == tid && m->c_start == fetch_start &&
+        m->c_end == fetch_end) {
+        blob = m->c_blob;
+        sizes = m->c_sizes;
+        n = m->c_n;
+    } else {
+        n = mio_fetch_region_all(m, tid, fetch_start, fetch_end, &blob,
+                                 &sizes);
+        if (n < 0) return nullptr;
+        m->drop_cache();
+        m->c_tid = tid;
+        m->c_start = fetch_start;
+        m->c_end = fetch_end;
+        m->c_blob = blob;
+        m->c_sizes = sizes;
+        m->c_n = n;
+    }
+    auto* out = new MioExtract();
+    std::vector<int64_t> ref_starts, ref_ends, seq_starts;
+    std::vector<uint8_t> op_is_match;
+    int64_t off = 0;
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t* p = blob + off;
+        int64_t psz = sizes[r];
+        off += psz;
+        int32_t lseq = rd_i32(p + 16);
+        uint16_t n_cigar;
+        memcpy(&n_cigar, p + 12, 2);
+        uint16_t fl;
+        memcpy(&fl, p + 14, 2);
+        if (lseq <= 0 || n_cigar == 0 || (fl & 0x4)) continue;
+        if (!include_secondary && (fl & 0x100)) continue;
+        if (!include_supplementary && (fl & 0x800)) continue;
+        uint8_t mapq = p[9];
+        bool filtered = mapq < mapq_thresh;
+        if (filtered && !keep_filtered) continue;
+        int64_t start_sc, end_sc;
+        int64_t aln_len = aligned_len(p, &start_sc, &end_sc);
+        if (aln_len <= 0) continue;
+        int64_t pos = rd_i32(p + 4);
+        int64_t aln_start = pos;
+        int64_t aln_end = aln_start + aln_len;
+        if (aln_start >= chunk_end || aln_end <= chunk_start) continue;
+        int64_t r_begin = aln_start - chunk_overlap_start;
+        int64_t r_end = aln_end - chunk_overlap_start;
+        // candidate variant range (bisect_left on pos, bisect_right on
+        // window start — same comparisons as the numpy searchsorted walk)
+        int64_t lo = std::lower_bound(var_pos, var_pos + n_vars,
+                                      r_begin + 1) -
+                     var_pos;
+        if (lo >= n_vars) continue;  // read DROPPED (matches the walk)
+        int64_t hi = std::upper_bound(win_start + lo, win_start + n_vars,
+                                      r_end) -
+                     win_start;
+
+        auto emit_read = [&]() -> int64_t {
+            std::string nm = read_name_of(p, m->bf.ref_names);
+            out->name_off.push_back((int64_t)out->names.size());
+            out->names.append(nm);
+            out->names.push_back('\0');
+            uint8_t l_read_name = p[8];
+            const uint8_t* qual =
+                p + 32 + l_read_name + 4 * n_cigar + (lseq + 1) / 2;
+            bool has_q = qual[0] != 0xFF;
+            out->rflags.push_back(((fl & 0x10) ? 0 : 1) |
+                                  (filtered ? 2 : 0) | (has_q ? 4 : 0));
+            out->rlen.push_back(aln_len);
+            return (int64_t)out->rlen.size() - 1;
+        };
+        if (hi <= lo) {
+            emit_read();
+            continue;
+        }
+        // per-op tables over ref-consuming ops (chunk-relative)
+        ref_starts.clear();
+        ref_ends.clear();
+        seq_starts.clear();
+        op_is_match.clear();
+        uint8_t l_read_name = p[8];
+        const uint8_t* cig = p + 32 + l_read_name;
+        int64_t seq_cum = 0;
+        int64_t ref_cum = pos - chunk_overlap_start;
+        for (int i = 0; i < n_cigar; i++) {
+            uint32_t v = rd_u32(cig + 4 * i);
+            int op = v & 0xF;
+            int64_t ln = v >> 4;
+            bool c_ref = (op == 0 || op == 2 || op == 3 || op == 7 ||
+                          op == 8);
+            bool c_query = (op == 0 || op == 1 || op == 7 || op == 8);
+            if (c_ref) {
+                ref_starts.push_back(ref_cum);
+                ref_ends.push_back(ref_cum + ln);
+                seq_starts.push_back(seq_cum);
+                op_is_match.push_back(op == 0 || op == 7 || op == 8);
+                ref_cum += ln;
+            }
+            if (c_query) seq_cum += ln;  // soft clips excluded (op 4)
+        }
+        int64_t total_query = seq_cum;
+        int64_t n_ops = (int64_t)ref_ends.size();
+        if (n_ops == 0) {
+            emit_read();
+            continue;
+        }
+        auto seq_index_at = [&](int64_t t) -> int64_t {
+            int64_t v = 0;
+            if (t > r_begin) {
+                int64_t idx = std::lower_bound(ref_ends.begin(),
+                                               ref_ends.end(), t) -
+                              ref_ends.begin();
+                if (idx > n_ops - 1) idx = n_ops - 1;
+                int64_t within =
+                    op_is_match[idx] ? std::max<int64_t>(t - ref_starts[idx],
+                                                         0)
+                                     : 0;
+                v = seq_starts[idx] + within;
+            }
+            if (t > ref_ends[n_ops - 1]) v = total_query;
+            return v;
+        };
+        int64_t ridx = emit_read();
+        const uint8_t* seq4 = p + 32 + l_read_name + 4 * n_cigar;
+        const uint8_t* qual = seq4 + (lseq + 1) / 2;
+        bool has_q = qual[0] != 0xFF;
+        for (int64_t k = lo; k < hi; k++) {
+            int64_t t0 = win_start[k];
+            int64_t t1 = win_end[k];
+            int64_t a = seq_index_at(t0);
+            int64_t b = seq_index_at(t1);
+            bool ends_in_read = t1 <= r_end;
+            bool keep_eor = r_end >= var_pos[k];
+            if (!(b > a && (ends_in_read || keep_eor))) continue;
+            int64_t sa = a + start_sc;
+            int64_t sb = b + start_sc;
+            if (sa < 0) sa = 0;
+            if (sa > lseq) sa = lseq;
+            if (sb > lseq) sb = lseq;
+            if (sb < sa) sb = sa;  // python slice-clamp semantics
+            out->pair_read.push_back(ridx);
+            out->pair_var.push_back(k);
+            out->sub_off.push_back((int64_t)out->subs.size());
+            out->sub_len.push_back(sb - sa);
+            for (int64_t q = sa; q < sb; q++) {
+                uint8_t nib = (q & 1) ? (seq4[q >> 1] & 0xF)
+                                      : (seq4[q >> 1] >> 4);
+                out->subs.push_back(SEQ_NT16[nib]);
+            }
+            if (has_q)
+                out->quals.append((const char*)qual + sa, sb - sa);
+            else
+                out->quals.append(sb - sa, (char)0xFF);
+        }
+    }
+    // blob/sizes owned by the handle's region cache now
+    return out;
+}
+
+int64_t mio_extract_n_reads(MioExtract* e) {
+    return (int64_t)e->rlen.size();
+}
+int64_t mio_extract_n_pairs(MioExtract* e) {
+    return (int64_t)e->pair_read.size();
+}
+int64_t mio_extract_blob_len(MioExtract* e) {
+    return (int64_t)e->subs.size();
+}
+int64_t mio_extract_names_len(MioExtract* e) {
+    return (int64_t)e->names.size();
+}
+// Copy everything into caller-allocated buffers (numpy arrays).
+void mio_extract_fill(MioExtract* e, char* names, int64_t* name_off,
+                      int32_t* rflags, int64_t* rlen, int64_t* pair_read,
+                      int64_t* pair_var, int64_t* sub_off, int64_t* sub_len,
+                      char* subs, uint8_t* quals) {
+    memcpy(names, e->names.data(), e->names.size());
+    memcpy(name_off, e->name_off.data(), e->name_off.size() * 8);
+    memcpy(rflags, e->rflags.data(), e->rflags.size() * 4);
+    memcpy(rlen, e->rlen.data(), e->rlen.size() * 8);
+    memcpy(pair_read, e->pair_read.data(), e->pair_read.size() * 8);
+    memcpy(pair_var, e->pair_var.data(), e->pair_var.size() * 8);
+    memcpy(sub_off, e->sub_off.data(), e->sub_off.size() * 8);
+    memcpy(sub_len, e->sub_len.data(), e->sub_len.size() * 8);
+    memcpy(subs, e->subs.data(), e->subs.size());
+    memcpy(quals, e->quals.data(), e->quals.size());
+}
+void mio_extract_free(MioExtract* e) { delete e; }
 
 // Haplotagged-BAM rewrite (writeHaplotaggedBam, htsIntegration.c:1310-1503).
 // names: NUL-separated blob of n_names names; haps: parallel 1/2 values.

@@ -295,3 +295,70 @@ def test_rphmm_matches_bruteforce_partition_enumeration():
         path = hmm.forward_traceback()
         emission_at_path = float(col.emission[col.partitions.index(path[0])])
         assert emission_at_path == pytest.approx(best, abs=1e-9)
+
+
+def test_native_extraction_matches_python_walk():
+    """mio_extract_substrings (native/marginio.cc) vs the vectorized Python
+    walk (phase/readextract.py): identical reads, names, strands, lengths,
+    filtered split, substring text and quals on the real miniature data —
+    the Python walk stays the parity oracle for the native engine."""
+    import os
+    import numpy as np
+    from margin_tpu.io import bam as bamio, native
+    from margin_tpu.io.fasta import FastaIndex
+    from margin_tpu.io.vcf import mark_svs, parse_vcf
+    from margin_tpu.phase import readextract as RE, variants
+    from margin_tpu.phase.chunker import construct_chunker
+
+    if native.lib() is None:
+        pytest.skip("native marginio unavailable")
+    params = Params.load(reference_path("params", "phase",
+                                        "allParams.haplotag.ont-r94g507.json"))
+    bam = reference_path("tests", "data", "realData",
+                         "HG002.r94g360.chr20_59M_100k.bam")
+    fa = reference_path("tests", "data", "realData",
+                        "hg38.chr20_59M_100k.fa")
+    vcf = reference_path("tests", "data", "realData",
+                         "HG002.r94g360.chr20_59M_100k.vcf")
+    vcf_entries = parse_vcf(
+        vcf, None, use_rle=params.polish.useRunLengthEncoding,
+        only_pass=params.phase.onlyUsePassVCFEntries,
+        include_homozygous=params.phase.includeHomozygousVCFEntries)
+    mark_svs(vcf_entries, params.phase.indelSizeForSVHandling)
+    ch = construct_chunker(bam, None, {"chr20"}, params.polish)
+    reader = bamio.BamReader(bam)
+    fasta = FastaIndex(fa)
+    rng = np.random.default_rng(0)
+    ck = ch.chunks[0]
+    chunk_ref = fasta.fetch(ck.ref_name, ck.chunk_overlap_start,
+                            ck.chunk_overlap_end)
+    primary, _ = variants.get_vcf_entries_for_region(
+        vcf_entries, ck.ref_name, ck.chunk_overlap_start,
+        ck.chunk_overlap_end, params, rng)
+    variants.update_vcf_entries_with_substrings(primary, chunk_ref, params)
+
+    def run(use_native):
+        os.environ["MARGIN_TPU_NATIVE_EXTRACT"] = "1" if use_native else "0"
+        try:
+            cr = RE.PrefetchedChunkReader(reader, ck)
+            return RE.extract_read_substrings_sv_aware(ck, primary, cr,
+                                                       params)
+        finally:
+            os.environ.pop("MARGIN_TPU_NATIVE_EXTRACT", None)
+
+    rn, fn = run(True)
+    rp, fp = run(False)
+    assert len(rn) == len(rp) and len(fn) == len(fp)
+    assert sum(len(r.substrings) for r in rn) > 1000  # real work happened
+    for a, b in zip(rn + fn, rp + fp):
+        assert a.read_name == b.read_name
+        assert a.forward_strand == b.forward_strand
+        assert a.full_read_length == b.full_read_length
+        assert a.substrings == b.substrings
+        assert [e.ref_pos for e in a.vcf_entries] == \
+               [e.ref_pos for e in b.vcf_entries]
+        for qa, qb in zip(a.qualities, b.qualities):
+            if qb is None:
+                assert qa is None
+            else:
+                assert np.array_equal(np.asarray(qa), np.asarray(qb))
