@@ -51,10 +51,14 @@ def poa_realign_iterative(poa: Poa, reads: List[PoaRead], params: Params,
     i = 0
     while i < max_iterations:
         i += 1
-        with profiler.chunk_stage(chunk_idx, "consensus"):
-            if hmm_not_realign:
+        # separate labels: r4's single "consensus" stage hid the
+        # bubble-polish iteration's graph build + allele scoring (the
+        # dominant cost) behind the profile-HMM consensus's name
+        if hmm_not_realign:
+            with profiler.chunk_stage(chunk_idx, "consensus"):
                 reference, poa_to_consensus = poa.get_consensus(pp)
-            else:
+        else:
+            with profiler.chunk_stage(chunk_idx, "polish_bubbles"):
                 bg = bubbles_poa.bubble_graph_from_poa(
                     poa, reads, None, params, tables, use_lut=use_lut)
                 path = bubbles_poa.get_consensus_path(bg)
