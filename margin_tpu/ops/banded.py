@@ -122,6 +122,14 @@ class BandGeometry:
 
 
 
+def _bucket_w(w: int) -> int:
+    """Band-width storage buckets for the device kernels."""
+    for b in (16, 32, 64):
+        if w <= b:
+            return b
+    return 128
+
+
 def _bucket_dpad(n: int) -> int:
     """Pad diagonal counts to {2^k, 1.5*2^k} steps: bounded compile
     variants with at most ~33% padding waste (pow2 alone wastes up to 2x,
@@ -1149,10 +1157,10 @@ class _PallasRun:
             # few storage buckets (every distinct (D, W) combination costs
             # a fresh accelerator compile and fragments the batch into
             # smaller lane groups): W=16 fits the dense-anchor realign
-            # passes, W=64 covers k-mer-anchored first passes, 128 the
-            # SV-ish outliers
-            w_pad = (16 if geom.w_pad <= 16
-                     else (64 if geom.w_pad <= 64 else 128))
+            # passes, W=32 the k-mer-anchored first passes (measured 6 kb
+            # polish width histogram clusters at 6-8 and 17-36), W=64/128
+            # the SV-ish outliers
+            w_pad = _bucket_w(geom.w_pad)
             # deep packs (production 100 kb reads: D ~2e5 diagonals, a
             # ~15 GB monolithic program) route to the segmented
             # (checkpointed) FB — one fixed segment shape per width
@@ -1660,8 +1668,7 @@ def banded_posteriors_many(tables: PairHmmTables, items,
                     continue
                 geom = _item_geom(it, expansion, dynamic)
                 d_pad = max(_bucket_dpad(geom.d_pad), 6144)
-                w_pad = (16 if geom.w_pad <= 16
-                         else (64 if geom.w_pad <= 64 else 128))
+                w_pad = _bucket_w(geom.w_pad)
                 cells = _true_band_cells(geom)
                 if ((geom.w_pad > 128
                      or not _segments_fit(d_pad, w_pad))

@@ -867,7 +867,7 @@ def _seg_d(w_pad: int) -> int:
     v = os.environ.get("MARGIN_TPU_SEG_D")
     if v:
         return int(v)
-    return {16: 2048, 64: 1024}.get(w_pad, 512)
+    return {16: 2048, 32: 2048, 64: 1024}.get(w_pad, 512)
 
 
 def _fwd_seg_kernel(use_lut: bool, use_rle: bool, store_fwd: bool, *refs):

@@ -63,6 +63,28 @@ def allgather_objects(obj) -> List:
         pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))]
 
 
+def dumps_z(obj) -> bytes:
+    """Compressed wire encoding for the stitch-summary gathers: pickled
+    then zlib level 1. The payload content is already semantically minimal
+    (read-name hap maps, switch flags, consensus sequences — exactly the
+    stitching.c:1573-1588 merge inputs); compression removes the pickle +
+    text redundancy (~5-6x on sequence-heavy chunk records), which at
+    whole-genome chunk counts is the difference between MBs and tens of
+    MBs per host on the wire."""
+    import zlib
+    return b"Z1" + zlib.compress(
+        pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL), 1)
+
+
+def loads_z(b: bytes):
+    """Inverse of dumps_z; transparently accepts uncompressed pickles
+    (older peers / tests)."""
+    import zlib
+    if b[:2] == b"Z1":
+        return pickle.loads(zlib.decompress(b[2:]))
+    return pickle.loads(b)
+
+
 def host_id() -> int:
     import jax
     return jax.process_index()

@@ -264,19 +264,19 @@ def run_phase(bam_file: str, reference_fasta: str, vcf_file: str,
         # results + VCF interior snapshots (stitching.c:1573-1588's merge
         # inputs), then every host holds the global state and host 0 writes
         with profiler.stage("host_gather"):
-            import pickle as _pickle
             # the payload is only what the merge consumes: per-chunk hap
             # read-name maps + switch flags (ChunkPhaseResult) and the VCF
-            # interior snapshots the writer needs (stitching.c:1573-1588)
-            payload = _pickle.dumps({
+            # interior snapshots the writer needs (stitching.c:1573-1588),
+            # compressed on the wire (multihost.dumps_z)
+            payload = mh.dumps_z({
                 "results": results,
                 "vcf": [(c.ref_name,
                          snapshot_vcf_entries(vcf_entries, c.ref_name,
                                               c.chunk_start, c.chunk_end))
                         for c in ordered_chunks],
-            }, protocol=_pickle.HIGHEST_PROTOCOL)
+            })
             gathered_b = mh.allgather_bytes(payload)
-            gathered = [_pickle.loads(b) for b in gathered_b]
+            gathered = [mh.loads_z(b) for b in gathered_b]
         results = []
         for hid, p in enumerate(gathered):
             if hid == mh.host_id():

@@ -345,15 +345,13 @@ def run_polish(bam_file: str, reference_fasta: str, params: Params,
     if mh is not None:
         # the one collective: all-gather each host's (contig, chunk_idx,
         # consensus) records — exactly the OutputChunkers stitch inputs
-        # (stitching.c:1573-1588), nothing more
-        import pickle as _pickle
-        payload = _pickle.dumps(chunk_seqs,
-                                protocol=_pickle.HIGHEST_PROTOCOL)
+        # (stitching.c:1573-1588), nothing more, compressed on the wire
+        payload = mh.dumps_z(chunk_seqs)
         gathered = mh.allgather_bytes(payload)
         log(f"> Gathered chunk records from {mh.num_hosts()} hosts "
             f"(sent {len(payload)} B, received "
             f"{sum(len(b) for b in gathered)} B)")
-        chunk_seqs = [rec for b in gathered for rec in _pickle.loads(b)]
+        chunk_seqs = [rec for b in gathered for rec in mh.loads_z(b)]
         if mh.host_id() != 0:
             mh.barrier("polish-outputs")
             return PolishOutputs()
@@ -666,15 +664,14 @@ def run_polish_diploid(bam_file: str, reference_fasta: str, params: Params,
 
     if mh is not None:
         # one gather of the stitch inputs: ChunkPhaseResult (hap read-name
-        # maps + switch flags) + the two hap consensus strings per chunk
-        import pickle as _pickle
-        payload = _pickle.dumps(chunk_results,
-                                protocol=_pickle.HIGHEST_PROTOCOL)
+        # maps + switch flags) + the two hap consensus strings per chunk,
+        # compressed on the wire
+        payload = mh.dumps_z(chunk_results)
         gathered = mh.allgather_bytes(payload)
         log(f"> Gathered chunk records from {mh.num_hosts()} hosts "
             f"(sent {len(payload)} B, received "
             f"{sum(len(b) for b in gathered)} B)")
-        chunk_results = [rec for b in gathered for rec in _pickle.loads(b)]
+        chunk_results = [rec for b in gathered for rec in mh.loads_z(b)]
         if mh.host_id() != 0:
             mh.barrier("polish-diploid-outputs")
             return PolishOutputs()
