@@ -97,6 +97,9 @@ def lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64), ctypes.c_char_p, ctypes.c_char_p]
     L.mio_extract_free.restype = None
     L.mio_extract_free.argtypes = [ctypes.c_void_p]
+    L.mio_rle_dedup.restype = ctypes.c_int64
+    L.mio_rle_dedup.argtypes = [np.ctypeslib.ndpointer(np.int64),
+                                ctypes.c_int64, ctypes.c_int64]
     _LIB = L
     return _LIB
 

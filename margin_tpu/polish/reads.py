@@ -59,34 +59,63 @@ def convert_to_reads_and_alignments(bam_chunk: BamChunk,
             continue
 
         ops = rec.cigar_ops()
-        # vectorized cigar walk: per M-base ref positions + read positions
-        pairs = []
-        cigar_idx_seq = 0
-        cigar_idx_ref = aln_start
-        aligned_read_len = 0
+        # fully vectorized cigar walk (the per-op loop's 100k+ tiny numpy
+        # calls per 100 kb chunk dominated this stage): per-op cumulative
+        # ref/seq positions, then ALL match pairs emitted with one
+        # repeat+arange, preserving the scalar walk's semantics exactly
+        op_a = ops[:, 0]
+        ln_a = ops[:, 1]
+        is_m = ((op_a == bamio.CMATCH) | (op_a == bamio.CEQUAL)
+                | (op_a == bamio.CDIFF))
+        is_ref = is_m | (op_a == bamio.CDEL) | (op_a == bamio.CREF_SKIP)
+        is_seq = is_m | (op_a == bamio.CINS)
+        ref_pos = aln_start + np.concatenate(
+            ([0], np.cumsum(np.where(is_ref, ln_a, 0))))[:-1]
+        seq_pos = np.concatenate(
+            ([0], np.cumsum(np.where(is_seq, ln_a, 0))))[:-1]
+        cigar_idx_seq = int(seq_pos[-1] + (ln_a[-1] if is_seq[-1] else 0)) \
+            if len(ops) else 0
+
+        m_idx = np.flatnonzero(is_m)
+        m_ref = ref_pos[m_idx]
+        m_seq = seq_pos[m_idx]
+        m_ln = ln_a[m_idx]
+        # clip each M run to [chunk_start, chunk_end)
+        lo = np.maximum(m_ref, chunk_start)
+        hi = np.minimum(m_ref + m_ln, chunk_end)
+        keep_ln = np.maximum(hi - lo, 0)
+        total = int(keep_ln.sum())
+        if total:
+            base = np.repeat(np.arange(len(m_idx)), keep_ln)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(keep_ln)[:-1])), keep_ln)
+            refs_all = lo[base] + within
+            seqs_all = (m_seq + (lo - m_ref))[base] + within
+            aln_pairs = np.stack([refs_all, seqs_all], axis=1)
+        else:
+            aln_pairs = np.zeros((0, 2), dtype=np.int64)
+        aligned_read_len = total
+        # insertions inside the window add to the aligned length
+        i_idx = np.flatnonzero(op_a == bamio.CINS)
+        if len(i_idx):
+            i_in = (ref_pos[i_idx] >= chunk_start) & (ref_pos[i_idx]
+                                                      < chunk_end)
+            aligned_read_len += int(ln_a[i_idx][i_in].sum())
+        # first_aligned_idx: the first ref-consuming op whose END reaches
+        # chunk_start sets it (M: seq index at the clip point; D/N: seq
+        # index at the op)
         first_aligned_idx = -1 if aln_start < chunk_start else 0
-        for op, num in ops:
-            if op in (bamio.CMATCH, bamio.CEQUAL, bamio.CDIFF):
-                refs = np.arange(cigar_idx_ref, cigar_idx_ref + num)
-                seqs = np.arange(cigar_idx_seq, cigar_idx_seq + num)
-                sel = (refs >= chunk_start) & (refs < chunk_end)
-                if np.any(sel):
-                    pairs.append(np.stack([refs[sel], seqs[sel]], axis=1))
-                    aligned_read_len += int(sel.sum())
-                if first_aligned_idx < 0 and cigar_idx_ref + num >= chunk_start:
-                    # cigarIdxInSeq right after cigarIdxInRef reaches chunkStart
-                    first_aligned_idx = cigar_idx_seq + max(chunk_start - cigar_idx_ref, 0)
-                cigar_idx_seq += num
-                cigar_idx_ref += num
-            elif op in (bamio.CDEL, bamio.CREF_SKIP):
-                if first_aligned_idx < 0 and cigar_idx_ref + num >= chunk_start:
-                    first_aligned_idx = cigar_idx_seq
-                cigar_idx_ref += num
-            elif op == bamio.CINS:
-                if chunk_start <= cigar_idx_ref < chunk_end:
-                    aligned_read_len += num
-                cigar_idx_seq += num
-            # soft/hard clips: no position change in this walk
+        if first_aligned_idx < 0:
+            r_idx = np.flatnonzero(is_ref)
+            r_end = ref_pos[r_idx] + ln_a[r_idx]
+            trig = np.flatnonzero(r_end >= chunk_start)
+            if len(trig):
+                j = r_idx[trig[0]]
+                if is_m[j]:
+                    first_aligned_idx = int(
+                        seq_pos[j] + max(chunk_start - ref_pos[j], 0))
+                else:
+                    first_aligned_idx = int(seq_pos[j])
         if first_aligned_idx < 0:
             first_aligned_idx = cigar_idx_seq
 
@@ -120,9 +149,8 @@ def convert_to_reads_and_alignments(bam_chunk: BamChunk,
                 seq_len += included
                 read_end_idx += included
 
-        if not pairs or seq_len == 0:
+        if len(aln_pairs) == 0 or seq_len == 0:
             continue
-        aln_pairs = np.concatenate(pairs)
         # to chunk-relative ref coords and extracted-seq read coords
         aln_arr = np.zeros((len(aln_pairs), 3), dtype=np.int64)
         aln_arr[:, 0] = aln_pairs[:, 0] - chunk_start

@@ -129,9 +129,14 @@ class RleString:
         """Mean quality per run, truncated mean as in rle.c:178-202."""
         quals = np.asarray(qualities, dtype=np.int64)
         assert quals.shape[0] == self.non_rle_length
-        run_idx = self.non_rle_to_rle_map()
-        sums = np.zeros(self.length, dtype=np.int64)
-        np.add.at(sums, run_idx, quals)
+        if self.length == 0:
+            return np.zeros(0, dtype=np.uint8)
+        # run sums via reduceat over the sorted run boundaries (np.add.at
+        # is ~20x slower per element)
+        starts = np.zeros(self.length, dtype=np.int64)
+        if self.length > 1:
+            np.cumsum(self.counts[:-1], out=starts[1:])
+        sums = np.add.reduceat(quals, starts)
         return (sums // np.maximum(self.counts, 1)).astype(np.uint8)
 
 
@@ -147,9 +152,22 @@ def run_length_encode_alignment(pairs: np.ndarray,
     pairs = np.asarray(pairs, dtype=np.int64)
     if pairs.size == 0:
         return pairs.reshape(0, pairs.shape[1] if pairs.ndim == 2 else 2)
-    out = pairs.copy()
+    out = np.ascontiguousarray(pairs)
+    if out is pairs:
+        out = pairs.copy()
     out[:, 0] = x_map[pairs[:, 0]]
     out[:, 1] = y_map[pairs[:, 1]]
+    # greedy both-coordinates-advance dedup: the kept set feeds its own
+    # predicate, so it's inherently sequential — native when available
+    # (~20x; the Python loop was ~3 s per 100 kb polish chunk)
+    try:
+        from margin_tpu.io import native as _native
+        L = _native.lib()
+    except Exception:
+        L = None
+    if L is not None:
+        m = L.mio_rle_dedup(out, len(out), out.shape[1])
+        return out[:m].copy()
     keep = np.zeros(len(out), dtype=bool)
     px, py = -1, -1
     for i in range(len(out)):

@@ -1263,6 +1263,26 @@ MioExtract* mio_extract_substrings(
     return out;
 }
 
+// Greedy strictly-increasing-in-both dedup of RLE-mapped aligned pairs
+// (rle.c:231-251): rows (k columns, first two are x, y) are kept iff both
+// coordinates strictly advance past the last KEPT row. Sequential by
+// construction (the kept set feeds the predicate), so it lives here in C
+// — the per-pair Python loop was ~3 s per 100 kb polish chunk. In-place
+// compaction; returns the kept count.
+int64_t mio_rle_dedup(int64_t* rows, int64_t n, int64_t k) {
+    int64_t px = -1, py = -1, m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t* r = rows + i * k;
+        if (r[0] > px && r[1] > py) {
+            px = r[0];
+            py = r[1];
+            if (m != i) memmove(rows + m * k, r, k * 8);
+            m++;
+        }
+    }
+    return m;
+}
+
 int64_t mio_extract_n_reads(MioExtract* e) {
     return (int64_t)e->rlen.size();
 }
