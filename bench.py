@@ -545,13 +545,13 @@ def _headline_from(extra) -> dict:
                 "unit": "kb/s/chip",
                 "vs_baseline": round(
                     phase["kb_per_s"] / BASELINE_PHASE_KBPS, 3)}
-    if polish is not None:
+    if polish is not None and "bases_per_s" in polish:
         return {"metric": "polish end-to-end bases/s/chip (warm)",
                 "value": round(polish["bases_per_s"], 1),
                 "unit": "bases/s/chip",
                 "vs_baseline": round(
                     polish["bases_per_s"] / BASELINE_POLISH_BPS, 3)}
-    if kernel is not None:
+    if kernel is not None and "sites_per_s" in kernel:
         return {"metric": "phase het sites/s/chip (pair-HMM kernel)",
                 "value": round(kernel["sites_per_s"], 1),
                 "unit": "sites/s/chip",
@@ -582,9 +582,7 @@ def _start_watchdog(extra):
     def fire():
         extra["watchdog"] = ("fired after %.0fs: a device op wedged or the "
                              "hard budget passed" % (time.time() - _T_START))
-        h = _headline_from(extra)
-        h["extra"] = extra
-        print(json.dumps(h), flush=True)
+        _print_headline(extra)
         os._exit(0)
 
     t = threading.Timer(_watchdog_deadline_s(), fire)
@@ -597,11 +595,26 @@ def _start_watchdog(extra):
 # each small enough that one slow mode cannot eat the whole run the way
 # round-4's polish_100kb did
 _MODE_TIMEOUTS = {
-    "kernel": 420, "phase": 420, "phase_mt": 600,
+    "kernel": 600, "phase": 420, "phase_mt": 600,
     "polish": 420, "polish_100kb": 900, "diploid_100kb": 900,
     "polish_multi": 600, "polish_diploid": 420,
     "polish_devroute": 600, "polish_100kb_dev": 900,
 }
+
+
+def _absorb_first_readback(extra):
+    """The process's FIRST host readback on the tunneled chip pays a
+    40-400 s toll (PERF_NOTES); absorb it before any timed mode so a mode
+    timeout never fires on the toll (the r5 mid-round run lost its kernel
+    mode exactly this way)."""
+    t0 = time.time()
+    try:
+        import jax.numpy as jnp
+        float(jnp.ones((8, 8)).sum())
+    except Exception as e:
+        extra["first_readback_error"] = repr(e)[:200]
+        return
+    extra["first_readback_s"] = round(time.time() - t0, 1)
 
 _ABORTED = []  # set when a mode thread times out: its runaway thread may
 # still hold the device, so every later device mode would measure garbage
@@ -672,6 +685,7 @@ def main():
     from margin_tpu.ops.banded import resolve_device_band_policy
     extra["device_band_cells"] = resolve_device_band_policy()
     _start_watchdog(extra)
+    _absorb_first_readback(extra)
 
     def on(name):
         return mode in ("all", name)
@@ -723,10 +737,31 @@ def main():
         _run_mode("polish_diploid", bench_polish_diploid, extra,
                   vs_key="bases_per_s", vs_base=BASELINE_POLISH_BPS)
 
-    headline = _headline_from(extra)
-    headline["extra"] = extra
-    print(json.dumps(headline))
+    _print_headline(extra)
+
+
+def _print_headline(extra):
+    """The one job that must never fail: print the single JSON line."""
+    try:
+        headline = _headline_from(extra)
+        headline["extra"] = extra
+        print(json.dumps(headline), flush=True)
+    except BaseException as e:  # pragma: no cover — last-resort shape
+        print(json.dumps({
+            "metric": "phase end-to-end kb/s/chip", "value": 0.0,
+            "unit": "kb/s/chip", "vs_baseline": 0.0,
+            "extra": {"headline_error": repr(e)[:300]}}), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # the headline must print NO MATTER WHAT
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "phase end-to-end kb/s/chip", "value": 0.0,
+            "unit": "kb/s/chip", "vs_baseline": 0.0,
+            "extra": {"fatal": repr(e)[:300]}}), flush=True)
+        raise SystemExit(1)

@@ -54,7 +54,8 @@ class BandGeometry:
     def build(anchors, lx: int, ly: int, expansion: int,
               d_pad: int | None = None, w_pad: int | None = None,
               dynamic: bool = False, smooth: bool = False) -> "BandGeometry":
-        band = build_band(anchors or [], lx, ly, expansion, dynamic=dynamic)
+        band = build_band([] if anchors is None else anchors, lx, ly,
+                          expansion, dynamic=dynamic)
         d_real = lx + ly + 1
         lo = band[:, 0].astype(np.int64)
         hi = band[:, 1].astype(np.int64)

@@ -83,7 +83,8 @@ def posteriors_item(tables, item, expansion: int, threshold: float,
     x_sym = np.ascontiguousarray(item["x_sym"], dtype=np.int32)
     y_sym = np.ascontiguousarray(item["y_sym"], dtype=np.int32)
     lx, ly = len(x_sym), len(y_sym)
-    band = build_band(item["anchors"] or [], lx, ly, expansion,
+    anchors = item["anchors"]
+    band = build_band([] if anchors is None else anchors, lx, ly, expansion,
                       dynamic=dynamic)
     band_lo = np.ascontiguousarray(band[:, 0], dtype=np.int64)
     band_hi = np.ascontiguousarray(band[:, 1], dtype=np.int64)

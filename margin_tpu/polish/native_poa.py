@@ -247,7 +247,18 @@ class NativePoaBuilder:
         poa._rw = f64s(n_nodes * max_rc).reshape(n_nodes, max_rc).copy()
 
         node_obs_counts = i64s(n_nodes)
+        obs_pos = pos  # flat (rn, off, wt) arrays start here
         node_obs = obs_lists(node_obs_counts, n_obs)
+        # stash the flat per-node observation arrays: get_anchor_alignments
+        # consumes them vectorized instead of re-walking 10^6+ observation
+        # tuples per production chunk
+        poa._flat_obs = (
+            node_obs_counts.copy(),
+            buf[obs_pos:obs_pos + n_obs * 8].view(np.int64).copy(),
+            buf[obs_pos + n_obs * 8:obs_pos + 2 * n_obs * 8]
+            .view(np.int64).copy(),
+            buf[obs_pos + 2 * n_obs * 8:obs_pos + 3 * n_obs * 8]
+            .view(np.float64).copy())
         node_ins_counts = i64s(n_nodes)
         ins_len = i64s(n_ins)
         ins_bases = buf[pos:pos + ins_bases_pad]

@@ -73,6 +73,11 @@ class PoaNode:
 class Poa:
     """poa_getReferenceGraph (poa.c:112-127): node 0 is an 'N' prefix."""
 
+    # flat per-node observation arrays (node_counts, read_no, offset,
+    # weight), stashed by NativePoaBuilder.finish for the vectorized
+    # anchor-alignment path; None on Python-built graphs
+    _flat_obs = None
+
     def __init__(self, reference: RleString, max_repeat_count: int):
         self.ref_string = reference.copy()
         self.max_repeat_count = max_repeat_count
@@ -366,6 +371,9 @@ class Poa:
 
     def get_anchor_alignments(self, poa_to_consensus: Optional[np.ndarray],
                               n_reads: int, params: PolishParams) -> List[List]:
+        if self._flat_obs is not None:
+            return self._anchor_alignments_flat(poa_to_consensus, n_reads,
+                                                params)
         anchor_alignments: List[List] = [[] for _ in range(n_reads)]
         ladder = params.minPosteriorProbForAlignmentAnchors
         for i in range(1, len(self.nodes)):
@@ -390,6 +398,74 @@ class Poa:
                         if px < ci and py < offset:
                             pairs.append((ci, offset, expansion))
         return anchor_alignments
+
+    def _anchor_alignments_flat(self, poa_to_consensus, n_reads: int,
+                                params: PolishParams) -> List[np.ndarray]:
+        """Vectorized get_anchor_alignments over the flat observation
+        arrays the native POA export stashes: ladder thresholds via a
+        prefix-AND select, the per-read strictly-increasing greedy via the
+        native dedup — same anchors, same order, as the tuple walk (the
+        scalar path above remains the parity oracle)."""
+        node_counts, rn, off, wt = self._flat_obs
+        ladder = params.minPosteriorProbForAlignmentAnchors
+        # consensus index per node (nodes[1:] -> rows 0..n-2)
+        n_nodes = len(node_counts)
+        node_idx = np.repeat(np.arange(n_nodes, dtype=np.int64), node_counts)
+        # node 0 observations never anchor (the walk starts at node 1)
+        w = wt / PAIR1
+        keep = (node_idx >= 1) & (w > ladder[0])
+        if poa_to_consensus is None:
+            ci = node_idx - 1
+        else:
+            p2c = np.asarray(poa_to_consensus, dtype=np.int64)
+            ci = np.where(node_idx >= 1, p2c[np.minimum(node_idx, n_nodes - 1)
+                                             - 1], -1)
+            keep &= ci != -1
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return [[] for _ in range(n_reads)]
+        w = w[idx]
+        ci = ci[idx]
+        offs = off[idx]
+        reads = rn[idx]
+        # ladder: expansion = ladder[2j+1] for the largest prefix j>=1 with
+        # w >= ladder[2j] (the scalar walk BREAKS at the first failure)
+        exp = np.full(len(idx), int(ladder[1]), dtype=np.int64)
+        ok = np.ones(len(idx), dtype=bool)
+        for k in range(2, len(ladder), 2):
+            ok = ok & (w >= ladder[k])
+            exp = np.where(ok, int(ladder[k + 1]), exp)
+        # per-read, observation order == node order (flat arrays are
+        # node-major): stable sort by read keeps it
+        order = np.argsort(reads, kind="stable")
+        rows = np.stack([ci[order], offs[order], exp[order]],
+                        axis=1).astype(np.int64)
+        reads_s = reads[order]
+        bounds = np.searchsorted(reads_s, np.arange(n_reads + 1))
+        try:
+            from margin_tpu.io import native as _native
+            L = _native.lib()
+        except Exception:
+            L = None
+        out: List = []
+        for r in range(n_reads):
+            a, b = bounds[r], bounds[r + 1]
+            seg = np.ascontiguousarray(rows[a:b])
+            if len(seg) == 0:
+                out.append([])
+                continue
+            if L is not None:
+                m = L.mio_rle_dedup(seg, len(seg), 3)
+                out.append(seg[:m].copy())
+            else:
+                keep_rows = []
+                px = py = -1
+                for x, y, e in seg:
+                    if x > px and y > py:
+                        keep_rows.append((int(x), int(y), int(e)))
+                        px, py = x, y
+                out.append(keep_rows)
+        return out
 
 
 def _get_max_weight(weights, ref_idx, penalty) -> int:
@@ -487,15 +563,17 @@ def _crop_item(reference: RleString, read: PoaRead, anchors,
     """The reference-cropping half of
     getAlignedPairsWithIndelsCroppingReference (poa.c:612-666). Returns
     (kernel item dict, first_ref)."""
-    anchors = [] if anchors is None else [tuple(int(v) for v in a) for a in anchors]
+    anchors = (np.zeros((0, 3), dtype=np.int64) if anchors is None
+               else np.asarray(anchors, dtype=np.int64).reshape(-1, 3))
     if len(anchors):
-        fx, fy, _ = anchors[0]
+        fx, fy = int(anchors[0, 0]), int(anchors[0, 1])
         first_ref = max(fx - fy, 0)
-        lx_, ly_, _ = anchors[-1]
+        lx_, ly_ = int(anchors[-1, 0]), int(anchors[-1, 1])
         end_ref = min(1 + lx_ + (read.rle_read.length - ly_), reference.length)
     else:
         first_ref, end_ref = 0, reference.length
-    adj_anchors = [(x - first_ref, y, e) for x, y, e in anchors]
+    adj_anchors = anchors.copy()
+    adj_anchors[:, 0] -= first_ref
     item = {
         "x_sym": reference.symbols()[first_ref:end_ref],
         "y_sym": read.rle_read.symbols(),

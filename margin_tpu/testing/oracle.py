@@ -140,7 +140,7 @@ def oracle_forward_matrix(sm: OracleStateMachine, sx, sy, anchors=None,
     sx = np.asarray(sx)
     sy = np.asarray(sy)
     lx, ly = len(sx), len(sy)
-    band = build_band(anchors or [], lx, ly, expansion)
+    band = build_band([] if anchors is None else anchors, lx, ly, expansion)
     f = np.full((lx + 1, ly + 1, 3), LOG_ZERO)
     smp = sm.smp
     # init diag 0
@@ -209,7 +209,7 @@ def oracle_backward_matrix(sm: OracleStateMachine, sx, sy, anchors=None,
     sx = np.asarray(sx)
     sy = np.asarray(sy)
     lx, ly = len(sx), len(sy)
-    band = build_band(anchors or [], lx, ly, expansion)
+    band = build_band([] if anchors is None else anchors, lx, ly, expansion)
     in_band = np.zeros((lx + 1, ly + 1), dtype=bool)
     for d in range(0, lx + ly + 1):
         xmy_l, xmy_r = band[d]
