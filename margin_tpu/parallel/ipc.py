@@ -140,11 +140,8 @@ class ScoreServer:
                     _, key, items, expansion, threshold, use_lut, dyn = msg
                     try:
                         from margin_tpu.ops import banded as _banded
-                        for it in items:
-                            # anchors travel as (n, 3) arrays; the solver's
-                            # geometry/split code expects tuple lists
-                            it["anchors"] = [tuple(r) for r in
-                                             it["anchors"].tolist()]
+                        # anchors travel as (n, 3) arrays; the solver's
+                        # geometry/split paths consume arrays directly
                         out = _banded.banded_posteriors_many(
                             conn_tables[key], items, expansion,
                             threshold=threshold, use_lut=use_lut,

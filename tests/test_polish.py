@@ -237,3 +237,60 @@ def test_polish_large_gap_deletion(tmp_path):
     # the 3000bp T-run deletion is gone: consensus near the 4000bp read span
     assert 3800 <= len(cons) <= 4300
     assert "T" * 500 not in cons
+
+
+def test_anchor_alignments_flat_matches_scalar(monkeypatch):
+    """Poa._anchor_alignments_flat (vectorized over the native export's
+    flat observation arrays + C greedy dedup) vs the scalar tuple walk:
+    identical anchors per read, with and without a consensus map."""
+    import numpy as np
+
+    # route the realign bands to the native kernel: the jax-CPU scan
+    # makes this setup ~20 s, the anchors under test are identical
+    monkeypatch.setenv("MARGIN_TPU_NATIVE_SCAN_CELLS", "1000")
+    from margin_tpu.params import Params
+    from margin_tpu.io import bam as bamio
+    from margin_tpu.io.fasta import FastaIndex
+    from margin_tpu.polish.poa import poa_realign
+    from margin_tpu.polish.reads import convert_to_reads_and_alignments
+    from margin_tpu.rle import RleString
+    from margin_tpu.phase.chunker import construct_chunker
+    from conftest import reference_path
+
+    params = Params.load(reference_path(
+        "params", "polish", "ont", "r9.4",
+        "allParams.np.human.r94-g344.json"))
+    bam = reference_path("tests", "data", "realData",
+                         "HG002.r94g360.chr20_59M_100k.bam")
+    fasta = FastaIndex(reference_path("tests", "data", "realData",
+                                      "hg38.chr20_59M_100k.fa"))
+    chunkr = construct_chunker(bam, "chr20:2000-5000", {"chr20"},
+                               params.polish)
+    ck = chunkr.chunks[0]
+    reader = bamio.BamReader(bam)
+    ref = RleString.encode(fasta.fetch(ck.ref_name, ck.chunk_overlap_start,
+                                       ck.chunk_overlap_end))
+    reads, alns, _, _ = convert_to_reads_and_alignments(ck, ref, reader,
+                                                        params.polish)
+    tables = pairhmm.PairHmmTables.from_params(
+        params.polish.sm_forward, params.polish.sm_reverse,
+        repeat=params.polish.repeat_sub_matrix)
+    poa = poa_realign(reads, alns, ref, params.polish, tables,
+                      use_lut=True)
+    assert poa._flat_obs is not None  # native builder path
+    for p2c in (None,
+                np.arange(len(poa.nodes) - 1, dtype=np.int64),
+                np.where(np.arange(len(poa.nodes) - 1) % 7 == 3, -1,
+                         np.arange(len(poa.nodes) - 1)).astype(np.int64)):
+        fast = poa._anchor_alignments_flat(p2c, len(reads), params.polish)
+        flat_obs = poa._flat_obs
+        try:
+            poa._flat_obs = None  # force the scalar oracle
+            slow = poa.get_anchor_alignments(p2c, len(reads), params.polish)
+        finally:
+            poa._flat_obs = flat_obs
+        assert len(fast) == len(slow)
+        for a, b in zip(fast, slow):
+            aa = np.asarray(a, dtype=np.int64).reshape(-1, 3)
+            bb = np.asarray(b, dtype=np.int64).reshape(-1, 3)
+            assert np.array_equal(aa, bb)
