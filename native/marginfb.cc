@@ -21,7 +21,12 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -120,6 +125,73 @@ static inline float e_match(const Ctx& c, int64_t x, int64_t y) {
   return e;
 }
 
+#ifdef __AVX512F__
+// ---- AVX-512 interior (LUT flavor only) ----------------------------------
+// 16 cells per step with the EXACT scalar op order per lane: separate
+// mul/add (no fmadd — the scalar build uses -ffp-contract=off and the
+// JAX kernels are unfused), ordered compares (NaN-false like the scalar
+// ternaries), and the same final d<underflow select. Bit-identical to the
+// scalar loop by construction; tests/test_native_fb.py pins it.
+
+struct VLut {
+  __m512 b0, b1, b2, underflow;
+  __m512 cubic;  // all 16 coefficients: row-major 4x4, lane = idx*4+j
+  __m512i j0, j1, j2, j3;
+};
+
+static inline VLut vlut_make(const LutLogAdd& t) {
+  VLut v;
+  v.b0 = _mm512_set1_ps(t.breaks[0]);
+  v.b1 = _mm512_set1_ps(t.breaks[1]);
+  v.b2 = _mm512_set1_ps(t.breaks[2]);
+  v.underflow = _mm512_set1_ps(t.underflow);
+  v.cubic = _mm512_loadu_ps(&t.cubic[0][0]);
+  v.j0 = _mm512_set1_epi32(0);
+  v.j1 = _mm512_set1_epi32(1);
+  v.j2 = _mm512_set1_epi32(2);
+  v.j3 = _mm512_set1_epi32(3);
+  return v;
+}
+
+static inline __m512 vlut_log_add(const VLut& t, __m512 x, __m512 y) {
+  __m512 hi = _mm512_max_ps(x, y);
+  __m512 lo = _mm512_min_ps(x, y);
+  __m512 d = _mm512_sub_ps(hi, lo);
+  // idx = (d > b0) + (d > b1) + (d > b2), NaN -> 0 (ordered compares)
+  __mmask16 g0 = _mm512_cmp_ps_mask(d, t.b0, _CMP_GT_OQ);
+  __mmask16 g1 = _mm512_cmp_ps_mask(d, t.b1, _CMP_GT_OQ);
+  __mmask16 g2 = _mm512_cmp_ps_mask(d, t.b2, _CMP_GT_OQ);
+  __m512i one = _mm512_set1_epi32(1);
+  __m512i idx = _mm512_maskz_mov_epi32(g0, one);
+  idx = _mm512_mask_add_epi32(idx, g1, idx, one);
+  idx = _mm512_mask_add_epi32(idx, g2, idx, one);
+  __m512i base = _mm512_slli_epi32(idx, 2);
+  __m512 c0 = _mm512_permutexvar_ps(_mm512_add_epi32(base, t.j0), t.cubic);
+  __m512 c1 = _mm512_permutexvar_ps(_mm512_add_epi32(base, t.j1), t.cubic);
+  __m512 c2 = _mm512_permutexvar_ps(_mm512_add_epi32(base, t.j2), t.cubic);
+  __m512 c3 = _mm512_permutexvar_ps(_mm512_add_epi32(base, t.j3), t.cubic);
+  // ((c0*d + c1)*d + c2)*d + c3 + lo — separate mul/add, scalar order
+  __m512 a = _mm512_add_ps(_mm512_mul_ps(c0, d), c1);
+  a = _mm512_add_ps(_mm512_mul_ps(a, d), c2);
+  a = _mm512_add_ps(_mm512_mul_ps(a, d), c3);
+  a = _mm512_add_ps(a, lo);
+  __mmask16 lt = _mm512_cmp_ps_mask(d, t.underflow, _CMP_LT_OQ);
+  return _mm512_mask_mov_ps(hi, lt, a);
+}
+
+static inline __m512 vladd3(const VLut& t, __m512 a, __m512 b, __m512 d) {
+  return vlut_log_add(t, vlut_log_add(t, a, b), d);
+}
+
+// y_sym/rep_y walk DESCENDING with k: load 16 ascending from y-15 and
+// reverse lanes
+static inline __m512i vload_rev_i32(const int32_t* p) {
+  const __m512i rev = _mm512_set_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                       11, 12, 13, 14, 15);
+  return _mm512_permutexvar_epi32(rev, _mm512_loadu_si512(p));
+}
+#endif  // __AVX512F__
+
 template <bool USE_LUT>
 static void forward_pass(Ctx& c) {
   const float t_mm = c.trans[T_MM], t_mgx = c.trans[T_M_FROM_GX],
@@ -127,12 +199,15 @@ static void forward_pass(Ctx& c) {
               t_ex = c.trans[T_EXT_X], t_sx = c.trans[T_SW_X],
               t_oy = c.trans[T_OPEN_Y], t_ey = c.trans[T_EXT_Y],
               t_sy = c.trans[T_SW_Y];
-  // diagonal 0: the start cell
+  // diagonal 0: the start cell (cells self-initialize: the flat arrays
+  // are NOT pre-filled — a monster band pre-fill wrote 1.7 GB of -inf
+  // per array per call)
   {
     const Diag& dg = c.diags[0];
     for (int64_t k = 0; k < dg.n; k++) {
-      if (dg.lo + 2 * k != 0) continue;
       int64_t i = dg.off + k;
+      c.fm[i] = c.fx[i] = c.fy[i] = kLogZero;
+      if (dg.lo + 2 * k != 0) continue;
       if (c.ragged_left) { c.fx[i] = 0.0f; c.fy[i] = 0.0f; }
       else c.fm[i] = 0.0f;
     }
@@ -148,8 +223,9 @@ static void forward_pass(Ctx& c) {
     auto cell = [&](int64_t k) {
       const int64_t xmy = dg.lo + 2 * k;
       const int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
-      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
       const int64_t i = dg.off + k;
+      c.fm[i] = c.fx[i] = c.fy[i] = kLogZero;  // self-init (no pre-fill)
+      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
       const int64_t kl = b_low + k;        // low; up = kl + 1
       const int64_t km = b_mid + k;
       const bool okl = kl >= 0 && kl < d1.n;
@@ -214,7 +290,66 @@ static void forward_pass(Ctx& c) {
       float* ox = c.fx + dg.off;
       float* oy = c.fy + dg.off;
       const bool rle = c.rep_tab != nullptr;
-      for (int64_t k = kA; k < kB; k++) {
+      int64_t k = kA;
+#ifdef __AVX512F__
+      if (USE_LUT) {
+        // 16-wide interior: the scalar loop's table lookups defeat
+        // auto-vectorization; this is the monster-band hot loop (a 100 kb
+        // polish chunk is ~24G band cells, mostly here)
+        const VLut vt = vlut_make(c.lut);
+        const __m512 v_ox = _mm512_set1_ps(t_ox), v_ex = _mm512_set1_ps(t_ex),
+                     v_sx = _mm512_set1_ps(t_sx), v_mm = _mm512_set1_ps(t_mm),
+                     v_mgx = _mm512_set1_ps(t_mgx),
+                     v_mgy = _mm512_set1_ps(t_mgy),
+                     v_oy = _mm512_set1_ps(t_oy), v_ey = _mm512_set1_ps(t_ey),
+                     v_sy = _mm512_set1_ps(t_sy);
+        const __m512i v5 = _mm512_set1_epi32(5);
+        const __m512i v50 = _mm512_set1_epi32(50);
+        const __m512i v51 = _mm512_set1_epi32(51);
+        const __m512i v2601 = _mm512_set1_epi32(51 * 51);
+        const __m512i v4 = _mm512_set1_epi32(4);
+        for (; k + 16 <= kB; k += 16) {
+          const int64_t x = x0 + k, y = y0 - k;
+          __m512i cx = _mm512_loadu_si512(c.x_sym + x - 1);
+          __m512i cy = vload_rev_i32(c.y_sym + y - 16);
+          __m512i eidx = _mm512_add_epi32(_mm512_mullo_epi32(cx, v5), cy);
+          __m512 em = _mm512_i32gather_ps(eidx, c.match25, 4);
+          if (rle) {
+            __m512i rx = _mm512_min_epi32(
+                _mm512_loadu_si512(c.rep_x + x - 1), v50);
+            __m512i ry = _mm512_min_epi32(vload_rev_i32(c.rep_y + y - 16),
+                                          v50);
+            __mmask16 isn = _mm512_cmp_epi32_mask(cx, v4, _MM_CMPINT_NLT);
+            __m512i base = _mm512_maskz_mov_epi32(~isn, cx);
+            __m512i ridx = _mm512_add_epi32(
+                _mm512_mullo_epi32(base, v2601),
+                _mm512_add_epi32(_mm512_mullo_epi32(rx, v51), ry));
+            em = _mm512_add_ps(em, _mm512_i32gather_ps(ridx, c.rep_tab, 4));
+          }
+          __m512 gx_e = _mm512_i32gather_ps(cx, c.gapx5, 4);
+          __m512 gy_e = _mm512_i32gather_ps(cy, c.gapy5, 4);
+          __m512 r_ox = _mm512_add_ps(gx_e, vladd3(
+              vt,
+              _mm512_add_ps(_mm512_loadu_ps(fm1 + k), v_ox),
+              _mm512_add_ps(_mm512_loadu_ps(fx1 + k), v_ex),
+              _mm512_add_ps(_mm512_loadu_ps(fy1 + k), v_sx)));
+          __m512 r_om = _mm512_add_ps(em, vladd3(
+              vt,
+              _mm512_add_ps(_mm512_loadu_ps(fm2 + k), v_mm),
+              _mm512_add_ps(_mm512_loadu_ps(fx2 + k), v_mgx),
+              _mm512_add_ps(_mm512_loadu_ps(fy2 + k), v_mgy)));
+          __m512 r_oy = _mm512_add_ps(gy_e, vladd3(
+              vt,
+              _mm512_add_ps(_mm512_loadu_ps(fm1 + k + 1), v_oy),
+              _mm512_add_ps(_mm512_loadu_ps(fy1 + k + 1), v_ey),
+              _mm512_add_ps(_mm512_loadu_ps(fx1 + k + 1), v_sy)));
+          _mm512_storeu_ps(ox + k, r_ox);
+          _mm512_storeu_ps(om + k, r_om);
+          _mm512_storeu_ps(oy + k, r_oy);
+        }
+      }
+#endif
+      for (; k < kB; k++) {
         const int64_t x = x0 + k, y = y0 - k;
         const int32_t cx = c.x_sym[x - 1], cy = c.y_sym[y - 1];
         float em = c.match25[cx * 5 + cy];
@@ -246,8 +381,12 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
               t_oy = c.trans[T_OPEN_Y], t_ey = c.trans[T_EXT_Y],
               t_sy = c.trans[T_SW_Y];
   const int64_t cells = c.diags[c.n_diag - 1].off + c.diags[c.n_diag - 1].n;
-  std::vector<float> bm(cells, kLogZero), bx(cells, kLogZero),
-      by(cells, kLogZero);
+  // uninitialized: every cell self-initializes at its diagonal's pass
+  std::unique_ptr<float[]> bm_a(new float[cells]), bx_a(new float[cells]),
+      by_a(new float[cells]);
+  float* bm = bm_a.get();
+  float* bx = bx_a.get();
+  float* by = by_a.get();
   int64_t n_out = 0;
   const bool have_total = total != kLogZero;
   const float log_thresh = logf(threshold);
@@ -262,8 +401,9 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
     auto cell_bwd = [&](int64_t k) {
       const int64_t xmy = dg.lo + 2 * k;
       const int64_t x = (d + xmy) / 2, y = (d - xmy) / 2;
-      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
       const int64_t i = dg.off + k;
+      bm[i] = bx[i] = by[i] = kLogZero;  // self-init (no pre-fill)
+      if (x < 0 || x > c.lx || y < 0 || y > c.ly) return;
       if (d == c.n_diag - 1 && x == c.lx && y == c.ly) {
         bm[i] = c.ew[0]; bx[i] = c.ew[1]; by[i] = c.ew[2];
       } else {
@@ -336,17 +476,111 @@ static int64_t backward_extract(Ctx& c, float total, float threshold,
     for (int64_t k = dg.n - 1; k >= kB; k--) cell_bwd(k);
     if (kB > kA && !overflow) {
       const int64_t x0 = (d + dg.lo) / 2, y0 = (d - dg.lo) / 2;
-      const float* bx1 = bx.data() + d1.off + b_gx;
-      const float* by1 = by.data() + d1.off + b_gx;
-      const float* bm2 = bm.data() + d2v.off + b_m;
-      float* obm = bm.data() + dg.off;
-      float* obx = bx.data() + dg.off;
-      float* oby = by.data() + dg.off;
+      const float* bx1 = bx + d1.off + b_gx;
+      const float* by1 = by + d1.off + b_gx;
+      const float* bm2 = bm + d2v.off + b_m;
+      float* obm = bm + dg.off;
+      float* obx = bx + dg.off;
+      float* oby = by + dg.off;
       const float* ofm = c.fm + dg.off;
       const float* ofx = c.fx + dg.off;
       const float* ofy = c.fy + dg.off;
       const bool rle = c.rep_tab != nullptr;
-      for (int64_t k = kB - 1; k >= kA; k--) {
+      // no same-diagonal dependencies in the backward body and extraction
+      // rows are lexsorted downstream, so ascending vector blocks are
+      // equivalent to the original descending walk
+      int64_t k = kA;
+#ifdef __AVX512F__
+      if (USE_LUT) {
+        const VLut vt = vlut_make(c.lut);
+        const __m512 v_ox = _mm512_set1_ps(t_ox), v_ex = _mm512_set1_ps(t_ex),
+                     v_sx = _mm512_set1_ps(t_sx), v_mm = _mm512_set1_ps(t_mm),
+                     v_mgx = _mm512_set1_ps(t_mgx),
+                     v_mgy = _mm512_set1_ps(t_mgy),
+                     v_oy = _mm512_set1_ps(t_oy), v_ey = _mm512_set1_ps(t_ey),
+                     v_sy = _mm512_set1_ps(t_sy);
+        const __m512i v5 = _mm512_set1_epi32(5);
+        const __m512i v50 = _mm512_set1_epi32(50);
+        const __m512i v51 = _mm512_set1_epi32(51);
+        const __m512i v2601 = _mm512_set1_epi32(51 * 51);
+        const __m512i v4 = _mm512_set1_epi32(4);
+        const __m512 v_total = _mm512_set1_ps(total);
+        const __m512 v_lth = _mm512_set1_ps(log_thresh);
+        for (; k + 16 <= kB; k += 16) {
+          const int64_t x = x0 + k, y = y0 - k;
+          __m512i cx = _mm512_loadu_si512(c.x_sym + x);
+          __m512i cy = vload_rev_i32(c.y_sym + y - 15);
+          __m512i eidx = _mm512_add_epi32(_mm512_mullo_epi32(cx, v5), cy);
+          __m512 em = _mm512_i32gather_ps(eidx, c.match25, 4);
+          if (rle) {
+            __m512i rx = _mm512_min_epi32(_mm512_loadu_si512(c.rep_x + x),
+                                          v50);
+            __m512i ry = _mm512_min_epi32(vload_rev_i32(c.rep_y + y - 15),
+                                          v50);
+            __mmask16 isn = _mm512_cmp_epi32_mask(cx, v4, _MM_CMPINT_NLT);
+            __m512i base = _mm512_maskz_mov_epi32(~isn, cx);
+            __m512i ridx = _mm512_add_epi32(
+                _mm512_mullo_epi32(base, v2601),
+                _mm512_add_epi32(_mm512_mullo_epi32(rx, v51), ry));
+            em = _mm512_add_ps(em, _mm512_i32gather_ps(ridx, c.rep_tab, 4));
+          }
+          __m512 egx = _mm512_i32gather_ps(cx, c.gapx5, 4);
+          __m512 egy = _mm512_i32gather_ps(cy, c.gapy5, 4);
+          __m512 a_gx = _mm512_add_ps(_mm512_loadu_ps(bx1 + k), egx);
+          __m512 a_m = _mm512_add_ps(_mm512_loadu_ps(bm2 + k), em);
+          __m512 a_gy = _mm512_add_ps(_mm512_loadu_ps(by1 + k - 1), egy);
+          __m512 r_m = vladd3(vt, _mm512_add_ps(a_gx, v_ox),
+                              _mm512_add_ps(a_m, v_mm),
+                              _mm512_add_ps(a_gy, v_oy));
+          __m512 r_x = vladd3(vt, _mm512_add_ps(a_gx, v_ex),
+                              _mm512_add_ps(a_m, v_mgx),
+                              _mm512_add_ps(a_gy, v_sy));
+          __m512 r_y = vladd3(vt, _mm512_add_ps(a_gx, v_sx),
+                              _mm512_add_ps(a_m, v_mgy),
+                              _mm512_add_ps(a_gy, v_ey));
+          _mm512_storeu_ps(obm + k, r_m);
+          _mm512_storeu_ps(obx + k, r_x);
+          _mm512_storeu_ps(oby + k, r_y);
+          if (!have_total) continue;
+          // threshold pre-screen: extraction fires on a tiny fraction of
+          // cells, so only lanes passing the log-space test go scalar
+          __mmask16 any =
+              _mm512_cmp_ps_mask(
+                  _mm512_sub_ps(_mm512_add_ps(_mm512_loadu_ps(ofm + k), r_m),
+                                v_total), v_lth, _CMP_GE_OQ) |
+              _mm512_cmp_ps_mask(
+                  _mm512_sub_ps(_mm512_add_ps(_mm512_loadu_ps(ofx + k), r_x),
+                                v_total), v_lth, _CMP_GE_OQ) |
+              _mm512_cmp_ps_mask(
+                  _mm512_sub_ps(_mm512_add_ps(_mm512_loadu_ps(ofy + k), r_y),
+                                v_total), v_lth, _CMP_GE_OQ);
+          if (!any) continue;
+          for (int j = 0; j < 16; j++) {
+            if (!(any & (1u << j))) continue;
+            const int64_t kk = k + j;
+            const int64_t xx = x0 + kk, yy = y0 - kk;
+            const float fs[3] = {ofm[kk], ofx[kk], ofy[kk]};
+            const float bs[3] = {obm[kk], obx[kk], oby[kk]};
+            for (int s = 0; s < 3; s++) {
+              float lp = fs[s] + bs[s] - total;
+              if (!(lp >= log_thresh)) continue;
+              float p = expf(lp > 0.0f ? 0.0f : lp);
+              if (p >= threshold) {
+                if (n_out >= out_cap) return -1;
+                int32_t* row = out + 4 * n_out;
+                row[0] = s;
+                row[1] = (int32_t)(xx - 1);
+                row[2] = (int32_t)(yy - 1);
+                float pc = p > 1.0f ? 1.0f : p;
+                row[3] = (int32_t)floorf(pc * 10000000.0f);
+                n_out++;
+              }
+            }
+          }
+        }
+      }
+#endif
+      for (; k < kB; k++) {
         const int64_t x = x0 + k, y = y0 - k;
         const int32_t cx = c.x_sym[x], cy = c.y_sym[y];
         const float egx = c.gapx5[cx];
@@ -438,9 +672,9 @@ int64_t mfb_posteriors(
   }
   c.diags = diags.data();
 
-  std::vector<float> fm(cells, kLogZero), fx(cells, kLogZero),
-      fy(cells, kLogZero);
-  c.fm = fm.data(); c.fx = fx.data(); c.fy = fy.data();
+  std::unique_ptr<float[]> fm(new float[cells]), fx(new float[cells]),
+      fy(new float[cells]);
+  c.fm = fm.get(); c.fx = fx.get(); c.fy = fy.get();
 
   if (use_lut) forward_pass<true>(c);
   else forward_pass<false>(c);
