@@ -572,14 +572,21 @@ def _watchdog_deadline_s() -> float:
     return min(budget * 1.2, driver - 120.0)
 
 
+_WATCHDOG = []
+_PRINTED = []
+
+
 def _start_watchdog(extra):
     """The tunnel can wedge so that a single device op blocks forever
     (observed mid-bench); a daemon timer prints the headline built from
     the modes that DID finish and exits, so the driver always receives
-    its one JSON line."""
+    its one JSON line. Cancelled by the normal-path print (a run that
+    printed its headline then lingered emitted TWO lines once)."""
     import threading
 
     def fire():
+        if _PRINTED:
+            os._exit(0)
         extra["watchdog"] = ("fired after %.0fs: a device op wedged or the "
                              "hard budget passed" % (time.time() - _T_START))
         _print_headline(extra)
@@ -588,6 +595,7 @@ def _start_watchdog(extra):
     t = threading.Timer(_watchdog_deadline_s(), fire)
     t.daemon = True
     t.start()
+    _WATCHDOG.append(t)
     return t
 
 
@@ -616,20 +624,27 @@ def _absorb_first_readback(extra):
         return
     extra["first_readback_s"] = round(time.time() - t0, 1)
 
-_ABORTED = []  # set when a mode thread times out: its runaway thread may
-# still hold the device, so every later device mode would measure garbage
+_RUNAWAY = []  # threads whose mode timed out: they may still hold the
+# device, so the next mode first waits (bounded) for them to drain; if
+# one never drains, the rest of the run is skipped
 
 
 def _run_mode(name, fn, extra, vs_key=None, vs_base=None):
     """Run one bench mode on a daemon thread with a hard timeout. On
-    timeout or exception, record it and keep going (timeouts abort the
-    REST of the run too — the runaway thread still owns the device).
-    Returns the raw result dict or None."""
+    timeout, record it and move on: a SLOW mode usually finishes shortly
+    after its budget (the next mode waits for the runaway thread, bounded),
+    while a truly wedged one aborts the rest of the run. Returns the raw
+    result dict or None."""
     import threading
 
-    if _ABORTED:
-        extra.setdefault("skipped_after_timeout", []).append(name)
-        return None
+    for th0 in list(_RUNAWAY):
+        grace = max(30.0, min(300.0, _watchdog_deadline_s()
+                              - (time.time() - _T_START) - 120.0))
+        th0.join(grace)
+        if th0.is_alive():
+            extra.setdefault("skipped_after_timeout", []).append(name)
+            return None
+        _RUNAWAY.remove(th0)
     if not _budget_left(extra, name):
         return None
     timeout_s = float(os.environ.get(f"MARGIN_TPU_BENCH_TIMEOUT_{name}",
@@ -652,7 +667,7 @@ def _run_mode(name, fn, extra, vs_key=None, vs_base=None):
     if th.is_alive():
         extra[name] = {"error": f"mode timeout after {timeout_s:.0f}s"}
         _note(name, extra[name])
-        _ABORTED.append(name)
+        _RUNAWAY.append(th)
         return None
     if "error" in box:
         extra[name] = {"error": box["error"]}
@@ -741,7 +756,16 @@ def main():
 
 
 def _print_headline(extra):
-    """The one job that must never fail: print the single JSON line."""
+    """The one job that must never fail: print the single JSON line
+    (exactly once — the watchdog stands down after this)."""
+    if _PRINTED:
+        return
+    _PRINTED.append(True)
+    for t in _WATCHDOG:
+        try:
+            t.cancel()
+        except Exception:
+            pass
     try:
         headline = _headline_from(extra)
         headline["extra"] = extra
