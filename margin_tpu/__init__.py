@@ -25,6 +25,9 @@ __version__ = "0.1.0"
 import os as _os
 
 
+JAX_CACHE_DIR = None  # host-fingerprinted; set below
+
+
 def _enable_jax_compilation_cache():
     """Persist compiled XLA executables across processes. Accelerator
     compiles through the dev tunnel cost minutes; the on-disk cache makes
@@ -55,6 +58,8 @@ def _enable_jax_compilation_cache():
             pass
         cache_dir = loc or _os.path.join(
             _os.path.expanduser("~"), ".cache", f"margin_tpu_jax_{sig}")
+        global JAX_CACHE_DIR
+        JAX_CACHE_DIR = cache_dir
         _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
         _os.environ.setdefault(
             "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")

@@ -204,8 +204,6 @@ def main(argv=None):
             plat = os.environ.get("MARGIN_TPU_PLATFORM")
             if plat:
                 jax.config.update("jax_platforms", plat)
-            jax.config.update("jax_compilation_cache_dir",
-                              os.path.expanduser("~/.cache/margin_tpu_jax"))
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
                               1.0)
             try:
@@ -217,6 +215,18 @@ def main(argv=None):
                       "falling back to CPU", file=sys.stderr)
                 jax.config.update("jax_platforms", "cpu")
                 jax.devices()
+            # persistent compile cache: accelerator executables are
+            # host-independent (keep the shared warm dir); XLA:CPU AOT
+            # executables from another machine SIGSEGV on load, so CPU
+            # backends use the host-fingerprinted dir (margin_tpu.__init__)
+            import margin_tpu as _mt
+            if jax.default_backend() == "cpu" and _mt.JAX_CACHE_DIR:
+                jax.config.update("jax_compilation_cache_dir",
+                                  _mt.JAX_CACHE_DIR)
+            else:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.expanduser("~/.cache/margin_tpu_jax"))
         except Exception:
             pass
         # resolve + export the device-band routing threshold ONCE while

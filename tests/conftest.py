@@ -15,7 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/margin_tpu_jax_cache")
+import margin_tpu as _mt  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  (_mt.JAX_CACHE_DIR or "/tmp/margin_tpu_jax_cache")
+                  + "_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE = "/root/reference"
