@@ -483,24 +483,40 @@ def bench_kernel():
             "mfu_vs_chip_peak": tflops / PEAK_BF16_TFLOPS}
 
 
-def _device_reachable(timeout_s: int = 540) -> bool:
+def _device_reachable(timeout_s: int = 420, deadline_s: float = 1500.0
+                      ) -> bool:
     """Probe the accelerator in a subprocess with a hard timeout: the dev
     tunnel sometimes wedges so that any device op blocks forever, which
-    would otherwise hang the whole benchmark run."""
+    would otherwise hang the whole benchmark run. The wedges FLAP
+    (observed: unreachable for ~25 min, then 47 s probes again), so keep
+    probing until a deadline rather than abandoning the run's numbers on
+    the first failure."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.ones((4,4)).sum()))"],
-            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except Exception:
-        return False
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((4,4)).sum()))"],
+                capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+        if time.time() - t0 > deadline_s:
+            return False
+        _note("probe", {"attempt": attempt,
+                        "elapsed_s": round(time.time() - t0, 1)})
+        time.sleep(30)
 
 
-_T_START = time.time()
+_T_START = time.time()   # process start: the driver-timeout reference
+_T_RUN = [_T_START]      # rebased after the reachability probe: flapping-
+# tunnel probe retries must not eat the mode budget
 
 
 def _budget_left(extra, name) -> bool:
@@ -508,7 +524,7 @@ def _budget_left(extra, name) -> bool:
     JSON must print before any driver-side timeout, so later optional
     modes are skipped (and recorded) once the budget is spent."""
     budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
-    if time.time() - _T_START < budget:
+    if time.time() - _T_RUN[0] < budget:
         return True
     extra.setdefault("skipped_over_budget", []).append(name)
     return False
@@ -561,15 +577,16 @@ def _headline_from(extra) -> dict:
             "unit": "kb/s/chip", "vs_baseline": 0.0}
 
 
-def _watchdog_deadline_s() -> float:
-    """The headline JSON must print BEFORE the driver's kill. Round-4's
-    watchdog fired at budget*1.5 = 3600 s, at-or-after the driver timeout
-    (rc=124, parsed:null — the round's numbers were lost). Now:
-    min(budget*1.2, driver_timeout - 120 s)."""
+def _watchdog_deadline_abs() -> float:
+    """Absolute instant by which the headline JSON must print — BEFORE
+    the driver's kill. Round-4's watchdog fired at budget*1.5 = 3600 s,
+    at-or-after the driver timeout (rc=124, parsed:null — the round's
+    numbers were lost). Now: min(run_start + budget*1.2,
+    process_start + driver_timeout - 120 s)."""
     budget = float(os.environ.get("MARGIN_TPU_BENCH_BUDGET_S", "2400"))
     driver = float(os.environ.get("MARGIN_TPU_BENCH_DRIVER_TIMEOUT_S",
                                   "3600"))
-    return min(budget * 1.2, driver - 120.0)
+    return min(_T_RUN[0] + budget * 1.2, _T_START + driver - 120.0)
 
 
 _WATCHDOG = []
@@ -592,7 +609,8 @@ def _start_watchdog(extra):
         _print_headline(extra)
         os._exit(0)
 
-    t = threading.Timer(_watchdog_deadline_s(), fire)
+    t = threading.Timer(max(30.0, _watchdog_deadline_abs() - time.time()),
+                        fire)
     t.daemon = True
     t.start()
     _WATCHDOG.append(t)
@@ -638,8 +656,8 @@ def _run_mode(name, fn, extra, vs_key=None, vs_base=None):
     import threading
 
     for th0 in list(_RUNAWAY):
-        grace = max(30.0, min(300.0, _watchdog_deadline_s()
-                              - (time.time() - _T_START) - 120.0))
+        grace = max(30.0, min(300.0, _watchdog_deadline_abs()
+                              - time.time() - 120.0))
         th0.join(grace)
         if th0.is_alive():
             extra.setdefault("skipped_after_timeout", []).append(name)
@@ -651,8 +669,8 @@ def _run_mode(name, fn, extra, vs_key=None, vs_base=None):
                                      _MODE_TIMEOUTS.get(name, 600)))
     # never let a mode run past the watchdog either
     timeout_s = min(timeout_s,
-                    max(30.0, _watchdog_deadline_s()
-                        - (time.time() - _T_START) - 60.0))
+                    max(30.0, _watchdog_deadline_abs()
+                        - time.time() - 60.0))
     box = {}
 
     def run():
@@ -693,6 +711,7 @@ def main():
             "extra": {"error": "accelerator unreachable (tunnel probe "
                                "timed out); see README measured numbers"}}))
         return
+    _T_RUN[0] = time.time()  # budget starts after the probe
     import jax
     extra["backend"] = jax.default_backend()
     # launcher-side routing policy (ops.banded): resolved + exported ONCE
