@@ -21,7 +21,10 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_2():
+def test_dryrun_multichip_2(monkeypatch):
+    # the diploid-polish level is exercised by the 8-device dryrun above;
+    # running it twice pushed the fast suite against its wall budget
+    monkeypatch.setenv("MARGIN_TPU_DRYRUN_NO_DIPLOID", "1")
     graft.dryrun_multichip(2)
 
 
