@@ -622,7 +622,7 @@ def _start_watchdog(extra):
 # round-4's polish_100kb did
 _MODE_TIMEOUTS = {
     "kernel": 600, "phase": 420, "phase_mt": 600,
-    "polish": 420, "polish_100kb": 900, "diploid_100kb": 900,
+    "polish": 420, "polish_100kb": 1200, "diploid_100kb": 1200,
     "polish_multi": 600, "polish_diploid": 420,
     "polish_devroute": 600, "polish_100kb_dev": 900,
 }

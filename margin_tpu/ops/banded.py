@@ -1487,10 +1487,15 @@ def _item_geom(it: dict, expansion: int, dynamic: bool) -> BandGeometry:
 _DEVICE_MIN_CELLS = None
 
 # the tunneled dev chip's measured per-pack fixed latency (transfer +
-# dispatch + readback round-trips) makes sub-2M-cell bands faster on the
-# host's native kernel; resolve_device_band_policy applies this when the
-# launcher opts in
-_TUNNEL_MIN_CELLS = 2_000_000
+# dispatch + readback round-trips) makes host-native bands the right
+# default well beyond the old 2M bound: the 100 kb polish run showed
+# mid-size deep items (2M-30M cells) riding HALF-EMPTY segmented packs —
+# a pack's cost is set by its depth regardless of lane fill, so an
+# 8-lane deep pack loses to the AVX-512 host kernel by ~10x. On the
+# tunnel only colossal narrow bands beat the host; everything else
+# batches on real chips where launch latency is ~ms
+# (MARGIN_TPU_DEVICE_BAND_CELLS overrides either way).
+_TUNNEL_MIN_CELLS = 64_000_000
 
 
 def _device_min_cells() -> int:
